@@ -1,0 +1,145 @@
+"""Synthetic genome / read-set builders for tests.
+
+The reference has no test suite (SURVEY.md §4); our strategy is unit tests
+over tiny synthetic BAM/FASTA fixtures with hand-computable pileups and
+variants, built entirely with the in-repo I/O stack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nanocaller_tpu.io.bam import AlignedRead, BamWriter
+from nanocaller_tpu.io.fasta import write_fasta
+
+BASES = "ACGT"
+
+
+def random_seq(rng, n):
+    return "".join(BASES[i] for i in rng.integers(0, 4, size=n))
+
+
+def make_diploid_readset(
+    rng,
+    ref_seq,
+    snps=(),
+    indels=(),
+    depth=30,
+    read_len=800,
+    error_rate=0.0,
+    contig_start=0,
+):
+    """Simulate reads from two haplotypes of one contig.
+
+    snps: list of (pos0, alt_base, genotype) with genotype in {"het1", "het2",
+          "hom"} — het1 puts alt on haplotype 1 only, het2 on haplotype 2.
+    indels: list of (pos0, kind, seq_or_len, genotype), kind in {"ins","del"}.
+    Returns list of (qname, start0, seq, cigar, hap).
+    """
+    # Build the two haplotype sequences plus a ref-coordinate map for each.
+    haps = []
+    for h in (1, 2):
+        edits = {}
+        for pos, alt, gt in snps:
+            if gt == "hom" or (gt == "het1" and h == 1) or (gt == "het2" and h == 2):
+                edits[pos] = ("X", alt)
+        for pos, kind, val, gt in indels:
+            if gt == "hom" or (gt == "het1" and h == 1) or (gt == "het2" and h == 2):
+                edits[pos] = (kind, val)
+        haps.append(edits)
+
+    reads = []
+    L = len(ref_seq)
+    n_reads = max(1, depth * L // read_len)
+    for i in range(n_reads):
+        hap = 1 + (i % 2)
+        start = int(rng.integers(0, max(1, L - read_len // 2)))
+        end = min(L, start + read_len)
+        edits = haps[hap - 1]
+        seq_parts = []
+        cigar = []  # list of (op_char, len)
+
+        def push(op, n):
+            if n <= 0:
+                return
+            if cigar and cigar[-1][0] == op:
+                cigar[-1] = (op, cigar[-1][1] + n)
+            else:
+                cigar.append((op, n))
+
+        p = start
+        while p < end:
+            e = edits.get(p)
+            if e is None:
+                seq_parts.append(ref_seq[p])
+                push("M", 1)
+                p += 1
+            elif e[0] == "X":
+                seq_parts.append(e[1])
+                push("M", 1)
+                p += 1
+            elif e[0] == "ins":
+                seq_parts.append(ref_seq[p])
+                push("M", 1)
+                seq_parts.append(e[1])
+                push("I", len(e[1]))
+                p += 1
+            elif e[0] == "del":
+                seq_parts.append(ref_seq[p])
+                push("M", 1)
+                dlen = int(e[1])
+                push("D", min(dlen, end - p - 1))
+                p += 1 + dlen
+        seq = "".join(seq_parts)
+        if error_rate > 0:
+            chars = list(seq)
+            for j in range(len(chars)):
+                if rng.random() < error_rate:
+                    chars[j] = BASES[int(rng.integers(0, 4))]
+            seq = "".join(chars)
+        reads.append(("read_%04d" % i, contig_start + start, seq, cigar, hap))
+    return reads
+
+
+_CIGAR_OP_NUM = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6, "=": 7, "X": 8}
+
+
+def write_bam(path, contig, contig_len, reads, tags_by_name=None, mapq=60):
+    """reads: list of (qname, pos0, seq, cigar_list_of_(opchar,len), hap)."""
+    recs = []
+    for qname, pos, seq, cigar, hap in reads:
+        cig = [(_CIGAR_OP_NUM[op], l) for op, l in cigar]
+        flag = 0
+        tags = dict(tags_by_name.get(qname, {})) if tags_by_name else {}
+        recs.append(
+            AlignedRead(qname, flag, 0, pos, mapq, cig, seq,
+                        np.full(len(seq), 30, np.uint8), tags)
+        )
+    recs.sort(key=lambda r: r.pos)
+    with BamWriter(path, [contig], [contig_len]) as w:
+        for r in recs:
+            w.write(r)
+    return path
+
+
+def make_fixture(tmpdir, seed=7, L=6000, depth=30, read_len=800,
+                 snps=None, indels=None, contig="chr_t", error_rate=0.0):
+    """Write a FASTA + BAM pair; returns (fasta_path, bam_path, ref_seq, snps)."""
+    rng = np.random.default_rng(seed)
+    ref_seq = random_seq(rng, L)
+    if snps is None:
+        snps = []
+        for pos in range(500, L - 500, 997):
+            ref_b = ref_seq[pos]
+            alt = BASES[(BASES.index(ref_b) + 1) % 4]
+            gt = ("het1", "het2", "hom")[pos % 3]
+            snps.append((pos, alt, gt))
+    indels = indels or []
+    reads = make_diploid_readset(
+        rng, ref_seq, snps=snps, indels=indels, depth=depth,
+        read_len=read_len, error_rate=error_rate)
+    fasta_path = str(tmpdir / "ref.fa")
+    write_fasta(fasta_path, {contig: ref_seq})
+    bam_path = str(tmpdir / "reads.bam")
+    write_bam(bam_path, contig, L, reads)
+    return fasta_path, bam_path, ref_seq, snps
