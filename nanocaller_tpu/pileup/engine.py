@@ -1,0 +1,262 @@
+"""Chunk read decode → packed event arrays.
+
+Each read's CIGAR is expanded exactly once into three event streams:
+
+- aligned-base events (M/=/X): (read_id, ref_pos, base_code, query_pos)
+- deletion events (D):        (read_id, ref_start, length)
+- insertion events (I):       (read_id, anchor_ref_pos, length)
+
+Base codes follow the reference's map A=0, G=1, T=2, C=3, other=4
+(generate_SNP_pileups.py:104). Insertions are anchored at the reference
+position of the PRECEDING aligned base, matching pysam's pileup-string
+convention ("A+3TTT" appears on the column before the inserted bases).
+
+From these, per-column counts and per-site read codes are pure
+vectorized reductions — no per-column Python loops (the reference's
+hottest loop, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.bam import DEFAULT_FLAG_FILTER, FREVERSE, FSECONDARY, FSUPPLEMENTARY
+
+# base → code LUT over ASCII (upper+lower); everything else → 4
+BASE_CODE_LUT = np.full(256, 4, dtype=np.int8)
+for _b, _c in (("A", 0), ("G", 1), ("T", 2), ("C", 3)):
+    BASE_CODE_LUT[ord(_b)] = _c
+    BASE_CODE_LUT[ord(_b.lower())] = _c
+
+A, G, T, C, OTHER = 0, 1, 2, 3, 4
+N_BASE_CODES = 5
+# column-count channels: A,G,T,C,N(aligned non-AGTC),DEL
+CH_DEL = 5
+N_COUNT_CH = 6
+
+
+@dataclass
+class ReadWindow:
+    """All reads overlapping a window, decoded to packed arrays."""
+
+    contig: str
+    start: int  # 0-based inclusive
+    end: int  # 0-based exclusive
+    qnames: list = field(default_factory=list)
+    flags: np.ndarray = None  # int32[N]
+    strand: np.ndarray = None  # int8[N], 1 = reverse
+    read_start: np.ndarray = None  # int64[N] 0-based ref start
+    read_end: np.ndarray = None  # int64[N] ref end (exclusive)
+    hp: np.ndarray = None  # int8[N], 0 = untagged, else HP tag (1/2)
+    ps: np.ndarray = None  # int64[N], -1 = none
+    # aligned-base events
+    ev_rid: np.ndarray = None  # int32[E]
+    ev_pos: np.ndarray = None  # int64[E]
+    ev_code: np.ndarray = None  # int8[E]
+    ev_qpos: np.ndarray = None  # int32[E]
+    # deletion events
+    del_rid: np.ndarray = None
+    del_start: np.ndarray = None
+    del_len: np.ndarray = None
+    # insertion events
+    ins_rid: np.ndarray = None
+    ins_pos: np.ndarray = None
+    ins_len: np.ndarray = None
+    # query sequences kept for realignment window extraction (indel path)
+    seqs: list = field(default_factory=list)
+
+    @property
+    def n_reads(self):
+        return len(self.qnames)
+
+
+def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
+                 reads=None):
+    """Decode reads overlapping [start, end) (0-based) into a ReadWindow.
+
+    flag_exclude defaults to the reference's pileup filter
+    0x4|0x100|0x200|0x400|0x800 (generate_SNP_pileups.py:151-154;
+    --supplementary is force-disabled at NanoCaller:160 so 0x800 stays).
+    """
+    if flag_exclude is None:
+        flag_exclude = DEFAULT_FLAG_FILTER
+    qnames, flags, strands, rstarts, rends, hps, pss, seqs = [], [], [], [], [], [], [], []
+    ev_rid, ev_pos, ev_code, ev_qpos = [], [], [], []
+    del_rid, del_start, del_len = [], [], []
+    ins_rid, ins_pos, ins_len = [], [], []
+
+    if reads is None:
+        reads = bam.fetch(contig, start, end)
+    rid = 0
+    for read in reads:
+        if read.flag & flag_exclude:
+            continue
+        qnames.append(read.qname)
+        flags.append(read.flag)
+        strands.append(1 if read.flag & FREVERSE else 0)
+        rstarts.append(read.pos)
+        hps.append(int(read.tags.get("HP", 0)))
+        pss.append(int(read.tags.get("PS", -1)))
+        if keep_seq:
+            seqs.append(read.seq)
+        codes = BASE_CODE_LUT[np.frombuffer(read.seq.encode(), dtype=np.uint8)]
+        rpos = read.pos
+        qpos = 0
+        for op, length in read.cigar:
+            if op in (0, 7, 8):  # M/=/X
+                ev_rid.append(np.full(length, rid, np.int32))
+                ev_pos.append(np.arange(rpos, rpos + length, dtype=np.int64))
+                ev_code.append(codes[qpos : qpos + length])
+                ev_qpos.append(np.arange(qpos, qpos + length, dtype=np.int32))
+                rpos += length
+                qpos += length
+            elif op == 1:  # I
+                ins_rid.append(rid)
+                ins_pos.append(rpos - 1)
+                ins_len.append(length)
+                qpos += length
+            elif op == 2:  # D
+                del_rid.append(rid)
+                del_start.append(rpos)
+                del_len.append(length)
+                rpos += length
+            elif op == 3:  # N
+                rpos += length
+            elif op == 4:  # S
+                qpos += length
+            # H/P consume nothing
+        rends.append(rpos)
+        rid += 1
+
+    def cat(parts, dtype):
+        if not parts:
+            return np.zeros(0, dtype)
+        return np.concatenate(parts).astype(dtype, copy=False)
+
+    return ReadWindow(
+        contig=contig,
+        start=start,
+        end=end,
+        qnames=qnames,
+        flags=np.asarray(flags, np.int32),
+        strand=np.asarray(strands, np.int8),
+        read_start=np.asarray(rstarts, np.int64),
+        read_end=np.asarray(rends, np.int64),
+        hp=np.asarray(hps, np.int8),
+        ps=np.asarray(pss, np.int64),
+        ev_rid=cat(ev_rid, np.int32),
+        ev_pos=cat(ev_pos, np.int64),
+        ev_code=cat(ev_code, np.int8),
+        ev_qpos=cat(ev_qpos, np.int32),
+        del_rid=np.asarray(del_rid, np.int32),
+        del_start=np.asarray(del_start, np.int64),
+        del_len=np.asarray(del_len, np.int64),
+        ins_rid=np.asarray(ins_rid, np.int32),
+        ins_pos=np.asarray(ins_pos, np.int64),
+        ins_len=np.asarray(ins_len, np.int64),
+        seqs=seqs,
+    )
+
+
+def column_counts(rw: ReadWindow, start, end):
+    """Per-column base counts over [start, end) (0-based).
+
+    Returns counts int32[(end-start), 6] with channels A,G,T,C,N,DEL.
+    ``n_aligned`` (pysam get_num_aligned semantics: non-deletion entries)
+    is counts[:, :5].sum(-1).
+    """
+    width = end - start
+    counts = np.zeros((width, N_COUNT_CH), dtype=np.int32)
+    m = (rw.ev_pos >= start) & (rw.ev_pos < end)
+    np.add.at(
+        counts,
+        (rw.ev_pos[m] - start, rw.ev_code[m].astype(np.int64)),
+        1,
+    )
+    # deletion-covered columns
+    if len(rw.del_rid):
+        ds = np.maximum(rw.del_start, start)
+        de = np.minimum(rw.del_start + rw.del_len, end)
+        span = de - ds
+        keep = span > 0
+        if keep.any():
+            idx = np.repeat(ds[keep], span[keep]) + _ragged_arange(span[keep])
+            np.add.at(counts[:, CH_DEL], idx - start, 1)
+    return counts
+
+
+def _ragged_arange(lengths):
+    """[0..l0), [0..l1), ... concatenated."""
+    total = int(lengths.sum())
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    ends = np.cumsum(lengths)[:-1]
+    out[ends] = -(lengths[:-1] - 1)
+    return np.cumsum(out)
+
+
+def site_read_codes(rw: ReadWindow, sites):
+    """Sparse per-site read membership: which reads show which code at each site.
+
+    sites: sorted int64 array of 0-based positions.
+    Returns (site_idx int32[S], rid int32[S], code int8[S]) sorted by
+    (site_idx, rid). Deletion-spanning reads get code 4 ('*' in the
+    reference's pileup strings, generate_SNP_pileups.py:104).
+    """
+    sites = np.asarray(sites, dtype=np.int64)
+    idx = np.searchsorted(sites, rw.ev_pos)
+    hit = (idx < len(sites))
+    hit[hit] = sites[idx[hit]] == rw.ev_pos[hit]
+    s_idx = [idx[hit].astype(np.int32)]
+    s_rid = [rw.ev_rid[hit]]
+    s_code = [rw.ev_code[hit]]
+    if len(rw.del_rid):
+        lo = np.searchsorted(sites, rw.del_start, side="left")
+        hi = np.searchsorted(sites, rw.del_start + rw.del_len, side="left")
+        span = hi - lo
+        keep = span > 0
+        if keep.any():
+            sidx = (np.repeat(lo[keep], span[keep]) + _ragged_arange(span[keep])).astype(np.int32)
+            s_idx.append(sidx)
+            s_rid.append(np.repeat(rw.del_rid[keep], span[keep]))
+            s_code.append(np.full(len(sidx), OTHER, np.int8))
+    site_idx = np.concatenate(s_idx)
+    rid = np.concatenate(s_rid)
+    code = np.concatenate(s_code)
+    order = np.lexsort((rid, site_idx))
+    return site_idx[order], rid[order], code[order]
+
+
+class SiteCodes:
+    """CSR-style view over site_read_codes output for fast per-site lookup."""
+
+    def __init__(self, rw: ReadWindow, sites):
+        self.sites = np.asarray(sites, dtype=np.int64)
+        site_idx, rid, code = site_read_codes(rw, self.sites)
+        self.rid = rid
+        self.code = code
+        self.indptr = np.searchsorted(site_idx, np.arange(len(self.sites) + 1))
+
+    def at(self, site_i):
+        """(rids sorted asc, codes) for site index site_i."""
+        lo, hi = self.indptr[site_i], self.indptr[site_i + 1]
+        return self.rid[lo:hi], self.code[lo:hi]
+
+    def at_pos(self, pos):
+        i = np.searchsorted(self.sites, pos)
+        if i >= len(self.sites) or self.sites[i] != pos:
+            return np.zeros(0, np.int32), np.zeros(0, np.int8)
+        return self.at(i)
+
+    def codes_for(self, site_i, rids):
+        """Codes at site for the given read ids; 4 where read absent."""
+        srid, scode = self.at(site_i)
+        out = np.full(len(rids), OTHER, dtype=np.int8)
+        if len(srid):
+            j = np.searchsorted(srid, rids)
+            ok = j < len(srid)
+            ok[ok] = srid[j[ok]] == rids[ok]
+            out[ok] = scode[j[ok]]
+        return out

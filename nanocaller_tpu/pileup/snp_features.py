@@ -1,0 +1,383 @@
+"""SNP candidate scan + haplotype-aware pileup tensor assembly.
+
+Re-expresses the reference's per-column Python pileup loop and
+per-candidate matrix loops (generate_SNP_pileups.py:103-279) as
+vectorized numpy scans plus a batched one-hot/einsum tensor assembly
+that runs on-device (MXU) ahead of the SNP CNN.
+
+Semantics parity notes (all cites into /root/reference):
+- base codes A0 G1 T2 C3 other4            generate_SNP_pileups.py:104
+- scan halo ±50 kb regardless of seq type  generate_SNP_pileups.py:137,156
+- nbr-site thresholds per ploidy           generate_SNP_pileups.py:170-179
+- candidate threshold + window gate        generate_SNP_pileups.py:183-186
+- neighbor band schedules, 20/side         generate_SNP_pileups.py:6-101
+- tensor formula incl. sign flip           generate_SNP_pileups.py:221-254
+- ref base valid only if uppercase AGTC    generate_SNP_pileups.py:137
+- maxcov downsampling (reference draws from the unseeded stdlib RNG at
+  :216, i.e. is nondeterministic across runs; we use a position-keyed
+  deterministic RNG instead)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .engine import ReadWindow, SiteCodes, column_counts, decode_reads
+
+NBR_SIZE = 20
+WIDTH = 2 * NBR_SIZE + 1  # 41
+CENTER = NBR_SIZE  # candidate column index after padding
+SNP_HALO = 50000
+
+# reference FASTA char → code; lowercase (soft-masked) and N map to 4,
+# matching the reference's `s.upper() if s in 'AGTC' else '*'` quirk.
+REF_CODE_LUT = np.full(256, 4, dtype=np.int8)
+for _b, _c in (("A", 0), ("G", 1), ("T", 2), ("C", 3)):
+    REF_CODE_LUT[ord(_b)] = _c
+
+# Band schedules from get_cnd_pos (generate_SNP_pileups.py:6-101).
+# Each band: (lo_offset, hi_offset, k, take) meaning positions in
+# [v+lo_offset, v+hi_offset) and take 'first' or 'last' k of the
+# ascending-sorted band members. Left bands are listed far→near and right
+# bands near→far so concatenation is ascending in position.
+BAND_SCHEDULES = {
+    "ont": {
+        "left": [
+            (-50000 + 1, -20000, 6, "last"),
+            (-20000, -10000, 5, "last"),
+            (-10000, -5000, 4, "last"),
+            (-5000, -2000, 3, "last"),
+            (-2000, 0, 2, "first"),
+        ],
+        "right": [
+            (1, 2000 + 1, 2, "last"),
+            (2000 + 1, 5000 + 1, 3, "first"),
+            (5000 + 1, 10000 + 1, 4, "first"),
+            (10000 + 1, 20000 + 1, 5, "first"),
+            (20000 + 1, 50000, 6, "first"),
+        ],
+    },
+    "short_ont": {
+        "left": [
+            (-50000 + 1, -5000, 5, "last"),
+            (-5000, -2000, 10, "last"),
+            (-2000, 0, 5, "last"),
+        ],
+        "right": [
+            (1, 2000 + 1, 5, "first"),
+            (2000 + 1, 5000 + 1, 10, "first"),
+            (5000 + 1, 50000, 5, "first"),
+        ],
+    },
+    "ul_ont": {
+        "left": [
+            (-100000 + 1, -50000, 3, "last"),
+            (-50000, -40000, 3, "last"),
+            (-40000, -20000, 4, "last"),
+            (-20000, -10000, 3, "last"),
+            (-10000, -5000, 3, "last"),
+            (-5000, -2000, 2, "last"),
+            (-2000, 0, 2, "first"),
+        ],
+        "right": [
+            (1, 2000 + 1, 2, "last"),
+            (2000 + 1, 5000 + 1, 2, "first"),
+            (5000 + 1, 10000 + 1, 3, "first"),
+            (10000 + 1, 20000 + 1, 3, "first"),
+            (20000 + 1, 40000 + 1, 4, "first"),
+            (40000 + 1, 50000 + 1, 3, "first"),
+            (50000 + 1, 100000, 3, "first"),
+        ],
+    },
+    "ul_ont_extreme": {
+        "left": [
+            (-300000 + 1, -200000, 2, "last"),
+            (-200000, -100000, 4, "last"),
+            (-100000, -75000, 4, "last"),
+            (-75000, -50000, 3, "last"),
+            (-50000, -20000, 3, "last"),
+            (-20000, -10000, 2, "last"),
+            (-10000, 0, 2, "first"),
+        ],
+        "right": [
+            (1, 10000 + 1, 2, "last"),
+            (10000 + 1, 20000 + 1, 2, "first"),
+            (20000 + 1, 50000 + 1, 3, "first"),
+            (50000 + 1, 75000 + 1, 3, "first"),
+            (75000 + 1, 100000 + 1, 4, "first"),
+            (100000 + 1, 200000 + 1, 4, "first"),
+            (200000 + 1, 300000, 2, "first"),
+        ],
+    },
+    "pacbio": {
+        "left": [
+            (-20000 + 1, -10000, 6, "last"),
+            (-10000, -5000, 5, "last"),
+            (-5000, -2000, 5, "last"),
+            (-2000, 0, 4, "first"),
+        ],
+        "right": [
+            (1, 2000 + 1, 4, "last"),
+            (2000 + 1, 5000 + 1, 5, "first"),
+            (5000 + 1, 10000 + 1, 5, "first"),
+            (10000 + 1, 20000, 6, "first"),
+        ],
+    },
+}
+
+
+def select_neighbors(cand_pos, nbr_pos, seq_type):
+    """Vectorized band-quota neighbor selection.
+
+    cand_pos: (B,) candidate positions. nbr_pos: sorted (M,) neighbor
+    site positions. Returns (nbr_idx (B, 41) int32 with -1 padding and
+    the candidate marked -2 at column 20 — callers place candidate data
+    there — plus left/right counts (B,)).
+
+    Column layout matches the reference's zero-padding
+    (generate_SNP_pileups.py:254): left neighbors right-aligned ending
+    at column 19, candidate at 20, right neighbors from 21.
+    """
+    cand_pos = np.asarray(cand_pos, dtype=np.int64)
+    nbr_pos = np.asarray(nbr_pos, dtype=np.int64)
+    B = len(cand_pos)
+    sched = BAND_SCHEDULES[seq_type]
+    out = np.full((B, WIDTH), -1, dtype=np.int64)
+    out[:, CENTER] = -2
+    counts = {}
+    for side in ("left", "right"):
+        sel_parts = []
+        val_parts = []
+        for lo_off, hi_off, k, take in sched[side]:
+            i0 = np.searchsorted(nbr_pos, cand_pos + lo_off, side="left")
+            i1 = np.searchsorted(nbr_pos, cand_pos + hi_off, side="left")
+            cnt = np.minimum(i1 - i0, k)
+            start = i0 if take == "first" else i1 - cnt
+            ranks = np.arange(k)
+            idx = start[:, None] + ranks[None, :]
+            valid = ranks[None, :] < cnt[:, None]
+            sel_parts.append(np.where(valid, idx, 0))
+            val_parts.append(valid)
+        sel = np.concatenate(sel_parts, axis=1)
+        val = np.concatenate(val_parts, axis=1)
+        # compact valid entries left, preserving (ascending) order
+        order = np.argsort(~val, axis=1, kind="stable")
+        sel = np.take_along_axis(sel, order, axis=1)
+        val = np.take_along_axis(val, order, axis=1)
+        n = val.sum(axis=1)
+        counts[side] = n
+        ranks = np.arange(sel.shape[1])
+        if side == "left":
+            cols = CENTER - n[:, None] + ranks[None, :]
+        else:
+            cols = np.broadcast_to(CENTER + 1 + ranks[None, :], sel.shape)
+        flat_rows = np.repeat(np.arange(B), sel.shape[1])
+        vmask = val.ravel()
+        out[flat_rows[vmask], cols.ravel()[vmask]] = sel.ravel()[vmask]
+    return out, counts["left"], counts["right"]
+
+
+@dataclass
+class SnpBatch:
+    """Fixed-shape batch of SNP candidate features (host arrays)."""
+
+    contig: str
+    pos: np.ndarray  # int64[B] 0-based
+    codes: np.ndarray  # int8[B, Rmax, 41] read base codes (4 = missing/other)
+    read_mask: np.ndarray  # bool[B, Rmax]
+    col_ref: np.ndarray  # int8[B, 41] (4 at padded columns)
+    col_valid: np.ndarray  # bool[B, 41]
+    center_ref: np.ndarray  # int8[B]
+    dp: np.ndarray  # int32[B] aligned depth (non-del)
+    freq: np.ndarray  # float32[B] max alt-allele freq
+    fwd_dp: np.ndarray  # int32[B, 4]
+    rev_dp: np.ndarray  # int32[B, 4]
+    sampled_depth: np.ndarray  # int32[B] reads used after maxcov sampling
+    nbr_counts: np.ndarray  # int32[B] 1 + len(left) + len(right)
+
+    @property
+    def coverage(self):
+        """Region coverage = mean sampled depth (generate_SNP_pileups.py:274)."""
+        return float(np.mean(self.sampled_depth)) if len(self.pos) else 0.0
+
+    def __len__(self):
+        return len(self.pos)
+
+
+def assemble_matrices_np(batch: SnpBatch):
+    """Numpy twin of the on-device assembly; returns float32 (B,5,41,5).
+
+    Mirrors generate_SNP_pileups.py:247-254 exactly.
+    """
+    codes = batch.codes.astype(np.int64)
+    B, R, W = codes.shape
+    center = codes[:, :, CENTER]
+    grp = (center[..., None] == np.arange(4)).astype(np.float32)
+    grp *= batch.read_mask[..., None]
+    oh = np.eye(5, dtype=np.float32)[codes]  # (B,R,41,5)
+    mat = np.einsum("brg,brwc->bgwc", grp, oh)[..., :4]
+    ref_eq = (batch.center_ref[:, None] == np.arange(4)).astype(np.float32)
+    ch4 = ref_eq[:, :, None] * batch.col_valid[:, None, :]
+    mat = np.concatenate([mat, ch4[..., None]], axis=-1)  # (B,4,41,5)
+    total_ref = np.eye(5, dtype=np.float32)[batch.col_ref.astype(np.int64)]
+    total_ref[..., 4] = 0.0
+    flip = 1.0 - 2.0 * total_ref
+    data = np.concatenate([total_ref[:, None], mat * flip[:, None]], axis=1)
+    return data.astype(np.float32)
+
+
+def get_snp_candidates(
+    bam,
+    fasta,
+    chunk,
+    *,
+    seq_type="ont",
+    mincov=4,
+    maxcov=160,
+    min_allele_freq=0.15,
+    min_nbr_sites=1,
+    threshold=(0.4, 0.6),
+    ploidy="diploid",
+    exclude=None,
+    rw: ReadWindow = None,
+):
+    """Scan one chunk and build the SNP candidate batch.
+
+    chunk: dict with 'chrom', 'start', 'end' (1-based inclusive, like the
+    reference's chunk dicts). Returns SnpBatch (possibly empty).
+    """
+    contig = chunk["chrom"]
+    # 0-based scan window, 1-based parity with :137/:156
+    scan_start = max(0, chunk["start"] - 1 - SNP_HALO)
+    scan_end = chunk["end"] + SNP_HALO
+    cand_lo, cand_hi = chunk["start"] - 1, chunk["end"] - 1  # 0-based incl.
+
+    if rw is None:
+        rw = decode_reads(bam, contig, scan_start, scan_end)
+    ref_str = fasta.fetch(contig, scan_start, scan_end)
+    scan_end = min(scan_end, scan_start + len(ref_str))
+    ref_codes = REF_CODE_LUT[np.frombuffer(ref_str.encode(), dtype=np.uint8)]
+
+    counts = column_counts(rw, scan_start, scan_end)
+    n_aligned = counts[:, :5].sum(axis=1)
+    base_counts = counts[:, :4].astype(np.float32)
+    ref_valid = ref_codes < 4
+    # max alt count: mask out the ref base channel per column
+    masked = base_counts.copy()
+    cols = np.arange(len(ref_codes))
+    masked[cols[ref_valid], ref_codes[ref_valid].astype(np.int64)] = 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alt_freq = np.where(n_aligned > 0, masked.max(axis=1) / n_aligned, 0.0)
+
+    ok = ref_valid & (n_aligned >= mincov)
+    if exclude is not None:
+        ok &= ~exclude.mask(contig, np.arange(scan_start, scan_end))
+    if ploidy == "haploid":
+        nbr_mask = ok & (alt_freq >= threshold[0])
+    else:
+        nbr_mask = ok & (alt_freq >= threshold[0]) & (alt_freq < threshold[1])
+    pos_all = np.arange(scan_start, scan_end, dtype=np.int64)
+    in_window = (pos_all >= cand_lo) & (pos_all <= cand_hi)
+    cand_mask = ok & in_window & (alt_freq >= min_allele_freq)
+
+    nbr_pos = pos_all[nbr_mask]
+    cand_pos = pos_all[cand_mask]
+    empty = _empty_batch(contig)
+    if len(cand_pos) == 0:
+        return empty
+
+    nbr_idx_mat, n_left, n_right = select_neighbors(cand_pos, nbr_pos, seq_type)
+    nbr_counts = (1 + n_left + n_right).astype(np.int32)
+    keep = nbr_counts >= min_nbr_sites
+    if not keep.any():
+        return empty
+    cand_pos = cand_pos[keep]
+    nbr_idx_mat = nbr_idx_mat[keep]
+    nbr_counts = nbr_counts[keep]
+
+    # per-site read codes over the union of nbr + candidate sites
+    union_sites = np.union1d(nbr_pos, cand_pos)
+    sc = SiteCodes(rw, union_sites)
+    cand_site_i = np.searchsorted(union_sites, cand_pos)
+    nbr_site_of_col = np.where(
+        nbr_idx_mat >= 0, np.searchsorted(union_sites, nbr_pos[np.maximum(nbr_idx_mat, 0)]), -1
+    )
+
+    B = len(cand_pos)
+    Rmax = maxcov
+    codes = np.full((B, Rmax, WIDTH), 4, dtype=np.int8)
+    read_mask = np.zeros((B, Rmax), dtype=bool)
+    col_ref = np.full((B, WIDTH), 4, dtype=np.int8)
+    col_valid = np.zeros((B, WIDTH), dtype=bool)
+    fwd_dp = np.zeros((B, 4), dtype=np.int32)
+    rev_dp = np.zeros((B, 4), dtype=np.int32)
+    sampled_depth = np.zeros(B, dtype=np.int32)
+
+    ref_at = lambda p: ref_codes[p - scan_start]
+
+    for i in range(B):
+        v = cand_pos[i]
+        si = cand_site_i[i]
+        rids, ccodes = sc.at(si)
+        # strand-split base counts over ALL reads at the column
+        oh = np.eye(5, dtype=np.int32)[ccodes.astype(np.int64)][:, :4]
+        rev = rw.strand[rids].astype(bool)
+        fwd_dp[i] = oh[~rev].sum(axis=0)
+        rev_dp[i] = oh[rev].sum(axis=0)
+        # maxcov downsampling (deterministic, position-keyed)
+        if len(rids) > maxcov:
+            rng = np.random.default_rng((812 << 32) | int(v))
+            pick = rng.choice(len(rids), size=maxcov, replace=False)
+            pick.sort()
+            rids = rids[pick]
+            ccodes = ccodes[pick]
+        R = len(rids)
+        sampled_depth[i] = R
+        read_mask[i, :R] = True
+        codes[i, :R, CENTER] = ccodes
+        col_ref[i, CENTER] = ref_at(v)
+        col_valid[i, CENTER] = True
+        for w in range(WIDTH):
+            j = nbr_site_of_col[i, w]
+            if j < 0:
+                continue
+            codes[i, :R, w] = sc.codes_for(j, rids)
+            col_ref[i, w] = ref_at(union_sites[j])
+            col_valid[i, w] = True
+
+    return SnpBatch(
+        contig=contig,
+        pos=cand_pos,
+        codes=codes,
+        read_mask=read_mask,
+        col_ref=col_ref,
+        col_valid=col_valid,
+        center_ref=col_ref[:, CENTER].copy(),
+        dp=n_aligned[cand_mask][keep].astype(np.int32),
+        freq=alt_freq[cand_mask][keep].astype(np.float32),
+        fwd_dp=fwd_dp,
+        rev_dp=rev_dp,
+        sampled_depth=sampled_depth,
+        nbr_counts=nbr_counts,
+    )
+
+
+def _empty_batch(contig):
+    z = lambda *s: np.zeros(s, dtype=np.float32)
+    return SnpBatch(
+        contig=contig,
+        pos=np.zeros(0, np.int64),
+        codes=np.zeros((0, 1, WIDTH), np.int8),
+        read_mask=np.zeros((0, 1), bool),
+        col_ref=np.zeros((0, WIDTH), np.int8),
+        col_valid=np.zeros((0, WIDTH), bool),
+        center_ref=np.zeros(0, np.int8),
+        dp=np.zeros(0, np.int32),
+        freq=np.zeros(0, np.float32),
+        fwd_dp=np.zeros((0, 4), np.int32),
+        rev_dp=np.zeros((0, 4), np.int32),
+        sampled_depth=np.zeros(0, np.int32),
+        nbr_counts=np.zeros(0, np.int32),
+    )
