@@ -1,0 +1,120 @@
+"""Typed run configuration + presets.
+
+Mirrors the reference CLI surface (NanoCaller:96-156) and preset
+semantics (NanoCaller:66-77,162-171: preset values apply only to flags
+the user did not explicitly set). The config serializes into the run
+manifest for reproducibility (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Config:
+    # required
+    bam: str = None
+    ref: str = None
+    # mode / sequencing
+    mode: str = "all"  # snps | indels | all
+    sequencing: str = "ont"  # short_ont | ont | ul_ont | ul_ont_extreme | pacbio
+    cpu: int = 1
+    mincov: int = 4
+    maxcov: int = 160
+    haploid_genome: bool = False
+    haploid_X: bool = False
+    supplementary: bool = False  # force-disabled in reference (NanoCaller:160)
+    # output
+    output: str = None
+    prefix: str = "variant_calls"
+    sample: str = "SAMPLE"
+    # regions
+    regions: list = None
+    bed: str = None
+    wgs_contigs: str = None  # chr1-22XY | 1-22XY
+    exclude_bed: str = None
+    # snp
+    snp_model: str = "ONT-HG002"
+    min_allele_freq: float = 0.15
+    min_nbr_sites: int = 1
+    neighbor_threshold: str = "0.4,0.6"
+    disable_coverage_normalization: bool = False
+    # indel
+    indel_model: str = "ONT-HG002"
+    ins_threshold: float = 0.4
+    del_threshold: float = 0.6
+    win_size: int = 40
+    small_win_size: int = 4
+    impute_indel_phase: bool = False
+    # phasing
+    phase: bool = False
+    phase_qual_score: float = 10.0
+    enable_whatshap: bool = False
+    # framework extras (not in reference)
+    batch_size: int = 1024  # padded device batch for SNP inference
+    suppress_progress: bool = False
+    verbose: bool = False
+
+    @property
+    def threshold(self):
+        lo, hi = self.neighbor_threshold.split(",")
+        return (float(lo), float(hi))
+
+    def to_json(self):
+        return json.dumps(dataclasses.asdict(self), indent=1, default=str)
+
+    def dump(self, path):
+        with open(path, "w") as fh:
+            fh.write(self.to_json())
+
+
+# preset values (NanoCaller:66-77)
+PRESETS = {
+    "ont": dict(sequencing="ont", snp_model="ONT-HG002", indel_model="ONT-HG002",
+                neighbor_threshold="0.4,0.6", ins_threshold=0.4, del_threshold=0.6,
+                enable_whatshap=False, impute_indel_phase=False),
+    "short_ont": dict(sequencing="short_ont", snp_model="ONT-HG002",
+                      indel_model="ONT-HG002", neighbor_threshold="0.3,0.7",
+                      ins_threshold=0.4, del_threshold=0.6,
+                      enable_whatshap=False, impute_indel_phase=False),
+    "ul_ont": dict(sequencing="ul_ont", snp_model="ONT-HG002", indel_model="ONT-HG002",
+                   neighbor_threshold="0.4,0.6", ins_threshold=0.4, del_threshold=0.6,
+                   enable_whatshap=False, impute_indel_phase=False),
+    "ul_ont_extreme": dict(sequencing="ul_ont_extreme", snp_model="ONT-HG002",
+                           indel_model="ONT-HG002", neighbor_threshold="0.4,0.6",
+                           ins_threshold=0.4, del_threshold=0.6,
+                           enable_whatshap=False, impute_indel_phase=False),
+    "ccs": dict(sequencing="pacbio", snp_model="CCS-HG002", indel_model="CCS-HG002",
+                neighbor_threshold="0.3,0.7", ins_threshold=0.4, del_threshold=0.4,
+                enable_whatshap=True, impute_indel_phase=True),
+    "clr": dict(sequencing="pacbio", snp_model="CLR-HG002", indel_model="ONT-HG002",
+                neighbor_threshold="0.3,0.6", ins_threshold=0.6, del_threshold=0.6,
+                win_size=10, small_win_size=2, enable_whatshap=True,
+                impute_indel_phase=False),
+}
+
+EXCLUDE_BED_PRESETS = ("hg38", "hg19", "mm10", "mm39")
+
+
+def resolve_exclude_bed(value):
+    """Map preset names to the bundled centromere/telomere BEDs
+    (NanoCaller:21-22); copied into the repo's data dir."""
+    if value in EXCLUDE_BED_PRESETS:
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, "data", "bed_files", "%s_centro_telo.bed.gz" % value)
+        if not os.path.exists(path):
+            raise FileNotFoundError("bundled exclude bed missing: %s" % path)
+        return path
+    return value
+
+
+def apply_preset(cfg: Config, preset: str, explicitly_set=()):
+    """Apply preset values for fields the user did not explicitly set."""
+    for key, val in PRESETS[preset].items():
+        if key not in explicitly_set:
+            setattr(cfg, key, val)
+    return cfg

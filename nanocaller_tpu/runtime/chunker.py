@@ -1,0 +1,67 @@
+"""Region list + chunk planning.
+
+Reproduces the reference's region semantics (utils.py:6-83): contig
+selection from --regions/--bed/--wgs_contigs or the BAM header, ploidy
+tagging (chrY/chrM always haploid, chrX via --haploid_X, everything via
+--haploid_genome), and the chunk-size policy
+min(max_chunk, max(min_chunk, total/cpu+1)).
+"""
+
+from __future__ import annotations
+
+
+def get_regions_list(cfg, bam):
+    """Returns list of (contig, start, end, ploidy) with 1-based inclusive
+    coordinates, exactly like utils.py:6-63."""
+    default_ploidy = "haploid" if cfg.haploid_genome else "diploid"
+    regions = []
+    if cfg.wgs_contigs:
+        for contig in list(range(1, 23)) + ["X", "Y"]:
+            name = ("chr" + str(contig)) if cfg.wgs_contigs == "chr1-22XY" else str(contig)
+            if bam.is_valid_reference_name(name):
+                regions.append([name, 1, bam.get_reference_length(name), default_ploidy])
+    elif cfg.regions:
+        for r in cfg.regions:
+            parts = r.split(":")
+            if len(parts) == 1:
+                if bam.is_valid_reference_name(parts[0]):
+                    regions.append([parts[0], 1, bam.get_reference_length(parts[0]), default_ploidy])
+            elif len(parts) == 2:
+                cord = parts[1].split("-")
+                if len(cord) == 2:
+                    regions.append([parts[0], int(cord[0]), int(cord[1]), default_ploidy])
+    elif cfg.bed:
+        with open(cfg.bed) as fh:
+            for line in fh:
+                f = line.rstrip("\n").split()
+                if f and bam.is_valid_reference_name(f[0]):
+                    regions.append([f[0], int(f[1]), int(f[2]), default_ploidy])
+    else:
+        for name in bam.references:
+            regions.append([name, 1, bam.get_reference_length(name), default_ploidy])
+
+    if not regions:
+        raise ValueError("no valid regions found")
+
+    for rg in regions:
+        if rg[0] in ("chrY", "Y", "chrM", "M"):
+            rg[3] = "haploid"
+        elif rg[0] in ("chrX", "X"):
+            rg[3] = "haploid" if cfg.haploid_X else "diploid"
+    return [tuple(r) for r in regions]
+
+
+def get_chunks(regions_list, cpu, max_chunk_size=500000, min_chunk_size=10000):
+    """Chunk policy parity with utils.py:67-83 (1-based inclusive)."""
+    chunks = []
+    total = sum(r[2] - r[1] + 1 for r in regions_list)
+    chunksize = min(max_chunk_size, max(min_chunk_size, total // max(1, cpu) + 1))
+    for contig, start, end, ploidy in regions_list:
+        for cs in range(start, end, chunksize):
+            chunks.append({
+                "chrom": contig,
+                "start": cs,
+                "end": min(end, cs + chunksize),
+                "ploidy": ploidy,
+            })
+    return chunks
