@@ -1,0 +1,115 @@
+"""Benchmark: SNP candidate-site throughput through the device path.
+
+Measures the full on-device SNP inference path (pileup tensor assembly
+from packed int8 codes + coverage normalization + diploid SNP CNN) in
+candidate sites/second on the default JAX device, and compares against
+the reference's CPU inference stack (the same CNN run via TensorFlow on
+CPU at the reference's batch size of 1000, snpCaller.py:80 — generous to
+the baseline, which in reality also pays per-candidate Python feature
+assembly).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure_tpu(batch=8192, iters=16):
+    """Steady-state throughput of the device path including host→device
+    streaming: transfers are issued asynchronously ahead of compute
+    (double buffering), as the production runtime does."""
+    import jax
+
+    from __graft_entry__ import _example_batch, entry
+
+    fn, _ = entry()
+    arg_sets = [_example_batch(B=batch, seed=s) for s in range(4)]
+    out = fn(*jax.device_put(arg_sets[0]))
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    pending = jax.device_put(arg_sets[0])
+    outs = []
+    for i in range(iters):
+        nxt = jax.device_put(arg_sets[(i + 1) % len(arg_sets)])
+        outs.append(fn(*pending))
+        pending = nxt
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_cpu_reference(batch=1000, iters=5):
+    """Reference CNN inference throughput: TF CPU forward, same weights."""
+    try:
+        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+        import tensorflow as tf
+
+        from nanocaller_tpu.models.weights import params_from_npz
+        from nanocaller_tpu.models.registry import _pack_path
+
+        w = {}
+        tree = params_from_npz(_pack_path("snp", "ONT-HG002"))["params"]
+        for layer, vs in tree.items():
+            for var, val in vs.items():
+                w["%s/%s" % (layer, var)] = tf.constant(val)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(batch, 5, 41, 5)).astype(np.float32)
+        refoh = np.eye(4, dtype=np.float32)[rng.integers(0, 4, batch)]
+
+        def conv(name, h, strides, padding):
+            return tf.nn.selu(
+                tf.nn.conv2d(h, w[name + "/kernel"], strides, padding)
+                + w[name + "/bias"])
+
+        dense = lambda n, h: tf.matmul(h, w[n + "/kernel"]) + w[n + "/bias"]
+
+        @tf.function
+        def fwd(x, refoh):
+            m = tf.concat([conv("conv1_1", x, [1, 1], "SAME"),
+                           conv("conv1_2", x, [1, 1], "SAME"),
+                           conv("conv1_3", x, [1, 1], "SAME")], 3)
+            m = conv("conv3", conv("conv2", m, [1, 1, 2, 1], "VALID"),
+                     [1, 1, 2, 1], "VALID")
+            flat = tf.reshape(m, [tf.shape(x)[0], -1])
+            fc1 = tf.nn.selu(dense("fc1", flat))
+            fa = tf.nn.selu(dense("fa", fc1))
+            outs = [tf.nn.softmax(dense(h, tf.concat([fa, refoh[:, i:i+1]], 1)))
+                    for i, h in enumerate("AGTC")]
+            fc2 = tf.nn.selu(dense("fc2", fc1))
+            fc3 = tf.nn.selu(dense("fc3", tf.concat([fc2] + outs, 1)))
+            return outs, tf.nn.softmax(dense("GT", fc3))
+
+        with tf.device("/CPU:0"):
+            fwd(x, refoh)  # trace
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fwd(x, refoh)
+            _ = [np.asarray(t) for t in r[0]]
+            dt = time.perf_counter() - t0
+        return batch * iters / dt
+    except Exception as e:
+        print("baseline measurement failed: %r" % e, file=sys.stderr)
+        return None
+
+
+def main():
+    value = measure_tpu()
+    base = measure_cpu_reference()
+    vs = (value / base) if base else None
+    print(json.dumps({
+        "metric": "snp_candidate_sites_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "sites/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

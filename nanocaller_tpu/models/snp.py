@@ -22,10 +22,12 @@ class SNPModel(nn.Module):
     """Diploid SNP model: 3-branch conv trunk + 4 per-base heads + GT head."""
 
     @nn.compact
-    def __call__(self, x, ref):
+    def __call__(self, x, ref, return_logits=False):
         """x: (B,5,41,5) float32; ref: (B,4) one-hot of candidate ref base.
 
-        Returns (probs (B,4,2) for A,G,T,C heads, gt_probs (B,2)).
+        Returns (probs (B,4,2) for A,G,T,C heads, gt_probs (B,2)); with
+        return_logits=True returns the pre-softmax head/GT logits instead
+        (used by the training loss, train/snp_train.py).
         """
         c1 = selu(nn.Conv(16, (1, 5), padding="SAME", name="conv1_1")(x))
         c2 = selu(nn.Conv(16, (5, 1), padding="SAME", name="conv1_2")(x))
@@ -36,14 +38,18 @@ class SNPModel(nn.Module):
         flat = m.reshape((m.shape[0], -1))
         fc1 = selu(nn.Dense(48, name="fc1")(flat))
         fa = selu(nn.Dense(16, name="fa")(fc1))
-        outs = []
+        logits, outs = [], []
         for i, head in enumerate(("A", "G", "T", "C")):
             h = jnp.concatenate([fa, ref[:, i : i + 1]], axis=1)
-            outs.append(softmax(nn.Dense(2, name=head)(h), axis=-1))
+            lg = nn.Dense(2, name=head)(h)
+            logits.append(lg)
+            outs.append(softmax(lg, axis=-1))
         fc2 = selu(nn.Dense(16, name="fc2")(fc1))
         fc3 = selu(nn.Dense(8, name="fc3")(jnp.concatenate([fc2] + outs, axis=1)))
-        gt = softmax(nn.Dense(2, name="GT")(fc3), axis=-1)
-        return jnp.stack(outs, axis=1), gt
+        gt_logits = nn.Dense(2, name="GT")(fc3)
+        if return_logits:
+            return jnp.stack(logits, axis=1), gt_logits
+        return jnp.stack(outs, axis=1), softmax(gt_logits, axis=-1)
 
 
 class HaploidSNPModel(nn.Module):

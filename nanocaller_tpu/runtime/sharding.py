@@ -1,0 +1,94 @@
+"""Device mesh + sharding policy.
+
+Scale-out design (SURVEY.md §2.4): genomic regions stream data-parallel
+('dp' axis) across chips/hosts while the small CNNs are replicated; the
+wide dense layers can additionally be tensor-parallel ('mdl' axis) —
+demonstrated in the sharded training step below, where XLA inserts the
+all-reduce collectives from NamedSharding annotations alone.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, dp=None):
+    """2D mesh (dp, mdl). Defaults to all devices on the dp axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if dp is None:
+        # favor data parallelism; use a 2-way model axis when n is even
+        dp = n if n % 2 else n // 2
+    mdl = n // dp
+    mesh_devices = np.array(devices[: dp * mdl]).reshape(dp, mdl)
+    return Mesh(mesh_devices, ("dp", "mdl"))
+
+
+def batch_sharding(mesh):
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def snp_param_shardings(mesh, params):
+    """TP layout: fc1 output dim and fa input dim sharded over 'mdl';
+    everything else replicated. XLA inserts the reduce for the fa matmul."""
+
+    def spec_for(path, leaf):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if name == "params/fc1/kernel":
+            return P(None, "mdl")
+        if name == "params/fc1/bias":
+            return P("mdl")
+        if name in ("params/fa/kernel", "params/fc2/kernel"):
+            return P("mdl", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params
+    )
+
+
+def shard_train_step_demo(mesh, batch=None):
+    """Jit the full SNP training step over the mesh with real dp+tp
+    shardings and execute one step on tiny shapes. Used by the driver's
+    multi-chip dry run."""
+    import optax
+
+    from ..models import SNPModel
+    from ..train.snp_train import make_train_step
+
+    rng = np.random.default_rng(0)
+    n_dp = mesh.shape["dp"]
+    B = max(8, n_dp) * 2
+    if batch is None:
+        batch = {
+            "x": rng.normal(size=(B, 5, 41, 5)).astype(np.float32),
+            "ref": np.eye(4, dtype=np.float32)[rng.integers(0, 4, B)],
+            "base_labels": np.eye(2, dtype=np.float32)[rng.integers(0, 2, (B, 4))],
+            "gt_label": np.eye(2, dtype=np.float32)[rng.integers(0, 2, B)],
+        }
+
+    model = SNPModel()
+    params = model.init(jax.random.PRNGKey(0), batch["x"][:1], batch["ref"][:1])
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    p_shard = snp_param_shardings(mesh, params)
+    b_shard = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    params = jax.device_put(params, p_shard)
+    batch = jax.device_put(batch, b_shard)
+    opt_state = jax.device_put(opt_state, replicated(mesh))
+
+    step = make_train_step(model, tx)
+    step = jax.jit(step, in_shardings=(p_shard, replicated(mesh), b_shard))
+    params2, opt_state2, loss = step(params, opt_state, batch)
+    jax.block_until_ready((params2, loss))
+    return float(loss)

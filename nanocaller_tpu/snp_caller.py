@@ -30,9 +30,42 @@ from .pileup.snp_features import CENTER, SnpBatch, get_snp_candidates
 NUM_TO_BASE = "AGTC"  # snpCaller.py:14
 
 
+def pack_codes(codes):
+    """Nibble-pack an int8 code matrix (B, R, W) → uint8 (B, R, ceil(W/2)).
+
+    Codes are 0..4 (3 bits); packing halves the host→device transfer,
+    which is the steady-state bottleneck of the inference pipeline (the
+    CNN itself runs ~3 orders of magnitude faster than the link).
+    """
+    B, R, W = codes.shape
+    if W % 2:
+        codes = np.concatenate(
+            [codes, np.zeros((B, R, 1), codes.dtype)], axis=-1)
+    u = codes.astype(np.uint8)
+    return (u[:, :, 0::2] | (u[:, :, 1::2] << 4)).copy()
+
+
+@partial(jax.jit, static_argnames=("haploid", "width"))
+def _snp_forward_packed(params, packed, read_mask, col_ref, col_valid,
+                        center_ref, norm_scale, haploid=False, width=41):
+    """Unpack nibble codes on-device, then assemble + run the CNN."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    codes = jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[0], packed.shape[1], -1)[:, :, :width]
+    return _snp_forward_dense(params, codes, read_mask, col_ref, col_valid,
+                              center_ref, norm_scale, haploid)
+
+
 @partial(jax.jit, static_argnames=("haploid",))
 def _snp_forward(params, codes, read_mask, col_ref, col_valid, center_ref,
                  norm_scale, haploid=False):
+    return _snp_forward_dense(params, codes, read_mask, col_ref, col_valid,
+                              center_ref, norm_scale, haploid)
+
+
+def _snp_forward_dense(params, codes, read_mask, col_ref, col_valid,
+                       center_ref, norm_scale, haploid=False):
     """Assemble pileup matrices on-device and run the SNP CNN.
 
     codes: (B, R, 41) int8; read_mask: (B, R) bool; col_ref: (B,41) int8;
@@ -92,6 +125,17 @@ def infer_snp_batch(state: SnpCallerState, batch: SnpBatch, cfg, ploidy):
 
     bs = cfg.batch_size
     params = state.params if ploidy == "diploid" else state.hap_params
+    # depth-bucket the read axis: transfers scale with actual coverage,
+    # not maxcov, while keeping jit recompiles bounded (≤ #buckets)
+    max_depth = int(batch.sampled_depth.max()) if B else 1
+    R_b = batch.codes.shape[1]
+    for b in _R_BUCKETS:
+        if b >= max_depth and b <= batch.codes.shape[1]:
+            R_b = b
+            break
+    codes = batch.codes[:, :R_b]
+    read_mask = batch.read_mask[:, :R_b]
+    packed = pack_codes(codes)
     out = np.zeros((B, 4), np.float32)
     for lo in range(0, B, bs):
         hi = min(lo + bs, B)
@@ -102,14 +146,17 @@ def infer_snp_batch(state: SnpCallerState, batch: SnpBatch, cfg, ploidy):
                 return a[sl]
             padding = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
             return np.pad(a[sl], padding, constant_values=fill)
-        probs = _snp_forward(
+        probs = _snp_forward_packed(
             params,
-            p(batch.codes, 4), p(batch.read_mask), p(batch.col_ref, 4),
+            p(packed), p(read_mask), p(batch.col_ref, 4),
             p(batch.col_valid), p(batch.center_ref), p(norm, 1.0),
             haploid=(ploidy == "haploid"),
         )
         out[sl] = np.asarray(probs)[: hi - lo]
     return out
+
+
+_R_BUCKETS = (32, 64, 96, 128, 160)
 
 
 def decode_diploid(batch: SnpBatch, probs):
