@@ -1,0 +1,459 @@
+"""Indel candidate scan + phased MSA feature generation.
+
+Re-expresses the reference's two-pass indel pipeline
+(generate_indel_pileups.py:129-371, *_haploid.py:129-278) without
+per-column Python set algebra:
+
+- pass 1: sliding-window *distinct-read* indel frequencies per haplotype
+  become interval-union counts over event arrays (the subtlest
+  vectorization, SURVEY.md §7.4.6): an event at column c makes its read
+  count toward windows ending at columns [c, c+win-1]; per-read merged
+  intervals feed a diff-array/prefix-sum;
+- pass 2: candidate read windows are cut from the already-decoded query
+  sequences and realigned via the in-repo star MSA (align/msa.py)
+  instead of MUSCLE subprocesses; allele sequences come from the NW
+  cigar walk ported bug-for-bug from allele_prediction (:77-127).
+
+Semantics notes (cites into /root/reference/nanocaller_src/):
+- event length filters: big window counts indels with 2 < len ≤ 50,
+  small window counts len ≤ 10 (generate_indel_pileups.py:225-235)
+- candidate placement: big → v−win_size (type 0), small → v−10 (type 1),
+  with sequential `prev` suppression (:249,266-275)
+- haplotype sets from HP tags; phase-set output = PS of the first hap-1
+  read at the candidate column (:178-188,355)
+- --impute_indel_phase allele-clustering pseudo-phasing (:278-304)
+- ref base validity: uppercase AGTC else 'N'; windows containing N are
+  skipped (:174,327-328)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..align.msa import star_msa
+from ..align.nw import nw_align
+from .engine import ReadWindow, _ragged_arange, decode_reads
+
+REF_N_LUT = np.full(256, 0, dtype=np.int8)  # 1 = valid AGTC uppercase
+for _b in "AGTC":
+    REF_N_LUT[ord(_b)] = 1
+
+
+def sliding_distinct_counts(event_rids, event_cols, n_cols, win):
+    """#distinct reads with ≥1 event in the win-column window ending at c.
+
+    event_cols are 0-based ranks in the scan-column space. Returns
+    int32[n_cols].
+    """
+    out = np.zeros(n_cols + 1, dtype=np.int32)
+    if len(event_rids) == 0:
+        return out[:-1]
+    order = np.lexsort((event_cols, event_rids))
+    rid = np.asarray(event_rids)[order]
+    col = np.asarray(event_cols)[order]
+    new_iv = np.ones(len(rid), dtype=bool)
+    new_iv[1:] = (rid[1:] != rid[:-1]) | (col[1:] > col[:-1] + win)
+    starts_idx = np.flatnonzero(new_iv)
+    ends_idx = np.append(starts_idx[1:], len(rid)) - 1
+    iv_start = col[starts_idx]
+    iv_end = np.minimum(col[ends_idx] + win - 1, n_cols - 1)
+    np.add.at(out, iv_start, 1)
+    np.add.at(out, iv_end + 1, -1)
+    return np.cumsum(out)[:-1]
+
+
+def coverage_per_column(rw: ReadWindow, cols, rid_subset=None):
+    """#reads covering each scan column (deletion spans included)."""
+    starts = rw.read_start
+    ends = rw.read_end
+    if rid_subset is not None:
+        starts = starts[rid_subset]
+        ends = ends[rid_subset]
+    lo = np.searchsorted(cols, starts, side="left")
+    hi = np.searchsorted(cols, ends, side="left")
+    out = np.zeros(len(cols) + 1, dtype=np.int32)
+    np.add.at(out, lo, 1)
+    np.add.at(out, hi, -1)
+    return np.cumsum(out)[:-1]
+
+
+def _anchor_events(rw: ReadWindow, kind):
+    """(rid, anchor_col0, length) for ins/del events. Deletions anchor at
+    the column before the deleted run; insertions at the preceding
+    aligned base (pysam pileup-string convention)."""
+    if kind == "ins":
+        return rw.ins_rid, rw.ins_pos, rw.ins_len
+    return rw.del_rid, rw.del_start - 1, rw.del_len
+
+
+def scan_indel_candidates(rw, scan_cols, *, win_size, small_win_size, mincov,
+                          ins_t, del_t, impute_indel_phase=False,
+                          sig_provider=None, haploid=False):
+    """Pass 1. scan_cols: ascending 0-based non-excluded columns.
+
+    Returns (variants {pos0: type}, extra {pos0: (names0, names1)}).
+    haploid=True runs the single-readset variant (the *_haploid.py scan:
+    one queue over all reads, coverage gate on total depth).
+    """
+    n = len(scan_cols)
+    if n == 0:
+        return {}, {}
+    if haploid:
+        hap1 = np.ones(rw.n_reads, dtype=bool)
+        hap2 = hap1
+    else:
+        hap1 = rw.hp == 1
+        hap2 = rw.hp == 2
+    cov = {
+        0: coverage_per_column(rw, scan_cols, np.flatnonzero(hap1)),
+        1: coverage_per_column(rw, scan_cols, np.flatnonzero(hap2)),
+        "tot": coverage_per_column(rw, scan_cols),
+    }
+
+    freqs = {}
+    for kind in ("ins", "del"):
+        rids, anchors, lens = _anchor_events(rw, kind)
+        rank = np.searchsorted(scan_cols, anchors)
+        on_scan = (rank < n)
+        on_scan[on_scan] = scan_cols[rank[on_scan]] == anchors[on_scan]
+        for hap_i, hap_mask in ((0, hap1), (1, hap2)):
+            base = on_scan & hap_mask[rids]
+            big = base & (lens > 2) & (lens <= 50)
+            small = base & (lens <= 10)
+            cnt_big = sliding_distinct_counts(rids[big], rank[big], n, win_size)
+            cnt_small = sliding_distinct_counts(rids[small], rank[small], n, small_win_size)
+            denom = np.maximum(cov[hap_i], 1)
+            freqs[(kind, hap_i, "big")] = np.where(cov[hap_i] > 0, cnt_big / denom, 0.0)
+            freqs[(kind, hap_i, "small")] = np.where(cov[hap_i] > 0, cnt_small / denom, 0.0)
+
+    hap_ok = (cov[0] >= mincov) & (cov[1] >= mincov)
+    big_trig = hap_ok & (
+        (np.maximum(freqs[("del", 0, "big")], freqs[("del", 1, "big")]) >= del_t)
+        | (np.maximum(freqs[("ins", 0, "big")], freqs[("ins", 1, "big")]) >= ins_t)
+    )
+    small_trig = hap_ok & (
+        (np.maximum(freqs[("del", 0, "small")], freqs[("del", 1, "small")]) >= del_t)
+        | (np.maximum(freqs[("ins", 0, "small")], freqs[("ins", 1, "small")]) >= ins_t)
+        | ((freqs[("del", 0, "small")] + freqs[("ins", 0, "small")]) >= 0.9)
+        | ((freqs[("del", 1, "small")] + freqs[("ins", 1, "small")]) >= 0.9)
+    )
+
+    impute_trig = np.zeros(n, dtype=bool)
+    if impute_indel_phase:
+        # any-length anchor counts + deletion spans, over ALL reads
+        ins_rids, ins_anchor, _ = _anchor_events(rw, "ins")
+        del_rids, del_anchor, del_lens = _anchor_events(rw, "del")
+        ins_cnt = _count_at(scan_cols, ins_anchor)
+        del_cnt = _count_at(scan_cols, del_anchor)
+        span_cnt = _span_counts(scan_cols, rw.del_start, rw.del_start + rw.del_len)
+        denom = np.maximum(cov["tot"], 1)
+        del_freq_tot = np.where(cov["tot"] > 0, (del_cnt + span_cnt) / denom, 0.0)
+        ins_freq_tot = np.where(cov["tot"] > 0, ins_cnt / denom, 0.0)
+        impute_trig = (~hap_ok) & (cov["tot"] >= 2 * mincov) & (
+            (del_freq_tot >= del_t) | (ins_freq_tot >= ins_t))
+
+    variants, extra = {}, {}
+    prev = -1  # 0-based position threshold
+    trig_idx = np.flatnonzero(big_trig | small_trig | impute_trig)
+    for i in trig_idx:
+        v0 = int(scan_cols[i])
+        if v0 <= prev:
+            continue
+        if big_trig[i]:
+            variants[max(0, v0 - win_size)] = 0
+            prev = v0 + win_size
+        elif small_trig[i]:
+            variants[max(0, v0 - 10)] = 1
+            prev = v0 + 10
+        elif impute_trig[i] and sig_provider is not None:
+            split = _impute_split(sig_provider(v0), rw, mincov)
+            if split is not None:
+                variants[max(0, v0 - 10)] = 1
+                extra[max(0, v0 - 10)] = split
+                prev = v0 + 10
+    return variants, extra
+
+
+def _count_at(scan_cols, anchors):
+    rank = np.searchsorted(scan_cols, anchors)
+    ok = rank < len(scan_cols)
+    ok[ok] = scan_cols[rank[ok]] == anchors[ok]
+    out = np.zeros(len(scan_cols), dtype=np.int32)
+    np.add.at(out, rank[ok], 1)
+    return out
+
+
+def _span_counts(scan_cols, starts, ends):
+    lo = np.searchsorted(scan_cols, starts, side="left")
+    hi = np.searchsorted(scan_cols, ends, side="left")
+    out = np.zeros(len(scan_cols) + 1, dtype=np.int32)
+    np.add.at(out, lo, 1)
+    np.add.at(out, hi, -1)
+    return np.cumsum(out)[:-1]
+
+
+def _impute_split(groups, rw, mincov):
+    """Allele-clustering pseudo-phasing (generate_indel_pileups.py:286-304).
+
+    groups: {signature: [rid,...]} at the column, insertion order
+    mirroring pileup read order. Returns (set_rid0, set_rid1) or None.
+    """
+    total = sum(len(v) for v in groups.values())
+    counts = sorted(((k, len(v)) for k, v in groups.items()),
+                    key=lambda kv: kv[1], reverse=True)
+    if not counts:
+        return None
+    if counts[0][1] <= 0.8 * total:
+        rids0 = set(groups[counts[0][0]])
+        if len(counts) > 1 and counts[1][1] >= mincov:
+            rids1 = set(groups[counts[1][0]])
+        else:
+            all_rids = set()
+            for v in groups.values():
+                all_rids.update(v)
+            rids1 = all_rids - rids0
+    else:
+        g = groups[counts[0][0]]
+        rids0 = set(g[: counts[0][1] // 2])
+        rids1 = set(g[counts[0][1] // 2:])
+    if len(rids0) >= mincov and len(rids1) >= mincov:
+        return rids0, rids1
+    return None
+
+
+def allele_prediction(alt, ref_seq, max_range):
+    """NW cigar walk → (REF, ALT) allele strings; bug-for-bug port of
+    generate_indel_pileups.py:77-127 (incl. the trailing-op trim and
+    the +1 when no match precedes the indel)."""
+    if not alt or not ref_seq:
+        return (None, None)
+    cigar = nw_align(alt, ref_seq)[1]
+    indel = False
+    ref_cnt = [0] * 10
+    alt_cnt = [0] * 10
+    mm_before = False
+    mm_after = (0, 0)
+    op, cnt = 7, 0
+    for op, cnt in cigar:
+        if op == 8 or op == 7:
+            ref_cnt[op] += cnt
+            alt_cnt[op] += cnt
+            if indel:
+                mm_after[op - 7] += cnt
+            else:
+                mm_before = True
+        if op == 1:
+            alt_cnt[op] += cnt
+            mm_after = [0, 0]
+            indel = True
+        if op == 2:
+            ref_cnt[op] += cnt
+            mm_after = [0, 0]
+            indel = True
+        if indel is False and sum(ref_cnt) >= max_range + 10:
+            if ref_cnt[8]:
+                out_len = sum(ref_cnt) if op == 8 else sum(ref_cnt) - cnt
+                return ref_seq[:out_len], alt[:out_len]
+            return (None, None)
+        if indel is True:
+            if sum(mm_after) > 20:
+                break
+    ref_out = sum(ref_cnt) if op == 8 else sum(ref_cnt) - cnt
+    alt_out = sum(alt_cnt) if op == 8 else sum(alt_cnt) - cnt
+    if not mm_before:
+        ref_out += 1
+        alt_out += 1
+    return ref_seq[:ref_out], alt[:alt_out]
+
+
+@dataclass
+class IndelBatch:
+    contig: str
+    pos: list  # 1-based candidate positions
+    x0: np.ndarray  # (B,5,128,2) hap0 tensor
+    x1: np.ndarray
+    x2: np.ndarray  # all-reads tensor
+    alleles: list  # [( (ref,alt)_hap0, (ref,alt)_hap1, (ref,alt)_total )]
+    phase: list  # PS id or None per candidate
+
+    def __len__(self):
+        return len(self.pos)
+
+
+@dataclass
+class HaploidIndelBatch:
+    contig: str
+    pos: list
+    x: np.ndarray  # (B,5,128,2)
+    alleles: list  # [(ref, alt)]
+
+    def __len__(self):
+        return len(self.pos)
+
+
+class _ColumnView:
+    """Per-read lookup at one column: reads covering it, their next query
+    positions (pysam query_position_or_next), and indel signatures."""
+
+    def __init__(self, rw: ReadWindow):
+        self.rw = rw
+        # events are emitted read-by-read in CIGAR order → ev_rid is
+        # non-decreasing and ev_pos ascending within a read
+        self.indptr = np.searchsorted(rw.ev_rid, np.arange(rw.n_reads + 1))
+
+    def reads_at(self, col):
+        rw = self.rw
+        covering = np.flatnonzero((rw.read_start <= col) & (col < rw.read_end))
+        out = []
+        for rid in covering:
+            lo, hi = self.indptr[rid], self.indptr[rid + 1]
+            k = lo + np.searchsorted(rw.ev_pos[lo:hi], col)
+            if k < hi:
+                qpos = int(rw.ev_qpos[k])
+            elif hi > lo:
+                qpos = int(rw.ev_qpos[hi - 1]) + 1
+            else:
+                continue
+            out.append((int(rid), qpos))
+        return out
+
+    def signature_groups(self, col):
+        """{(code, ins_len, ins_anchor?, del_len): [rid...]} at column —
+        groups reads by their local allele signature (mirrors grouping
+        by pileup string at generate_indel_pileups.py:286-290)."""
+        rw = self.rw
+        ins_at = {}
+        for rid, pos, ln in zip(rw.ins_rid, rw.ins_pos, rw.ins_len):
+            if pos == col:
+                ins_at[int(rid)] = int(ln)
+        del_at = {}
+        span = set()
+        for rid, pos, ln in zip(rw.del_rid, rw.del_start, rw.del_len):
+            if pos - 1 == col:
+                del_at[int(rid)] = int(ln)
+            if pos <= col < pos + ln:
+                span.add(int(rid))
+        groups = {}
+        for rid, qpos in self.reads_at(col):
+            if rid in span:
+                sig = ("*", 0, 0)
+            else:
+                lo, hi = self.indptr[rid], self.indptr[rid + 1]
+                k = lo + np.searchsorted(rw.ev_pos[lo:hi], col)
+                code = int(rw.ev_code[k]) if (k < hi and rw.ev_pos[k] == col) else -1
+                sig = (code, ins_at.get(rid, 0), del_at.get(rid, 0))
+            groups.setdefault(sig, []).append(rid)
+        return groups
+
+
+def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
+                         maxcov=160, ins_t=0.4, del_t=0.6, win_size=40,
+                         small_win_size=4, impute_indel_phase=False,
+                         exclude=None, ploidy="diploid", rw=None):
+    """Full indel feature generation for one chunk (1-based chunk coords).
+
+    Diploid returns IndelBatch; haploid returns HaploidIndelBatch.
+    """
+    contig = chunk["chrom"]
+    start0 = chunk["start"] - 1
+    end0 = chunk["end"]
+    window_after = 260 if seq_type == "pacbio" else 160
+    scan_lo = max(0, start0 - 10 - win_size)
+    if rw is None:
+        rw = decode_reads(bam, contig, scan_lo, end0, keep_seq=True)
+    chrom_len = fasta.get_reference_length(contig)
+
+    scan_cols = np.arange(start0, end0, dtype=np.int64)
+    if exclude is not None:
+        scan_cols = scan_cols[~exclude.mask(contig, scan_cols)]
+
+    cview = _ColumnView(rw)
+    haploid = ploidy == "haploid"
+    if haploid:
+        variants, extra = scan_indel_candidates(
+            rw, scan_cols, win_size=win_size, small_win_size=small_win_size,
+            mincov=mincov, ins_t=ins_t, del_t=del_t, haploid=True)
+    else:
+        variants, extra = scan_indel_candidates(
+            rw, scan_cols, win_size=win_size, small_win_size=small_win_size,
+            mincov=mincov, ins_t=ins_t, del_t=del_t,
+            impute_indel_phase=impute_indel_phase,
+            sig_provider=cview.signature_groups)
+
+    max_range = {0: max(10, win_size), 1: 10}
+    hap1_set = set(np.flatnonzero(rw.hp == 1).tolist())
+    hap2_set = set(np.flatnonzero(rw.hp == 2).tolist())
+
+    out_pos, out_x0, out_x1, out_x2, out_alleles, out_phase = [], [], [], [], [], []
+    hap_out_x, hap_out_alleles = [], []
+
+    for v0 in sorted(variants):
+        if v0 < scan_lo:
+            continue
+        ref_end = min(chrom_len, v0 + window_after + 1)
+        ref_win = fasta.fetch(contig, v0, ref_end)
+        if not ref_win:
+            continue
+        codes_ok = REF_N_LUT[np.frombuffer(ref_win.encode(), dtype=np.uint8)]
+        if not codes_ok.all():
+            continue
+        reads = cview.reads_at(v0)
+        if not reads:
+            continue
+        d_tot = {}
+        d0, d1 = {}, {}
+        if v0 in extra:
+            names0, names1 = extra[v0]
+        else:
+            names0, names1 = hap1_set, hap2_set
+        first_h0_rid = None
+        for rid, qpos in reads:
+            seq = rw.seqs[rid]
+            dt = seq[max(0, qpos): qpos + window_after]
+            name = rw.qnames[rid]
+            d_tot[name] = dt
+            if rid in names0:
+                d0[name] = dt
+                if first_h0_rid is None:
+                    first_h0_rid = rid
+            elif rid in names1:
+                d1[name] = dt
+
+        mr = max_range[variants[v0]]
+        v1 = v0 + 1
+        if haploid:
+            ft, _, xt, cns_t, ref_t = star_msa(d_tot, ref_win, v1, mincov, maxcov)
+            if ft:
+                hap_out_x.append(xt)
+                hap_out_alleles.append(allele_prediction(cns_t, ref_t, mr))
+                out_pos.append(v1)
+            continue
+
+        f0, _, x0, cns0, ref0 = star_msa(d0, ref_win, v1, 2, maxcov)
+        f1, _, x1, cns1, ref1 = star_msa(d1, ref_win, v1, 2, maxcov)
+        ft, _, xt, cns_t, ref_t = star_msa(d_tot, ref_win, v1, mincov, maxcov)
+        if f0 and f1 and ft:
+            out_pos.append(v1)
+            out_x0.append(x0)
+            out_x1.append(x1)
+            out_x2.append(xt)
+            ps = int(rw.ps[first_h0_rid]) if (
+                first_h0_rid is not None and rw.ps[first_h0_rid] >= 0) else None
+            out_phase.append(ps)
+            out_alleles.append((
+                allele_prediction(cns0, ref0, mr),
+                allele_prediction(cns1, ref1, mr),
+                allele_prediction(cns_t, ref_t, mr),
+            ))
+
+    if haploid:
+        x = np.stack(hap_out_x) if hap_out_x else np.zeros((0, 5, 128, 2), np.float32)
+        return HaploidIndelBatch(contig=contig, pos=out_pos, x=x,
+                                 alleles=hap_out_alleles)
+    stack = lambda xs: (np.stack(xs).astype(np.float32)
+                        if xs else np.zeros((0, 5, 128, 2), np.float32))
+    return IndelBatch(contig=contig, pos=out_pos, x0=stack(out_x0),
+                      x1=stack(out_x1), x2=stack(out_x2),
+                      alleles=out_alleles, phase=out_phase)

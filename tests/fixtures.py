@@ -104,13 +104,20 @@ def make_diploid_readset(
 _CIGAR_OP_NUM = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6, "=": 7, "X": 8}
 
 
-def write_bam(path, contig, contig_len, reads, tags_by_name=None, mapq=60):
-    """reads: list of (qname, pos0, seq, cigar_list_of_(opchar,len), hap)."""
+def write_bam(path, contig, contig_len, reads, tags_by_name=None, mapq=60,
+              tag_haplotypes=False, phase_set=1):
+    """reads: list of (qname, pos0, seq, cigar_list_of_(opchar,len), hap).
+
+    tag_haplotypes=True writes HP/PS tags from each read's hap (simulating
+    a whatshap-haplotagged BAM, the indel path's input)."""
     recs = []
     for qname, pos, seq, cigar, hap in reads:
         cig = [(_CIGAR_OP_NUM[op], l) for op, l in cigar]
         flag = 0
         tags = dict(tags_by_name.get(qname, {})) if tags_by_name else {}
+        if tag_haplotypes:
+            tags.setdefault("HP", hap)
+            tags.setdefault("PS", phase_set)
         recs.append(
             AlignedRead(qname, flag, 0, pos, mapq, cig, seq,
                         np.full(len(seq), 30, np.uint8), tags)
@@ -123,7 +130,8 @@ def write_bam(path, contig, contig_len, reads, tags_by_name=None, mapq=60):
 
 
 def make_fixture(tmpdir, seed=7, L=6000, depth=30, read_len=800,
-                 snps=None, indels=None, contig="chr_t", error_rate=0.0):
+                 snps=None, indels=None, contig="chr_t", error_rate=0.0,
+                 tag_haplotypes=False):
     """Write a FASTA + BAM pair; returns (fasta_path, bam_path, ref_seq, snps)."""
     rng = np.random.default_rng(seed)
     ref_seq = random_seq(rng, L)
@@ -141,5 +149,5 @@ def make_fixture(tmpdir, seed=7, L=6000, depth=30, read_len=800,
     fasta_path = str(tmpdir / "ref.fa")
     write_fasta(fasta_path, {contig: ref_seq})
     bam_path = str(tmpdir / "reads.bam")
-    write_bam(bam_path, contig, L, reads)
+    write_bam(bam_path, contig, L, reads, tag_haplotypes=tag_haplotypes)
     return fasta_path, bam_path, ref_seq, snps

@@ -1,0 +1,164 @@
+import numpy as np
+import pytest
+
+from nanocaller_tpu.config import Config
+from nanocaller_tpu.indel_caller import (
+    IndelCallerState,
+    call_indel_chunk,
+    decompose_record,
+    is_non_snp,
+    primitives_of,
+    write_indel_vcf,
+)
+from nanocaller_tpu.io.bam import BamReader
+from nanocaller_tpu.io.fasta import FastaFile
+from nanocaller_tpu.io.vcf import VcfReader, VcfRecord
+from nanocaller_tpu.pileup.engine import decode_reads
+from nanocaller_tpu.pileup.indel_features import (
+    allele_prediction,
+    get_indel_candidates,
+    scan_indel_candidates,
+    sliding_distinct_counts,
+)
+
+from fixtures import make_fixture
+
+
+class TestSlidingCounts:
+    def test_vs_bruteforce(self):
+        rng = np.random.default_rng(4)
+        n_cols, win = 200, 7
+        rids = rng.integers(0, 12, size=60)
+        cols = rng.integers(0, n_cols, size=60)
+        got = sliding_distinct_counts(rids, cols, n_cols, win)
+        for c in range(n_cols):
+            in_win = (cols > c - win) & (cols <= c)
+            want = len(set(rids[in_win].tolist()))
+            assert got[c] == want, c
+
+    def test_single_read_multiple_events(self):
+        # one read with events every 2 cols — must count once per window
+        cols = np.array([10, 12, 14])
+        rids = np.zeros(3, dtype=int)
+        got = sliding_distinct_counts(rids, cols, 30, 5)
+        assert got[10] == 1 and got[14] == 1 and got[18] == 1
+        assert got[9] == 0 and got[19] == 0
+
+
+class TestAllelePrediction:
+    def test_insertion_allele(self):
+        ref = "ACGTACGTAATTCCGGACGTACGT"
+        alt = ref[:10] + "GGG" + ref[10:]
+        r, a = allele_prediction(alt, ref, 10)
+        # must capture the inserted GGG anchored on preceding bases
+        assert r is not None
+        assert len(a) - len(r) == 3
+        assert a.startswith(r[: min(3, len(r))][:1])
+
+    def test_deletion_allele(self):
+        ref = "ACGTACGTAATTCCGGACGTACGT"
+        alt = ref[:8] + ref[13:]
+        r, a = allele_prediction(alt, ref, 10)
+        assert r is not None
+        assert len(r) - len(a) == 5
+
+    def test_no_indel_returns_none(self):
+        ref = "ACGTACGTAATTCCGGACGTACGTACGTAACCGGTTACGT" * 3
+        r, a = allele_prediction(ref, ref, 10)
+        assert (r, a) == (None, None)
+
+
+class TestPrimitives:
+    def test_snp_only(self):
+        prims = primitives_of("ACGT", "AGGT")
+        assert prims == [(1, "C", "G")]
+
+    def test_insertion(self):
+        prims = primitives_of("ACGT", "ACTTTGT")
+        assert prims == [(1, "C", "CTTT")]
+
+    def test_deletion(self):
+        prims = primitives_of("ACGTTTGA", "ACGGA")
+        assert prims == [(2, "GTTTG", "GG")] or prims == [(2, "GTTT", "G")]
+
+    def test_complex_split(self):
+        # SNP + insertion in one allele
+        prims = primitives_of("ACGTACGT", "ATGTACCCGT")
+        kinds = {(o, r, a) for o, r, a in prims}
+        assert (1, "C", "T") in kinds
+        assert any(len(a) - len(r) == 2 for _, r, a in prims)
+
+    def test_decompose_record_multiallelic(self):
+        rec = VcfRecord("c1", 100, "ACGT", "ATGT,ACGTTT", "50", "PASS",
+                        format_="GT:GQ", samples=["1|2:30"])
+        out = decompose_record(rec)
+        gts = {(r.pos, r.ref, r.alt): r.sample_field("GT") for r in out}
+        assert gts[(101, "C", "T")] == "1|0"
+        # TT insertion may be anchored after G (left) or after T —
+        # equivalent representations
+        ins = [(k, v) for k, v in gts.items() if len(k[2]) - len(k[1]) == 2]
+        assert len(ins) == 1 and ins[0][1] == "0|1", gts
+
+    def test_non_snp_filter(self):
+        assert not is_non_snp(VcfRecord("c", 1, "A", "T", ".", "PASS"))
+        assert is_non_snp(VcfRecord("c", 1, "A", "AT", ".", "PASS"))
+        assert is_non_snp(VcfRecord("c", 1, "AT", "A", ".", "PASS"))
+
+
+@pytest.fixture(scope="module")
+def indel_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("indelcall")
+    indels = [
+        (1500, "del", 6, "het1"),
+        (3000, "ins", "TTTTT", "hom"),
+        (4500, "ins", "GATC", "het2"),
+    ]
+    return make_fixture(tmp, depth=36, L=6000, read_len=900, seed=21,
+                        snps=[], indels=indels, tag_haplotypes=True), indels
+
+
+class TestScan:
+    def test_candidates_near_planted(self, indel_fixture):
+        (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
+        bam = BamReader(bam_p)
+        rw = decode_reads(bam, "chr_t", 0, 6000, keep_seq=True)
+        assert (rw.hp == 1).sum() > 5 and (rw.hp == 2).sum() > 5
+        variants, extra = scan_indel_candidates(
+            rw, np.arange(0, 6000), win_size=40, small_win_size=4,
+            mincov=4, ins_t=0.4, del_t=0.6)
+        vpos = sorted(variants)
+        for p, kind, val, gt in indels:
+            assert any(abs(v - p) <= 45 for v in vpos), (p, vpos)
+
+
+class TestEndToEndIndels:
+    def test_call_recovers_planted(self, indel_fixture, tmp_path):
+        (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
+        cfg = Config(bam=bam_p, ref=fasta_p, prefix="t", sample="S")
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        state = IndelCallerState.create("ONT-HG002")
+        chunk = {"chrom": "chr_t", "start": 1, "end": 6000, "ploidy": "diploid"}
+        lines = call_indel_chunk(state, bam, fasta, chunk, cfg)
+        assert lines, "no indel calls produced"
+        path = write_indel_vcf(cfg, ["chr_t"], [lines], str(tmp_path))
+        recs = list(VcfReader(path))
+        assert recs
+
+        def matches(rec, p, kind, val):
+            if abs(rec.pos - (p + 1)) > 3:
+                return False
+            for alt in rec.alt.split(","):
+                d = len(alt) - len(rec.ref)
+                if kind == "ins" and d == len(val):
+                    return True
+                if kind == "del" and d == -val:
+                    return True
+            return False
+
+        found = {}
+        for p, kind, val, gt in indels:
+            found[(p, kind)] = any(matches(r, p, kind, val) for r in recs)
+        missing = [k for k, v in found.items() if not v]
+        assert len(missing) <= 1, (missing, [(r.pos, r.ref, r.alt,
+                                              r.sample_field("GT")) for r in recs])
