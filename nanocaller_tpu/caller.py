@@ -1,0 +1,182 @@
+"""End-to-end orchestration: SNPs → phasing → indels → final VCF.
+
+Mirrors the reference's run() + dual-manager pipeline (NanoCaller:12-56,
+snpCaller.call_manager, indelCaller.call_manager) with the same output
+file contract:
+
+    PREFIX.unfiltered.snps.vcf.gz   all SNP candidate records
+    PREFIX.snps.vcf.gz              PASS SNP calls
+    PREFIX.snps.phased.vcf.gz       phased SNPs (mode all / snps --phase)
+    PREFIX.indels.vcf.gz            decomposed non-SNP calls
+    PREFIX.vcf.gz                   concat of phased SNPs + indels (all)
+
+TPU-native differences: phasing runs in-process (phase/mec.py) and hands
+read haplotype tags to the indel stage in memory — no
+phase→haplotag→BAM→re-decode round trip (the haplotagged BAM is still
+written per contig as a user artifact, matching whatshap haplotag's
+output, unless cfg.skip_phased_bam).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .config import Config, resolve_exclude_bed
+from .indel_caller import IndelCallerState, call_indel_chunk, write_indel_vcf
+from .io.bam import BamReader
+from .io.bed import BedIntervals
+from .io.fasta import FastaFile
+from .io.vcf import VcfReader, VcfWriter, concat, view_filter
+from .phase.mec import haplotag_reads, phase_contig, write_phased_vcf
+from .pileup.engine import decode_reads
+from .runtime.chunker import get_chunks, get_regions_list
+from .snp_caller import SnpCallerState, call_snps
+
+
+def run(cfg: Config, progress=None):
+    """Execute the configured pipeline; returns dict of output paths."""
+    os.makedirs(cfg.output, exist_ok=True)
+    cfg.dump(os.path.join(cfg.output, "args"))
+
+    bam = BamReader(cfg.bam)
+    fasta = FastaFile(cfg.ref)
+    exclude = None
+    if cfg.exclude_bed:
+        exclude = BedIntervals(resolve_exclude_bed(cfg.exclude_bed))
+
+    regions_list = get_regions_list(cfg, bam)
+    outputs = {"snps": None, "phased_snps": None, "indels": None, "final": None}
+
+    snp_vcf = None
+    if cfg.mode in ("snps", "all"):
+        chunks = get_chunks(regions_list, cfg.cpu)
+        snp_vcf = call_snps(cfg, bam, fasta, regions_list, chunks, cfg.output,
+                            exclude=exclude, progress=progress)
+        outputs["snps"] = snp_vcf
+
+    want_phase = cfg.mode == "all" or (cfg.mode == "snps" and cfg.phase)
+    want_indels = cfg.mode in ("indels", "all")
+    if not (want_phase or want_indels):
+        return outputs
+
+    phase_dir = os.path.join(cfg.output, "intermediate_phase_files")
+    os.makedirs(phase_dir, exist_ok=True)
+
+    # contig extents (indelCaller.py:299-305)
+    contigs = {}
+    for c, s, e, ploidy in regions_list:
+        if c not in contigs:
+            contigs[c] = [c, s, e, ploidy]
+        else:
+            contigs[c][1] = min(contigs[c][1], s)
+            contigs[c][2] = max(contigs[c][2], e)
+
+    indel_chunks = get_chunks(regions_list, cfg.cpu, max_chunk_size=100000)
+    hap_tags_by_contig = {}
+    phased_files = []
+
+    if want_phase or (want_indels and cfg.mode == "all"):
+        if snp_vcf is None:
+            snp_vcf = os.path.join(cfg.output, "%s.snps.vcf.gz" % cfg.prefix)
+        snp_reader = VcfReader(snp_vcf) if os.path.exists(snp_vcf) else None
+        for name, (c, s, e, ploidy) in contigs.items():
+            out_vcf = os.path.join(phase_dir, "%s.snps.phased.vcf.gz" % name)
+            if snp_reader is None:
+                continue
+            recs = list(snp_reader.fetch(name, s, e))
+            if ploidy == "haploid":
+                # no phasing for haploid contigs (indelCaller.py:193-211)
+                with VcfWriter(out_vcf, snp_reader.header_lines) as w:
+                    for r in recs:
+                        w.write(r)
+                phased_files.append(out_vcf)
+                continue
+            hiq = [r for r in recs if r.qual_value >= cfg.phase_qual_score]
+            lowq = [r for r in recs if r.qual_value < cfg.phase_qual_score]
+            rw = decode_reads(bam, name, max(0, s - 1), e, keep_seq=False)
+            result, phase_map = phase_contig(hiq, rw)
+            tags = haplotag_reads(rw, result)
+            hap_tags_by_contig[name] = tags
+
+            class _Recs:
+                header_lines = snp_reader.header_lines
+
+                def __iter__(self):
+                    return iter(hiq)
+
+            write_phased_vcf(_Recs(), out_vcf, phase_map)
+            phased_files.append(out_vcf)
+            if lowq:
+                lowq_vcf = os.path.join(
+                    phase_dir, "%s.snps.lowq.unphased.vcf.gz" % name)
+                with VcfWriter(lowq_vcf, snp_reader.header_lines) as w:
+                    for r in lowq:
+                        w.write(r)
+                phased_files.append(lowq_vcf)
+            if not cfg.skip_phased_bam:
+                write_haplotagged_bam(
+                    bam, os.path.join(phase_dir, "%s.phased.bam" % name),
+                    name, max(0, s - 1), e, tags)
+
+        if phased_files:
+            phased_out = os.path.join(cfg.output,
+                                      "%s.snps.phased.vcf.gz" % cfg.prefix)
+            concat(phased_files, phased_out)
+            outputs["phased_snps"] = phased_out
+
+    if want_indels:
+        state = IndelCallerState.create(cfg.indel_model)
+        chunk_lines = []
+        order = sorted(range(len(indel_chunks)),
+                       key=lambda i: (list(contigs).index(indel_chunks[i]["chrom"]),
+                                      indel_chunks[i]["start"]))
+        for i in order:
+            chunk = indel_chunks[i]
+            tags = hap_tags_by_contig.get(chunk["chrom"])
+            rw = _decode_with_tags(bam, fasta, chunk, cfg, tags)
+            lines = call_indel_chunk(state, bam, fasta, chunk, cfg,
+                                     exclude=exclude, rw=rw)
+            chunk_lines.append(lines)
+            if progress:
+                progress(1)
+        outputs["indels"] = write_indel_vcf(cfg, list(contigs), chunk_lines,
+                                            cfg.output)
+
+    if cfg.mode == "all" and outputs["phased_snps"] and outputs["indels"]:
+        final = os.path.join(cfg.output, "%s.vcf.gz" % cfg.prefix)
+        concat([outputs["phased_snps"], outputs["indels"]], final)
+        outputs["final"] = final
+    return outputs
+
+
+def _decode_with_tags(bam, fasta, chunk, cfg, tags):
+    """Decode an indel chunk's reads, applying in-memory haplotype tags
+    (replacing the phased-BAM round trip)."""
+    start0 = max(0, chunk["start"] - 1 - 10 - cfg.win_size)
+    rw = decode_reads(bam, chunk["chrom"], start0, chunk["end"], keep_seq=True)
+    if tags:
+        for rid, qname in enumerate(rw.qnames):
+            t = tags.get(qname)
+            if t is not None:
+                rw.hp[rid] = t[0]
+                rw.ps[rid] = t[1]
+    return rw
+
+
+def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags):
+    """Write the phased-BAM artifact (whatshap haplotag | samtools view
+    equivalent, indelCaller.py:243-251)."""
+    from .io.bam import BamWriter
+
+    with BamWriter(out_path, bam.references, bam.lengths) as w:
+        for read in bam.fetch(contig, start0, end0):
+            t = tags.get(read.qname)
+            if t is not None:
+                read.tags["HP"] = t[0]
+                read.tags["PS"] = t[1]
+            read.ref_id = bam.references.index(contig) if isinstance(
+                read.ref_id, str) else read.ref_id
+            w.write(read)
+    return out_path

@@ -1,0 +1,130 @@
+"""Command-line interface, argument-compatible with the reference
+`NanoCaller` script (NanoCaller:84-158), including preset semantics
+(values apply only for flags not explicitly set, NanoCaller:162-171) and
+the args-dump file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+import time
+
+from .config import PRESETS, Config, apply_preset
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="nanocaller-tpu",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    req = p.add_argument_group("Required Arguments")
+    preset = p.add_argument_group("Preset")
+    cfgg = p.add_argument_group("Configurations")
+    region = p.add_argument_group("Variant Calling Regions")
+    snp = p.add_argument_group("SNP Calling")
+    indel = p.add_argument_group("Indel Calling")
+    out = p.add_argument_group("Output Options")
+    phase = p.add_argument_group("Phasing")
+
+    cfgg.add_argument("--mode", default="all", choices=["snps", "indels", "all"])
+    cfgg.add_argument("--sequencing", "--seq", dest="sequencing", default="ont",
+                      choices=["short_ont", "ont", "ul_ont", "ul_ont_extreme", "pacbio"])
+    cfgg.add_argument("--cpu", type=int, default=1)
+    cfgg.add_argument("--mincov", type=int, default=4)
+    cfgg.add_argument("--maxcov", type=int, default=160)
+    cfgg.add_argument("--suppress_progress_bar", action="store_true")
+    cfgg.add_argument("--haploid_genome", action="store_true")
+    cfgg.add_argument("--haploid_X", action="store_true")
+    cfgg.add_argument("--verbose", action="store_true")
+
+    out.add_argument("--output", "-o", type=str)
+    out.add_argument("--prefix", default="variant_calls")
+    out.add_argument("--sample", default="SAMPLE")
+
+    region.add_argument("--regions", nargs="*")
+    region.add_argument("--bed", type=str)
+    region.add_argument("--wgs_contigs", choices=["chr1-22XY", "1-22XY"])
+    region.add_argument("--exclude_bed", type=str)
+
+    preset.add_argument("--preset", "-p", choices=list(PRESETS))
+
+    req.add_argument("--bam", required=True)
+    req.add_argument("--ref", required=True)
+
+    snp.add_argument("--snp_model", default="ONT-HG002")
+    snp.add_argument("--min_allele_freq", type=float, default=0.15)
+    snp.add_argument("--min_nbr_sites", type=int, default=1)
+    snp.add_argument("--neighbor_threshold", "--nbr_t", dest="neighbor_threshold",
+                     default="0.4,0.6")
+    snp.add_argument("--supplementary", "--sup", dest="supplementary",
+                     action="store_true")
+    snp.add_argument("--disable_coverage_normalization", action="store_true")
+
+    indel.add_argument("--indel_model", default="ONT-HG002")
+    indel.add_argument("--ins_threshold", "--ins_t", dest="ins_threshold",
+                       type=float, default=0.4)
+    indel.add_argument("--del_threshold", "--del_t", dest="del_threshold",
+                       type=float, default=0.6)
+    indel.add_argument("--win_size", type=int, default=40)
+    indel.add_argument("--small_win_size", type=int, default=4)
+    indel.add_argument("--impute_indel_phase", action="store_true")
+
+    phase.add_argument("--phase", action="store_true")
+    phase.add_argument("--phase_qual_score", type=float, default=10.0)
+    phase.add_argument("--enable_whatshap", action="store_true")
+    return p
+
+
+def config_from_args(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = build_parser().parse_args(argv)
+    args.supplementary = False  # force-disabled (NanoCaller:160)
+
+    explicitly_set = set()
+    for tok in argv:
+        if tok.startswith("--"):
+            explicitly_set.add(tok.lstrip("-").split("=")[0])
+    # short-flag aliases map to their canonical names (NanoCaller:79-80)
+    alias = {"seq": "sequencing", "p": "preset", "o": "output",
+             "sup": "supplementary", "nbr_t": "neighbor_threshold",
+             "ins_t": "ins_threshold", "del_t": "del_threshold"}
+    explicitly_set = {alias.get(f, f) for f in explicitly_set}
+
+    cfg = Config(
+        bam=args.bam, ref=args.ref, mode=args.mode, sequencing=args.sequencing,
+        cpu=args.cpu, mincov=args.mincov, maxcov=args.maxcov,
+        haploid_genome=args.haploid_genome, haploid_X=args.haploid_X,
+        supplementary=False, output=args.output or ".", prefix=args.prefix,
+        sample=args.sample, regions=args.regions, bed=args.bed,
+        wgs_contigs=args.wgs_contigs, exclude_bed=args.exclude_bed,
+        snp_model=args.snp_model, min_allele_freq=args.min_allele_freq,
+        min_nbr_sites=args.min_nbr_sites,
+        neighbor_threshold=args.neighbor_threshold,
+        disable_coverage_normalization=args.disable_coverage_normalization,
+        indel_model=args.indel_model, ins_threshold=args.ins_threshold,
+        del_threshold=args.del_threshold, win_size=args.win_size,
+        small_win_size=args.small_win_size,
+        impute_indel_phase=args.impute_indel_phase, phase=args.phase,
+        phase_qual_score=args.phase_qual_score,
+        enable_whatshap=args.enable_whatshap,
+        suppress_progress=args.suppress_progress_bar, verbose=args.verbose)
+    if args.preset:
+        apply_preset(cfg, args.preset, explicitly_set)
+    return cfg
+
+
+def main(argv=None):
+    t0 = time.time()
+    cfg = config_from_args(argv)
+    print("%s: Starting nanocaller-tpu." % datetime.datetime.now(), flush=True)
+    from .caller import run
+
+    outputs = run(cfg)
+    print("%s: Total Time Elapsed: %.2f seconds"
+          % (datetime.datetime.now(), time.time() - t0), flush=True)
+    return outputs
+
+
+if __name__ == "__main__":
+    main()

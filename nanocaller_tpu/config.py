@@ -58,6 +58,7 @@ class Config:
     batch_size: int = 1024  # padded device batch for SNP inference
     suppress_progress: bool = False
     verbose: bool = False
+    skip_phased_bam: bool = False  # skip the per-contig phased BAM artifact
 
     @property
     def threshold(self):

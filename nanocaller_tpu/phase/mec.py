@@ -1,0 +1,261 @@
+"""Weighted-MEC read-based phasing of heterozygous SNPs.
+
+Replaces `whatshap phase` + `whatshap haplotag`
+(indelCaller.py:238,243-251): builds the het-SNP × read allele matrix
+from the already-decoded pileup (no BAM round-trip), partitions sites
+into phase blocks (connected components via shared reads), seeds each
+block with adjacent-pair cis/trans majority votes, then refines with
+alternating read-assignment / site-flip passes (MEC descent). Phase-set
+IDs follow the WhatsHap convention: PS = position (1-based) of the
+block's first variant.
+
+The reference's `--distrust-genotypes --include-homozygous` regenotyping
+mode is intentionally NOT reproduced (we never change genotypes); the
+flag is accepted and ignored with a note, matching its documented
+"negligible effect" for ONT (NanoCaller:156).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..pileup.engine import SiteCodes
+
+_BASE_CODE = {"A": 0, "G": 1, "T": 2, "C": 3}
+
+
+@dataclass
+class PhaseResult:
+    # per input het site (parallel arrays)
+    site_pos: np.ndarray  # int64, 0-based
+    hap_allele: np.ndarray  # int8: allele (0=ref,1=alt) on haplotype 1
+    block_ps: np.ndarray  # int64: 1-based PS id; -1 if unphased
+    # per read
+    read_hp: np.ndarray  # int8: 0 untagged, 1, 2
+    read_ps: np.ndarray  # int64: -1 or PS
+    n_blocks: int = 0
+    mec_cost: int = 0
+
+
+def build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes):
+    """Sparse read-allele observations at het sites.
+
+    Returns (rids int32[K], site_idx int32[K], allele int8[K]) keeping
+    only observations matching ref (0) or alt (1)."""
+    sc = SiteCodes(rw, sites_pos0)
+    rid_l, sidx_l, al_l = [], [], []
+    for j in range(len(sites_pos0)):
+        rids, codes = sc.at(j)
+        is_ref = codes == ref_codes[j]
+        is_alt = codes == alt_codes[j]
+        keep = is_ref | is_alt
+        rid_l.append(rids[keep])
+        sidx_l.append(np.full(int(keep.sum()), j, np.int32))
+        al_l.append(is_alt[keep].astype(np.int8))
+    if not rid_l:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.int8))
+    return (np.concatenate(rid_l), np.concatenate(sidx_l), np.concatenate(al_l))
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.p = list(range(n))
+
+    def find(self, x):
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[rb] = ra
+
+
+def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
+    """Core MEC phasing. Returns PhaseResult."""
+    S = len(sites_pos0)
+    n_reads = rw.n_reads
+    rids, sidx, alleles = build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes)
+
+    # per-read site lists (CSR by read)
+    order = np.lexsort((sidx, rids))
+    rids, sidx, alleles = rids[order], sidx[order], alleles[order]
+    r_ptr = np.searchsorted(rids, np.arange(n_reads + 1))
+
+    # connected components over sites linked by reads
+    uf = _UnionFind(S)
+    for r in range(n_reads):
+        lo, hi = r_ptr[r], r_ptr[r + 1]
+        for k in range(lo + 1, hi):
+            uf.union(int(sidx[lo]), int(sidx[k]))
+    comp = np.array([uf.find(j) for j in range(S)], dtype=np.int64)
+
+    # adjacent-pair cis/trans votes to seed haplotype orientation
+    h = np.zeros(S, dtype=np.int8)
+    pair_votes = {}
+    for r in range(n_reads):
+        lo, hi = r_ptr[r], r_ptr[r + 1]
+        for k in range(lo + 1, hi):
+            a, b = int(sidx[k - 1]), int(sidx[k])
+            if b == a:
+                continue
+            trans = int(alleles[k - 1] != alleles[k])
+            key = (a, b)
+            cis_trans = pair_votes.get(key, [0, 0])
+            cis_trans[trans] += 1
+            pair_votes[key] = cis_trans
+    # propagate along position order within component
+    by_comp = {}
+    for j in range(S):
+        by_comp.setdefault(int(comp[j]), []).append(j)
+    for members in by_comp.values():
+        members.sort()
+        for a, b in zip(members[:-1], members[1:]):
+            votes = pair_votes.get((a, b))
+            o = 1 if votes and votes[1] > votes[0] else 0
+            h[b] = h[a] ^ o
+
+    # refinement: alternate read assignment and site flips
+    read_hp = np.zeros(n_reads, dtype=np.int8)
+    for _ in range(n_iter):
+        # read assignment
+        changed = False
+        for r in range(n_reads):
+            lo, hi = r_ptr[r], r_ptr[r + 1]
+            if lo == hi:
+                continue
+            mis1 = int((alleles[lo:hi] != h[sidx[lo:hi]]).sum())
+            mis2 = (hi - lo) - mis1
+            new = 1 if mis1 < mis2 else (2 if mis2 < mis1 else 0)
+            if new != read_hp[r]:
+                read_hp[r] = new
+                changed = True
+        # site flips: majority vote of assigned reads
+        # evidence for h[j]=1: hap-1 reads showing alt, hap-2 reads showing ref
+        v0 = np.zeros(S, np.int32)
+        v1 = np.zeros(S, np.int32)
+        m = read_hp[rids] == 1
+        np.add.at(v1, sidx[m & (alleles == 1)], 1)
+        np.add.at(v0, sidx[m & (alleles == 0)], 1)
+        m2 = read_hp[rids] == 2
+        np.add.at(v1, sidx[m2 & (alleles == 0)], 1)
+        np.add.at(v0, sidx[m2 & (alleles == 1)], 1)
+        new_h = np.where(v1 > v0, 1, np.where(v0 > v1, 0, h)).astype(np.int8)
+        if not changed and np.array_equal(new_h, h):
+            break
+        h = new_h
+
+    # blocks: only components with ≥2 sites are phased
+    block_ps = np.full(S, -1, dtype=np.int64)
+    sizes = {}
+    for j in range(S):
+        sizes[int(comp[j])] = sizes.get(int(comp[j]), 0) + 1
+    ps_of_comp = {}
+    for c, members in by_comp.items():
+        if sizes[c] >= 2:
+            ps_of_comp[c] = int(sites_pos0[min(members)]) + 1
+    for j in range(S):
+        c = int(comp[j])
+        if c in ps_of_comp:
+            block_ps[j] = ps_of_comp[c]
+
+    # per-read PS: component of its first phased site
+    read_ps = np.full(n_reads, -1, dtype=np.int64)
+    for r in range(n_reads):
+        lo, hi = r_ptr[r], r_ptr[r + 1]
+        if read_hp[r] and hi > lo:
+            for k in range(lo, hi):
+                ps = block_ps[sidx[k]]
+                if ps >= 0:
+                    read_ps[r] = ps
+                    break
+            if read_ps[r] < 0:
+                read_hp[r] = 0
+
+    mec = 0
+    for r in range(n_reads):
+        lo, hi = r_ptr[r], r_ptr[r + 1]
+        if read_hp[r] == 1:
+            mec += int((alleles[lo:hi] != h[sidx[lo:hi]]).sum())
+        elif read_hp[r] == 2:
+            mec += int((alleles[lo:hi] == h[sidx[lo:hi]]).sum())
+    return PhaseResult(site_pos=np.asarray(sites_pos0), hap_allele=h,
+                       block_ps=block_ps, read_hp=read_hp, read_ps=read_ps,
+                       n_blocks=len(ps_of_comp), mec_cost=mec)
+
+
+def phase_contig(records, rw):
+    """Phase the biallelic het SNPs of one contig.
+
+    records: list of VcfRecord (the high-QUAL SNP calls). Returns
+    (PhaseResult, phase_map {pos1: (gt_string, ps)}) where gt_string is
+    '0|1' (hap1 carries ref) or '1|0' (hap1 carries alt).
+    """
+    het_pos, het_ref, het_alt = [], [], []
+    for rec in records:
+        gt = rec.sample_field("GT")
+        if gt not in ("0/1", "0|1", "1/0", "1|0"):
+            continue
+        if len(rec.ref) != 1 or "," in rec.alt or len(rec.alt) != 1:
+            continue
+        if rec.ref not in _BASE_CODE or rec.alt not in _BASE_CODE:
+            continue
+        het_pos.append(rec.pos - 1)
+        het_ref.append(_BASE_CODE[rec.ref])
+        het_alt.append(_BASE_CODE[rec.alt])
+    if not het_pos:
+        empty = PhaseResult(
+            site_pos=np.zeros(0, np.int64), hap_allele=np.zeros(0, np.int8),
+            block_ps=np.zeros(0, np.int64),
+            read_hp=np.zeros(rw.n_reads, np.int8),
+            read_ps=np.full(rw.n_reads, -1, np.int64))
+        return empty, {}
+    order = np.argsort(het_pos)
+    pos = np.asarray(het_pos, np.int64)[order]
+    refc = np.asarray(het_ref, np.int8)[order]
+    altc = np.asarray(het_alt, np.int8)[order]
+    result = phase_sites(rw, pos, refc, altc)
+    phase_map = {}
+    for j in range(len(pos)):
+        if result.block_ps[j] >= 0:
+            gt = "1|0" if result.hap_allele[j] == 1 else "0|1"
+            phase_map[int(pos[j]) + 1] = (gt, int(result.block_ps[j]))
+    return result, phase_map
+
+
+def haplotag_reads(rw, result: PhaseResult):
+    """{qname: (hp, ps)} for tagged reads (whatshap haplotag equivalent)."""
+    out = {}
+    for r in range(rw.n_reads):
+        if result.read_hp[r]:
+            out[rw.qnames[r]] = (int(result.read_hp[r]), int(result.read_ps[r]))
+    return out
+
+
+def write_phased_vcf(src_reader, dst_path, phase_map):
+    """Copy a SNP VCF, rewriting phased het GTs and adding PS
+    (whatshap phase output contract)."""
+    from ..io.vcf import VcfWriter
+
+    headers = list(src_reader.header_lines)
+    fmt_line = '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set identifier">'
+    if fmt_line not in headers:
+        headers.insert(len(headers) - 1, fmt_line)
+    with VcfWriter(dst_path, headers) as w:
+        for rec in src_reader:
+            entry = phase_map.get(rec.pos)
+            if entry is not None:
+                gt, ps = entry
+                keys = rec.format.split(":")
+                vals = rec.samples[0].split(":")
+                vals[keys.index("GT")] = gt
+                keys.append("PS")
+                vals.append(str(ps))
+                rec.format = ":".join(keys)
+                rec.samples = [":".join(vals)]
+            w.write(rec)
+    return dst_path

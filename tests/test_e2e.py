@@ -1,0 +1,131 @@
+"""Full-pipeline (all-mode) end-to-end tests through the CLI surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nanocaller_tpu.cli import config_from_args, main
+from nanocaller_tpu.io.bam import BamReader
+from nanocaller_tpu.io.fasta import write_fasta
+from nanocaller_tpu.io.vcf import VcfReader
+
+from fixtures import make_diploid_readset, make_fixture, random_seq, write_bam
+
+
+@pytest.fixture(scope="module")
+def full_fixture(tmp_path_factory):
+    """Untagged BAM with dense alternating hets + planted indels and 2%
+    read error: the pipeline must call SNPs, phase them itself, and feed
+    haplotype assignments to the indel stage in memory."""
+    tmp = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(12)
+    L = 8000
+    ref_seq = random_seq(rng, L)
+    snps = []
+    for i, pos in enumerate(range(500, L - 500, 350)):
+        rb = ref_seq[pos]
+        alt = "ACGT"[("ACGT".index(rb) + 1) % 4]
+        snps.append((pos, alt, "het1" if i % 2 == 0 else "het2"))
+    indels = [(2210, "del", 6, "het1"), (4120, "ins", "TTTTT", "hom")]
+    reads = make_diploid_readset(rng, ref_seq, snps=snps, indels=indels,
+                                 depth=40, read_len=1400, error_rate=0.02)
+    fasta_p = str(tmp / "ref.fa")
+    write_fasta(fasta_p, {"chr_t": ref_seq})
+    bam_p = str(tmp / "reads.bam")
+    write_bam(bam_p, "chr_t", L, reads)
+    return fasta_p, bam_p, ref_seq, snps, indels
+
+
+class TestPresetSemantics:
+    def test_preset_applies_only_unset(self, full_fixture):
+        fasta_p, bam_p, *_ = full_fixture
+        cfg = config_from_args([
+            "--bam", bam_p, "--ref", fasta_p, "--preset", "ccs",
+            "--ins_threshold", "0.9"])
+        assert cfg.sequencing == "pacbio"
+        assert cfg.snp_model == "CCS-HG002"
+        assert cfg.ins_threshold == 0.9  # explicitly set wins over preset
+        assert cfg.del_threshold == 0.4  # from preset
+        assert cfg.enable_whatshap is True
+
+    def test_short_flag_alias(self, full_fixture):
+        fasta_p, bam_p, *_ = full_fixture
+        cfg = config_from_args([
+            "--bam", bam_p, "--ref", fasta_p, "--preset", "clr",
+            "--nbr_t", "0.2,0.8"])
+        assert cfg.neighbor_threshold == "0.2,0.8"
+        assert cfg.win_size == 10  # clr preset
+
+
+class TestAllMode:
+    def test_full_pipeline(self, full_fixture, tmp_path):
+        fasta_p, bam_p, ref_seq, snps, indels = full_fixture
+        out = str(tmp_path / "out")
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+            "--output", out, "--prefix", "run1", "--sample", "HGTEST",
+            "--phase_qual_score", "4"])
+        # output contract
+        assert outputs["snps"].endswith("run1.snps.vcf.gz")
+        assert outputs["phased_snps"].endswith("run1.snps.phased.vcf.gz")
+        assert outputs["indels"].endswith("run1.indels.vcf.gz")
+        assert outputs["final"].endswith("run1.vcf.gz")
+        for path in outputs.values():
+            assert os.path.exists(path), path
+            assert os.path.exists(path + ".csi"), path
+        assert os.path.exists(os.path.join(out, "args"))
+
+        # phased SNPs: hets phased with PS
+        phased = list(VcfReader(outputs["phased_snps"]))
+        het_gts = [r for r in phased
+                   if r.sample_field("GT") in ("0|1", "1|0")]
+        assert len(het_gts) >= 6
+        ps_vals = {r.sample_field("PS") for r in het_gts}
+        assert all(v not in (None, ".") for v in ps_vals)
+
+        # indels in the final concat: planted het del + hom ins recovered
+        final = list(VcfReader(outputs["final"]))
+        indel_recs = [r for r in final
+                      if len(r.ref) > 1 or any(len(a) > 1 for a in r.alt.split(","))]
+        assert indel_recs, [(r.pos, r.ref, r.alt) for r in final]
+        del_hits = [r for r in indel_recs
+                    if abs(r.pos - 2211) <= 3
+                    and any(len(r.ref) - len(a) == 6 for a in r.alt.split(","))]
+        ins_hits = [r for r in indel_recs
+                    if abs(r.pos - 4121) <= 3
+                    and any(len(a) - len(r.ref) == 5 for a in r.alt.split(","))]
+        assert del_hits and ins_hits, [(r.pos, r.ref, r.alt) for r in indel_recs]
+        # het deletion phased
+        assert del_hits[0].sample_field("GT") in ("1|0", "0|1")
+
+        # phased BAM artifact exists with HP tags
+        phase_dir = os.path.join(out, "intermediate_phase_files")
+        pbam = os.path.join(phase_dir, "chr_t.phased.bam")
+        assert os.path.exists(pbam)
+        tagged = [r for r in BamReader(pbam) if "HP" in r.tags]
+        assert len(tagged) > 50
+
+    def test_snps_mode_with_phase(self, full_fixture, tmp_path):
+        fasta_p, bam_p, *_ = full_fixture
+        out = str(tmp_path / "out2")
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "snps", "--phase",
+            "--output", out, "--prefix", "p1", "--phase_qual_score", "4"])
+        assert outputs["snps"] and outputs["phased_snps"]
+        assert outputs["indels"] is None
+
+    def test_indels_mode_with_tagged_bam(self, tmp_path):
+        # pre-tagged BAM straight into indel-only mode
+        indels = [(2000, "ins", "AAAA", "het2")]
+        fasta_p, bam_p, _, _ = make_fixture(
+            tmp_path, depth=36, L=4000, read_len=900, seed=33, snps=[],
+            indels=indels, tag_haplotypes=True)
+        out = str(tmp_path / "outi")
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "indels",
+            "--output", out, "--prefix", "i1"])
+        assert outputs["indels"]
+        recs = list(VcfReader(outputs["indels"]))
+        hits = [r for r in recs if abs(r.pos - 2001) <= 3]
+        assert hits, [(r.pos, r.ref, r.alt) for r in recs]

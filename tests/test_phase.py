@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+
+from nanocaller_tpu.io.bam import BamReader
+from nanocaller_tpu.io.vcf import VcfRecord
+from nanocaller_tpu.phase.mec import (
+    haplotag_reads,
+    phase_contig,
+    phase_sites,
+)
+from nanocaller_tpu.pileup.engine import decode_reads
+
+from fixtures import make_fixture
+
+
+def make_het_fixture(tmp_path, L=8000, spacing=400, depth=30, read_len=1200,
+                     seed=5, error_rate=0.0):
+    from fixtures import random_seq, make_diploid_readset, write_bam
+    from nanocaller_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(seed)
+    ref_seq = random_seq(rng, L)
+    snps = []
+    truth = {}
+    for i, pos in enumerate(range(500, L - 500, spacing)):
+        ref_b = ref_seq[pos]
+        alt = "ACGT"[("ACGT".index(ref_b) + 1) % 4]
+        gt = "het1" if i % 2 == 0 else "het2"
+        snps.append((pos, alt, gt))
+        truth[pos] = gt
+    reads = make_diploid_readset(rng, ref_seq, snps=snps, depth=depth,
+                                 read_len=read_len, error_rate=error_rate)
+    fasta_path = str(tmp_path / "ref.fa")
+    write_fasta(fasta_path, {"chr_t": ref_seq})
+    bam_path = str(tmp_path / "reads.bam")
+    write_bam(bam_path, "chr_t", L, reads)
+    return fasta_path, bam_path, ref_seq, snps, truth, reads
+
+
+class TestPhasing:
+    def test_single_block_correct_phase(self, tmp_path):
+        fasta_p, bam_p, ref_seq, snps, truth, reads = make_het_fixture(tmp_path)
+        bam = BamReader(bam_p)
+        rw = decode_reads(bam, "chr_t", 0, 8000, keep_seq=False)
+        pos = np.array([p for p, a, g in snps], np.int64)
+        refc = np.array(["AGTC".index(ref_seq[p]) for p in pos], np.int8)
+        altc = np.array(["AGTC".index(a) for p, a, g in snps], np.int8)
+        res = phase_sites(rw, pos, refc, altc)
+        # reads are long enough to chain all sites → one block
+        assert res.n_blocks == 1
+        assert (res.block_ps >= 0).all()
+        assert res.block_ps[0] == pos[0] + 1
+        # phase consistency: hap_allele must match truth up to global flip
+        want = np.array([1 if truth[int(p)] == "het1" else 0 for p in pos])
+        agree = (res.hap_allele == want).mean()
+        assert agree in (0.0, 1.0), agree  # perfectly consistent either way
+        # error-free reads → zero MEC cost
+        assert res.mec_cost == 0
+        # reads assigned to haplotypes by simulated origin
+        by_name = {q: hp for q, hp in zip(rw.qnames, res.read_hp)}
+        hap_of = {name: hap for name, s, seq, cig, hap in reads}
+        # map result hap → sim hap via majority, then check consistency
+        votes = {}
+        n_checked = 0
+        for q, hp in by_name.items():
+            if hp and q in hap_of:
+                votes.setdefault((hp, hap_of[q]), 0)
+                votes[(hp, hap_of[q])] += 1
+                n_checked += 1
+        # all reads covering ≥1 het must be assigned
+        assert n_checked > 0.8 * len(reads)
+        flip = votes.get((1, 1), 0) + votes.get((2, 2), 0)
+        noflip = votes.get((1, 2), 0) + votes.get((2, 1), 0)
+        assert min(flip, noflip) == 0  # no mixing
+
+    def test_noise_tolerance(self, tmp_path):
+        fasta_p, bam_p, ref_seq, snps, truth, reads = make_het_fixture(
+            tmp_path, error_rate=0.05, seed=8)
+        bam = BamReader(bam_p)
+        rw = decode_reads(bam, "chr_t", 0, 8000)
+        pos = np.array([p for p, a, g in snps], np.int64)
+        refc = np.array(["AGTC".index(ref_seq[p]) for p in pos], np.int8)
+        altc = np.array(["AGTC".index(a) for p, a, g in snps], np.int8)
+        res = phase_sites(rw, pos, refc, altc)
+        want = np.array([1 if truth[int(p)] == "het1" else 0 for p in pos])
+        agree = (res.hap_allele == want).mean()
+        assert agree >= 0.9 or agree <= 0.1, agree
+
+    def test_phase_contig_and_map(self, tmp_path):
+        fasta_p, bam_p, ref_seq, snps, truth, reads = make_het_fixture(tmp_path)
+        bam = BamReader(bam_p)
+        rw = decode_reads(bam, "chr_t", 0, 8000)
+        recs = []
+        base_map = {"A": 0, "G": 1, "T": 2, "C": 3}
+        for p, a, g in snps:
+            recs.append(VcfRecord("chr_t", p + 1, ref_seq[p], a, "50.0",
+                                  "PASS", format_="GT:DP", samples=["0/1:30"]))
+        result, phase_map = phase_contig(recs, rw)
+        assert len(phase_map) == len(snps)
+        for p, a, g in snps:
+            gt, ps = phase_map[p + 1]
+            assert gt in ("0|1", "1|0")
+            assert ps == snps[0][0] + 1
+        tags = haplotag_reads(rw, result)
+        assert len(tags) > 0.8 * len(reads)
+        for q, (hp, ps) in tags.items():
+            assert hp in (1, 2) and ps == snps[0][0] + 1
+
+    def test_disconnected_blocks(self, tmp_path):
+        # two far-apart het clusters with short reads → ≥2 phase blocks
+        fasta_p, bam_p, ref_seq, snps, truth, reads = make_het_fixture(
+            tmp_path, L=20000, spacing=2500, read_len=600, seed=3)
+        bam = BamReader(bam_p)
+        rw = decode_reads(bam, "chr_t", 0, 20000)
+        pos = np.array([p for p, a, g in snps], np.int64)
+        refc = np.array(["AGTC".index(ref_seq[p]) for p in pos], np.int8)
+        altc = np.array(["AGTC".index(a) for p, a, g in snps], np.int8)
+        res = phase_sites(rw, pos, refc, altc)
+        # reads (600bp) cannot span 2500bp gaps → all sites unphased singletons
+        assert res.n_blocks == 0
+        assert (res.block_ps == -1).all()
