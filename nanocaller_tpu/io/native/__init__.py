@@ -1,0 +1,131 @@
+"""Build + ctypes binding for the native BAM window decoder (libncio).
+
+Compiled lazily on first use with g++ (no pybind11 in the image; plain
+C API via ctypes). Falls back silently to the pure-Python decoder when
+a toolchain is unavailable — `nanocaller_tpu.pileup.engine.decode_reads`
+uses the native path automatically when importable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "ncio.cpp")
+_SO = os.path.join(_HERE, "libncio.so")
+
+_lib = None
+_build_error = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+           "-o", _SO + ".tmp", "-lz"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.ncio_decode.restype = ctypes.c_void_p
+        lib.ncio_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.ncio_sizes.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as e:  # noqa: BLE001 — any failure → python fallback
+        _build_error = e
+        _lib = None
+    return _lib
+
+
+def native_available():
+    return get_lib() is not None
+
+
+def decode_window_native(bam_reader, contig, start, end, flag_exclude,
+                         keep_seq=False):
+    """Native decode → dict of arrays (same content as ReadWindow fields).
+
+    bam_reader: an open io.bam.BamReader (provides the BAI chunk list and
+    contig ids). Returns None if the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if contig not in bam_reader._ref_to_id:
+        chunks = np.zeros(0, dtype=np.uint64)
+    else:
+        rid = bam_reader._ref_to_id[contig]
+        if bam_reader._index is not None:
+            chunk_list = bam_reader._index.chunks_for_region(rid, start, end)
+            chunks = np.array(chunk_list, dtype=np.uint64).reshape(-1)
+        else:
+            chunks = np.array([bam_reader._data_start, 0], dtype=np.uint64)
+    rid = bam_reader._ref_to_id.get(contig, -1)
+    handle = lib.ncio_decode(
+        bam_reader.path.encode(), rid, start, end,
+        chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(chunks) // 2, flag_exclude, 1 if keep_seq else 0)
+    try:
+        sizes = np.zeros(7, dtype=np.int64)
+        lib.ncio_sizes(handle, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        n_reads, n_ev, n_del, n_ins, qn_bytes, seq_bytes, err = sizes
+        if err:
+            return None
+        out = {
+            "flags": np.zeros(n_reads, np.int32),
+            "strand": np.zeros(n_reads, np.int8),
+            "read_start": np.zeros(n_reads, np.int64),
+            "read_end": np.zeros(n_reads, np.int64),
+            "hp": np.zeros(n_reads, np.int8),
+            "ps": np.zeros(n_reads, np.int64),
+            "qnames_raw": np.zeros(max(1, qn_bytes), np.uint8),
+            "qname_off": np.zeros(n_reads + 1, np.int64),
+            "seqs_raw": np.zeros(max(1, seq_bytes), np.uint8),
+            "seq_off": np.zeros(n_reads + 1, np.int64),
+            "ev_rid": np.zeros(n_ev, np.int32),
+            "ev_pos": np.zeros(n_ev, np.int64),
+            "ev_code": np.zeros(n_ev, np.int8),
+            "ev_qpos": np.zeros(n_ev, np.int32),
+            "del_rid": np.zeros(n_del, np.int32),
+            "del_start": np.zeros(n_del, np.int64),
+            "del_len": np.zeros(n_del, np.int64),
+            "ins_rid": np.zeros(n_ins, np.int32),
+            "ins_pos": np.zeros(n_ins, np.int64),
+            "ins_len": np.zeros(n_ins, np.int64),
+        }
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        lib.ncio_fill(
+            ctypes.c_void_p(handle),
+            p(out["flags"], ctypes.c_int32), p(out["strand"], ctypes.c_int8),
+            p(out["read_start"], ctypes.c_int64), p(out["read_end"], ctypes.c_int64),
+            p(out["hp"], ctypes.c_int8), p(out["ps"], ctypes.c_int64),
+            p(out["qnames_raw"], ctypes.c_char), p(out["qname_off"], ctypes.c_int64),
+            p(out["seqs_raw"], ctypes.c_char), p(out["seq_off"], ctypes.c_int64),
+            p(out["ev_rid"], ctypes.c_int32), p(out["ev_pos"], ctypes.c_int64),
+            p(out["ev_code"], ctypes.c_int8), p(out["ev_qpos"], ctypes.c_int32),
+            p(out["del_rid"], ctypes.c_int32), p(out["del_start"], ctypes.c_int64),
+            p(out["del_len"], ctypes.c_int64), p(out["ins_rid"], ctypes.c_int32),
+            p(out["ins_pos"], ctypes.c_int64), p(out["ins_len"], ctypes.c_int64))
+        return out
+    finally:
+        lib.ncio_free(ctypes.c_void_p(handle))

@@ -1,0 +1,408 @@
+// ncio: native BAM window decoder for nanocaller_tpu.
+//
+// Replaces the hot part of the htslib/pysam data path (SURVEY.md §2.3 N1):
+// BGZF block inflation + BAM record decode + CIGAR expansion into packed
+// event arrays, the exact structure produced by the pure-Python
+// pileup/engine.decode_reads bring-up path (which remains as the
+// differential-test oracle).
+//
+// Interface: C API consumed via ctypes (no pybind11 in this image).
+// Python resolves the BAI index and passes virtual-offset chunk ranges;
+// this library does the byte crunching and returns an opaque handle whose
+// arrays Python copies into numpy.
+//
+// Build: g++ -O3 -march=native -shared -fPIC ncio.cpp -o libncio.so -lz
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int FUNMAP = 0x4;
+
+struct Window {
+  // per read
+  std::vector<int32_t> flags;
+  std::vector<int8_t> strand;
+  std::vector<int64_t> read_start, read_end;
+  std::vector<int8_t> hp;
+  std::vector<int64_t> ps;
+  std::string qnames;              // concatenated
+  std::vector<int64_t> qname_off;  // size n_reads+1
+  std::string seqs;                // concatenated (optional)
+  std::vector<int64_t> seq_off;    // size n_reads+1
+  // aligned-base events
+  std::vector<int32_t> ev_rid;
+  std::vector<int64_t> ev_pos;
+  std::vector<int8_t> ev_code;
+  std::vector<int32_t> ev_qpos;
+  // deletions / insertions
+  std::vector<int32_t> del_rid;
+  std::vector<int64_t> del_start, del_len;
+  std::vector<int32_t> ins_rid;
+  std::vector<int64_t> ins_pos, ins_len;
+  std::string error;
+};
+
+// base codes matching pileup/engine.py: A0 G1 T2 C3 other 4, over the
+// 4-bit BAM nibble alphabet "=ACMGRSVTWYHKDBN"
+const int8_t NIBBLE_CODE[16] = {4, 0, 3, 4, 1, 4, 4, 4, 2, 4, 4, 4, 4, 4, 4, 4};
+const char NIBBLE_CHAR[17] = "=ACMGRSVTWYHKDBN";
+
+class BgzfFile {
+ public:
+  explicit BgzfFile(const char* path) : fp_(fopen(path, "rb")) {}
+  ~BgzfFile() {
+    if (fp_) fclose(fp_);
+  }
+  bool ok() const { return fp_ != nullptr; }
+
+  // seek to virtual offset
+  bool vseek(uint64_t voff) {
+    uint64_t coff = voff >> 16;
+    uint32_t within = voff & 0xffff;
+    if (coff != block_coff_ || !block_valid_) {
+      if (!load_block(coff)) return false;
+    }
+    if (within > block_.size()) return false;
+    within_ = within;
+    return true;
+  }
+
+  uint64_t vtell() const {
+    if (within_ == block_.size() && !block_.empty())
+      return next_coff_ << 16;
+    return (block_coff_ << 16) | within_;
+  }
+
+  // read exactly n bytes; returns false on EOF
+  bool read(void* dst, size_t n) {
+    uint8_t* out = static_cast<uint8_t*>(dst);
+    while (n > 0) {
+      if (within_ >= block_.size()) {
+        if (!load_block(next_coff_)) return false;
+        if (block_.empty()) {
+          // empty block (EOF marker) — try next
+          if (!load_block(next_coff_)) return false;
+          if (block_.empty()) return false;
+        }
+      }
+      size_t take = block_.size() - within_;
+      if (take > n) take = n;
+      memcpy(out, block_.data() + within_, take);
+      within_ += take;
+      out += take;
+      n -= take;
+    }
+    return true;
+  }
+
+ private:
+  bool load_block(uint64_t coff) {
+    block_valid_ = false;
+    if (fseeko(fp_, coff, SEEK_SET) != 0) return false;
+    uint8_t header[18];
+    size_t got = fread(header, 1, 18, fp_);
+    if (got == 0) return false;  // EOF
+    if (got < 18 || header[0] != 0x1f || header[1] != 0x8b) return false;
+    uint16_t xlen = header[10] | (header[11] << 8);
+    std::vector<uint8_t> extra(xlen);
+    memcpy(extra.data(), header + 12, 6);
+    if (xlen > 6 && fread(extra.data() + 6, 1, xlen - 6, fp_) != size_t(xlen - 6))
+      return false;
+    int bsize = -1;
+    for (size_t i = 0; i + 4 <= extra.size();) {
+      uint8_t si1 = extra[i], si2 = extra[i + 1];
+      uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+        break;
+      }
+      i += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    int cdata_len = bsize - xlen - 20;
+    std::vector<uint8_t> cdata(cdata_len);
+    if (fread(cdata.data(), 1, cdata_len, fp_) != size_t(cdata_len)) return false;
+    uint8_t footer[8];
+    if (fread(footer, 1, 8, fp_) != 8) return false;
+    uint32_t isize = footer[4] | (footer[5] << 8) | (footer[6] << 16) |
+                     (uint32_t(footer[7]) << 24);
+    block_.resize(isize);
+    if (isize > 0) {
+      z_stream zs{};
+      inflateInit2(&zs, -15);
+      zs.next_in = cdata.data();
+      zs.avail_in = cdata_len;
+      zs.next_out = block_.data();
+      zs.avail_out = isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END) return false;
+    }
+    block_coff_ = coff;
+    next_coff_ = coff + bsize;
+    within_ = 0;
+    block_valid_ = true;
+    return true;
+  }
+
+  FILE* fp_ = nullptr;
+  std::vector<uint8_t> block_;
+  uint64_t block_coff_ = 0;
+  uint64_t next_coff_ = 0;
+  size_t within_ = 0;
+  bool block_valid_ = false;
+};
+
+int64_t tag_to_int(const uint8_t* p, char typ) {
+  switch (typ) {
+    case 'c': return *reinterpret_cast<const int8_t*>(p);
+    case 'C': return *p;
+    case 's': { int16_t v; memcpy(&v, p, 2); return v; }
+    case 'S': { uint16_t v; memcpy(&v, p, 2); return v; }
+    case 'i': { int32_t v; memcpy(&v, p, 4); return v; }
+    case 'I': { uint32_t v; memcpy(&v, p, 4); return v; }
+    default: return 0;
+  }
+}
+
+size_t tag_value_size(char typ, const uint8_t* p, const uint8_t* end) {
+  switch (typ) {
+    case 'A': case 'c': case 'C': return 1;
+    case 's': case 'S': return 2;
+    case 'i': case 'I': case 'f': return 4;
+    case 'Z': case 'H': {
+      const uint8_t* q = p;
+      while (q < end && *q) q++;
+      return q - p + 1;
+    }
+    case 'B': {
+      if (p + 5 > end) return end - p;
+      char sub = char(p[0]);
+      uint32_t cnt;
+      memcpy(&cnt, p + 1, 4);
+      size_t esz = (sub == 'c' || sub == 'C') ? 1 : (sub == 's' || sub == 'S') ? 2 : 4;
+      return 5 + size_t(cnt) * esz;
+    }
+    default: return end - p;  // unknown: consume rest
+  }
+}
+
+void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
+                   int32_t want_rid, int flag_exclude, bool keep_seq,
+                   Window* w) {
+  if (len < 32) return;
+  int32_t ref_id, pos;
+  memcpy(&ref_id, data, 4);
+  memcpy(&pos, data + 4, 4);
+  if (ref_id != want_rid) return;
+  uint8_t l_read_name = data[8];
+  uint16_t n_cigar;
+  memcpy(&n_cigar, data + 12, 2);
+  uint16_t flag;
+  memcpy(&flag, data + 14, 2);
+  int32_t l_seq;
+  memcpy(&l_seq, data + 16, 4);
+  if (flag & (FUNMAP | flag_exclude)) return;
+  if (pos >= end) return;
+
+  size_t off = 32;
+  const char* qname = reinterpret_cast<const char*>(data + off);
+  off += l_read_name;
+  const uint8_t* cigar_p = data + off;
+  off += size_t(n_cigar) * 4;
+  const uint8_t* seq_p = data + off;
+  off += (l_seq + 1) / 2;
+  off += l_seq;  // qual
+
+  // reference span check
+  int64_t ref_len = 0;
+  for (int k = 0; k < n_cigar; k++) {
+    uint32_t v;
+    memcpy(&v, cigar_p + 4 * k, 4);
+    uint32_t op = v & 0xf, l = v >> 4;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_len += l;
+  }
+  if (pos + ref_len <= start) return;
+
+  // tags: HP, PS
+  int8_t hp = 0;
+  int64_t ps = -1;
+  {
+    const uint8_t* p = data + off;
+    const uint8_t* tag_end = data + len;
+    while (p + 3 <= tag_end) {
+      char t0 = char(p[0]), t1 = char(p[1]), typ = char(p[2]);
+      p += 3;
+      size_t vsz = tag_value_size(typ, p, tag_end);
+      if (t0 == 'H' && t1 == 'P' && typ != 'Z' && typ != 'B' && typ != 'f')
+        hp = int8_t(tag_to_int(p, typ));
+      if (t0 == 'P' && t1 == 'S' && typ != 'Z' && typ != 'B' && typ != 'f')
+        ps = tag_to_int(p, typ);
+      p += vsz;
+    }
+  }
+
+  int32_t rid = int32_t(w->flags.size());
+  w->flags.push_back(flag);
+  w->strand.push_back((flag & 0x10) ? 1 : 0);
+  w->read_start.push_back(pos);
+  w->hp.push_back(hp);
+  w->ps.push_back(ps);
+  w->qnames.append(qname, l_read_name - 1);
+  w->qname_off.push_back(int64_t(w->qnames.size()));
+
+  if (keep_seq) {
+    size_t base = w->seqs.size();
+    w->seqs.resize(base + l_seq);
+    for (int i = 0; i < l_seq; i++) {
+      uint8_t nib = (i & 1) ? (seq_p[i / 2] & 0xf) : (seq_p[i / 2] >> 4);
+      w->seqs[base + i] = NIBBLE_CHAR[nib];
+    }
+  }
+  w->seq_off.push_back(int64_t(w->seqs.size()));
+
+  // CIGAR expansion
+  int64_t rpos = pos;
+  int32_t qpos = 0;
+  for (int k = 0; k < n_cigar; k++) {
+    uint32_t v;
+    memcpy(&v, cigar_p + 4 * k, 4);
+    uint32_t op = v & 0xf;
+    int64_t l = v >> 4;
+    switch (op) {
+      case 0: case 7: case 8: {  // M/=/X
+        for (int64_t i = 0; i < l; i++) {
+          int32_t q = qpos + int32_t(i);
+          uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+          w->ev_rid.push_back(rid);
+          w->ev_pos.push_back(rpos + i);
+          w->ev_code.push_back(NIBBLE_CODE[nib]);
+          w->ev_qpos.push_back(q);
+        }
+        rpos += l;
+        qpos += int32_t(l);
+        break;
+      }
+      case 1:  // I
+        w->ins_rid.push_back(rid);
+        w->ins_pos.push_back(rpos - 1);
+        w->ins_len.push_back(l);
+        qpos += int32_t(l);
+        break;
+      case 2:  // D
+        w->del_rid.push_back(rid);
+        w->del_start.push_back(rpos);
+        w->del_len.push_back(l);
+        rpos += l;
+        break;
+      case 3:  // N
+        rpos += l;
+        break;
+      case 4:  // S
+        qpos += int32_t(l);
+        break;
+      default:
+        break;  // H/P
+    }
+  }
+  w->read_end.push_back(rpos);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode reads in [start, end) of reference `rid` from the given virtual
+// offset chunk ranges (pairs of beg,end; n_chunks pairs). A single pair
+// (data_start, 0) means "scan until past the region" (no index).
+void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
+                  const uint64_t* chunks, int32_t n_chunks,
+                  int32_t flag_exclude, int32_t keep_seq) {
+  auto* w = new Window();
+  w->qname_off.push_back(0);
+  w->seq_off.push_back(0);
+  BgzfFile f(path);
+  if (!f.ok()) {
+    w->error = "cannot open file";
+    return w;
+  }
+  std::vector<uint8_t> rec;
+  for (int c = 0; c < n_chunks; c++) {
+    uint64_t cbeg = chunks[2 * c], cend = chunks[2 * c + 1];
+    if (!f.vseek(cbeg)) continue;
+    while (true) {
+      if (cend != 0 && f.vtell() >= cend) break;
+      int32_t block_size;
+      if (!f.read(&block_size, 4)) goto done;
+      if (block_size <= 0 || block_size > (1 << 27)) goto done;
+      rec.resize(block_size);
+      if (!f.read(rec.data(), block_size)) goto done;
+      if (cend == 0) {
+        // unindexed scan: stop once past the window on this rid
+        int32_t r_rid, r_pos;
+        memcpy(&r_rid, rec.data(), 4);
+        memcpy(&r_pos, rec.data() + 4, 4);
+        if (r_rid > rid || (r_rid == rid && r_pos >= end)) goto done;
+      }
+      decode_record(rec.data(), rec.size(), start, end, rid, flag_exclude,
+                    keep_seq != 0, w);
+    }
+  }
+done:
+  return w;
+}
+
+void ncio_sizes(void* handle, int64_t* out) {
+  auto* w = static_cast<Window*>(handle);
+  out[0] = int64_t(w->flags.size());
+  out[1] = int64_t(w->ev_rid.size());
+  out[2] = int64_t(w->del_rid.size());
+  out[3] = int64_t(w->ins_rid.size());
+  out[4] = int64_t(w->qnames.size());
+  out[5] = int64_t(w->seqs.size());
+  out[6] = w->error.empty() ? 0 : 1;
+}
+
+void ncio_fill(void* handle, int32_t* flags, int8_t* strand,
+               int64_t* read_start, int64_t* read_end, int8_t* hp, int64_t* ps,
+               char* qnames, int64_t* qname_off, char* seqs, int64_t* seq_off,
+               int32_t* ev_rid, int64_t* ev_pos, int8_t* ev_code,
+               int32_t* ev_qpos, int32_t* del_rid, int64_t* del_start,
+               int64_t* del_len, int32_t* ins_rid, int64_t* ins_pos,
+               int64_t* ins_len) {
+  auto* w = static_cast<Window*>(handle);
+  auto cp = [](auto& vec, auto* dst) {
+    if (!vec.empty()) memcpy(dst, vec.data(), vec.size() * sizeof(vec[0]));
+  };
+  cp(w->flags, flags);
+  cp(w->strand, strand);
+  cp(w->read_start, read_start);
+  cp(w->read_end, read_end);
+  cp(w->hp, hp);
+  cp(w->ps, ps);
+  if (!w->qnames.empty()) memcpy(qnames, w->qnames.data(), w->qnames.size());
+  cp(w->qname_off, qname_off);
+  if (!w->seqs.empty()) memcpy(seqs, w->seqs.data(), w->seqs.size());
+  cp(w->seq_off, seq_off);
+  cp(w->ev_rid, ev_rid);
+  cp(w->ev_pos, ev_pos);
+  cp(w->ev_code, ev_code);
+  cp(w->ev_qpos, ev_qpos);
+  cp(w->del_rid, del_rid);
+  cp(w->del_start, del_start);
+  cp(w->del_len, del_len);
+  cp(w->ins_rid, ins_rid);
+  cp(w->ins_pos, ins_pos);
+  cp(w->ins_len, ins_len);
+}
+
+void ncio_free(void* handle) { delete static_cast<Window*>(handle); }
+
+}  // extern "C"

@@ -73,15 +73,28 @@ class ReadWindow:
 
 
 def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
-                 reads=None):
+                 reads=None, use_native=True):
     """Decode reads overlapping [start, end) (0-based) into a ReadWindow.
 
     flag_exclude defaults to the reference's pileup filter
     0x4|0x100|0x200|0x400|0x800 (generate_SNP_pileups.py:151-154;
     --supplementary is force-disabled at NanoCaller:160 so 0x800 stays).
+
+    Uses the C++ decoder (io/native/libncio) when available; the Python
+    path below is the bring-up/differential-test oracle.
     """
     if flag_exclude is None:
         flag_exclude = DEFAULT_FLAG_FILTER
+    if reads is None and use_native and hasattr(bam, "path"):
+        try:
+            from ..io.native import decode_window_native
+
+            raw = decode_window_native(bam, contig, start, end, flag_exclude,
+                                       keep_seq)
+        except Exception:
+            raw = None
+        if raw is not None:
+            return _window_from_native(raw, contig, start, end)
     qnames, flags, strands, rstarts, rends, hps, pss, seqs = [], [], [], [], [], [], [], []
     ev_rid, ev_pos, ev_code, ev_qpos = [], [], [], []
     del_rid, del_start, del_len = [], [], []
@@ -158,6 +171,29 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
         ins_len=np.asarray(ins_len, np.int64),
         seqs=seqs,
     )
+
+
+def _window_from_native(raw, contig, start, end):
+    """Assemble a ReadWindow from the native decoder's flat arrays."""
+    qn = raw["qnames_raw"].tobytes()
+    off = raw["qname_off"]
+    qnames = [qn[off[i]:off[i + 1]].decode() for i in range(len(off) - 1)]
+    seqs = []
+    if raw["seq_off"][-1] > 0:
+        sq = raw["seqs_raw"].tobytes()
+        soff = raw["seq_off"]
+        seqs = [sq[soff[i]:soff[i + 1]].decode() for i in range(len(soff) - 1)]
+    return ReadWindow(
+        contig=contig, start=start, end=end, qnames=qnames,
+        flags=raw["flags"], strand=raw["strand"],
+        read_start=raw["read_start"], read_end=raw["read_end"],
+        hp=raw["hp"], ps=raw["ps"],
+        ev_rid=raw["ev_rid"], ev_pos=raw["ev_pos"], ev_code=raw["ev_code"],
+        ev_qpos=raw["ev_qpos"],
+        del_rid=raw["del_rid"], del_start=raw["del_start"],
+        del_len=raw["del_len"],
+        ins_rid=raw["ins_rid"], ins_pos=raw["ins_pos"], ins_len=raw["ins_len"],
+        seqs=seqs)
 
 
 def column_counts(rw: ReadWindow, start, end):

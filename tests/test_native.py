@@ -1,0 +1,62 @@
+"""Differential tests: C++ decoder (libncio) vs the pure-Python oracle."""
+
+import numpy as np
+import pytest
+
+from nanocaller_tpu.io.bam import BamReader
+from nanocaller_tpu.io.native import native_available
+from nanocaller_tpu.pileup.engine import decode_reads
+
+from fixtures import make_fixture
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def bam_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("native")
+    indels = [(1000, "del", 5, "het1"), (2000, "ins", "TTT", "hom"),
+              (3000, "ins", "GGGGGGGGG", "het2")]
+    return make_fixture(tmp, depth=25, L=5000, read_len=700, seed=77,
+                        indels=indels, tag_haplotypes=True, error_rate=0.02)
+
+
+def assert_windows_equal(a, b):
+    assert a.qnames == b.qnames
+    for f in ("flags", "strand", "read_start", "read_end", "hp", "ps",
+              "ev_rid", "ev_pos", "ev_code", "ev_qpos",
+              "del_rid", "del_start", "del_len",
+              "ins_rid", "ins_pos", "ins_len"):
+        np.testing.assert_array_equal(
+            getattr(a, f), getattr(b, f), err_msg=f)
+    assert a.seqs == b.seqs
+
+
+class TestNativeDecode:
+    @pytest.mark.parametrize("window", [(0, 5000), (1200, 1300), (2950, 3050),
+                                        (4400, 5000)])
+    def test_matches_python(self, bam_fixture, window):
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        start, end = window
+        py = decode_reads(bam, "chr_t", start, end, keep_seq=True,
+                          use_native=False)
+        nat = decode_reads(bam, "chr_t", start, end, keep_seq=True,
+                           use_native=True)
+        assert nat.n_reads == py.n_reads and nat.n_reads > 0
+        assert_windows_equal(nat, py)
+
+    def test_without_index(self, bam_fixture):
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam_noidx = BamReader(bam_p, index_path="/nonexistent")
+        py = decode_reads(bam_noidx, "chr_t", 500, 1500, use_native=False)
+        nat = decode_reads(bam_noidx, "chr_t", 500, 1500, use_native=True)
+        assert_windows_equal(nat, py)
+
+    def test_no_seq_mode(self, bam_fixture):
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        nat = decode_reads(bam, "chr_t", 0, 5000, keep_seq=False)
+        assert nat.seqs == []
+        assert nat.n_reads > 0
