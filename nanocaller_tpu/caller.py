@@ -49,11 +49,13 @@ def run(cfg: Config, progress=None):
     regions_list = get_regions_list(cfg, bam)
     outputs = {"snps": None, "phased_snps": None, "indels": None, "final": None}
 
+    exclude_path = resolve_exclude_bed(cfg.exclude_bed) if cfg.exclude_bed else None
     snp_vcf = None
     if cfg.mode in ("snps", "all"):
         chunks = get_chunks(regions_list, cfg.cpu)
         snp_vcf = call_snps(cfg, bam, fasta, regions_list, chunks, cfg.output,
-                            exclude=exclude, progress=progress)
+                            exclude=exclude, progress=progress,
+                            exclude_path=exclude_path)
         outputs["snps"] = snp_vcf
 
     want_phase = cfg.mode == "all" or (cfg.mode == "snps" and cfg.phase)
@@ -115,7 +117,9 @@ def run(cfg: Config, progress=None):
                     for r in lowq:
                         w.write(r)
                 phased_files.append(lowq_vcf)
-            if not cfg.skip_phased_bam:
+            # parallel indel workers re-read tags from the phased BAM, so
+            # it must exist when cpu > 1 regardless of skip_phased_bam
+            if not cfg.skip_phased_bam or cfg.cpu > 1:
                 write_haplotagged_bam(
                     bam, os.path.join(phase_dir, "%s.phased.bam" % name),
                     name, max(0, s - 1), e, tags)
@@ -127,20 +131,63 @@ def run(cfg: Config, progress=None):
             outputs["phased_snps"] = phased_out
 
     if want_indels:
+        from .indel_caller import (decode_diploid_indels, decode_haploid_indels,
+                                   infer_haploid_indel_batch, infer_indel_batch)
+        from .runtime.scheduler import feature_stream
+        from .runtime.workers import (cfg_kwargs_for_workers,
+                                      indel_features_worker)
+
         state = IndelCallerState.create(cfg.indel_model)
-        chunk_lines = []
         order = sorted(range(len(indel_chunks)),
                        key=lambda i: (list(contigs).index(indel_chunks[i]["chrom"]),
                                       indel_chunks[i]["start"]))
-        for i in order:
-            chunk = indel_chunks[i]
-            tags = hap_tags_by_contig.get(chunk["chrom"])
-            rw = _decode_with_tags(bam, fasta, chunk, cfg, tags)
-            lines = call_indel_chunk(state, bam, fasta, chunk, cfg,
-                                     exclude=exclude, rw=rw)
-            chunk_lines.append(lines)
+        ordered_chunks = [indel_chunks[i] for i in order]
+        parallel = cfg.cpu > 1
+        for chunk in ordered_chunks:
+            # phase→indel handoff: workers re-read the haplotagged BAM
+            # artifact; the inline path gets tags injected in memory
+            if parallel and chunk.get("ploidy") != "haploid" and \
+                    chunk["chrom"] in hap_tags_by_contig:
+                pbam = os.path.join(phase_dir, "%s.phased.bam" % chunk["chrom"])
+                if os.path.exists(pbam):
+                    chunk["sam_path"] = pbam
+
+        results = {}
+        if parallel:
+            init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg),
+                         resolve_exclude_bed(cfg.exclude_bed) if cfg.exclude_bed else None)
+            stream = feature_stream(ordered_chunks, indel_features_worker,
+                                    init_args, cfg.cpu)
+        else:
+            def _inline():
+                from .pileup.indel_features import get_indel_candidates
+
+                for i, chunk in enumerate(ordered_chunks):
+                    tags = hap_tags_by_contig.get(chunk["chrom"])
+                    rw = _decode_with_tags(bam, fasta, chunk, cfg, tags)
+                    yield i, get_indel_candidates(
+                        bam, fasta, chunk, seq_type=cfg.sequencing,
+                        mincov=cfg.mincov, maxcov=cfg.maxcov,
+                        ins_t=cfg.ins_threshold, del_t=cfg.del_threshold,
+                        win_size=cfg.win_size,
+                        small_win_size=cfg.small_win_size,
+                        impute_indel_phase=cfg.impute_indel_phase,
+                        exclude=exclude,
+                        ploidy=chunk.get("ploidy", "diploid"), rw=rw)
+            stream = _inline()
+
+        for idx, batch in stream:
+            if len(batch) == 0:
+                results[idx] = []
+            elif ordered_chunks[idx].get("ploidy") == "haploid":
+                probs = infer_haploid_indel_batch(state, batch)
+                results[idx] = decode_haploid_indels(batch, probs)
+            else:
+                probs = infer_indel_batch(state, batch)
+                results[idx] = decode_diploid_indels(batch, probs)
             if progress:
                 progress(1)
+        chunk_lines = [results.get(i, []) for i in range(len(ordered_chunks))]
         outputs["indels"] = write_indel_vcf(cfg, list(contigs), chunk_lines,
                                             cfg.output)
 

@@ -1,0 +1,80 @@
+"""Feature-generation worker processes (no JAX imports here).
+
+The reference parallelizes with mp.Process workers that each run feature
+gen AND model inference on CPU (snpCaller.py:238-241). TPU-native split:
+host-side feature generation fans out across worker processes while the
+single device owner runs batched inference — workers must therefore
+never touch JAX/TPU state (this module only imports io + pileup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_G = {}
+
+
+def init_worker(bam_path, fasta_path, cfg_kwargs, exclude_path):
+    """Pool initializer: open per-process file handles."""
+    from ..io.bam import BamReader
+    from ..io.bed import BedIntervals
+    from ..io.fasta import FastaFile
+
+    _G["bam"] = BamReader(bam_path)
+    _G["bam_path"] = bam_path
+    _G["bam_cache"] = {bam_path: _G["bam"]}
+    _G["fasta"] = FastaFile(fasta_path)
+    _G["cfg"] = cfg_kwargs
+    _G["exclude"] = BedIntervals(exclude_path) if exclude_path else None
+
+
+def _bam_for(path):
+    from ..io.bam import BamReader
+
+    cache = _G["bam_cache"]
+    if path not in cache:
+        cache[path] = BamReader(path)
+    return cache[path]
+
+
+def snp_features_worker(task):
+    """(idx, chunk) → (idx, SnpBatch)."""
+    idx, chunk = task
+    from ..pileup.snp_features import get_snp_candidates
+
+    cfg = _G["cfg"]
+    batch = get_snp_candidates(
+        _G["bam"], _G["fasta"], chunk,
+        seq_type=cfg["sequencing"], mincov=cfg["mincov"],
+        maxcov=cfg["maxcov"], min_allele_freq=cfg["min_allele_freq"],
+        min_nbr_sites=cfg["min_nbr_sites"], threshold=cfg["threshold"],
+        ploidy=chunk.get("ploidy", "diploid"), exclude=_G["exclude"])
+    return idx, batch
+
+
+def indel_features_worker(task):
+    """(idx, chunk) → (idx, IndelBatch|HaploidIndelBatch). chunk may carry
+    'sam_path' pointing at the haplotagged BAM (phase→indel handoff)."""
+    idx, chunk = task
+    from ..pileup.indel_features import get_indel_candidates
+
+    cfg = _G["cfg"]
+    bam = _bam_for(chunk.get("sam_path") or _G["bam_path"])
+    batch = get_indel_candidates(
+        bam, _G["fasta"], chunk, seq_type=cfg["sequencing"],
+        mincov=cfg["mincov"], maxcov=cfg["maxcov"], ins_t=cfg["ins_threshold"],
+        del_t=cfg["del_threshold"], win_size=cfg["win_size"],
+        small_win_size=cfg["small_win_size"],
+        impute_indel_phase=cfg["impute_indel_phase"], exclude=_G["exclude"],
+        ploidy=chunk.get("ploidy", "diploid"))
+    return idx, batch
+
+
+def cfg_kwargs_for_workers(cfg):
+    return dict(
+        sequencing=cfg.sequencing, mincov=cfg.mincov, maxcov=cfg.maxcov,
+        min_allele_freq=cfg.min_allele_freq, min_nbr_sites=cfg.min_nbr_sites,
+        threshold=cfg.threshold, ins_threshold=cfg.ins_threshold,
+        del_threshold=cfg.del_threshold, win_size=cfg.win_size,
+        small_win_size=cfg.small_win_size,
+        impute_indel_phase=cfg.impute_indel_phase)

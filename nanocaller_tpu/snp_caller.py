@@ -265,22 +265,39 @@ def call_chunk(state, bam, fasta, chunk, cfg, exclude=None):
 
 
 def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
-              progress=None):
+              progress=None, exclude_path=None):
     """Run SNP calling over all chunks; write unfiltered + PASS VCFs.
 
-    Returns the PASS VCF path (the reference's return contract,
-    snpCaller.py:287).
+    Feature generation fans out over cfg.cpu worker processes while this
+    process owns the device and runs batched inference as batches stream
+    in (runtime/scheduler.py). Returns the PASS VCF path (the reference's
+    return contract, snpCaller.py:287).
     """
     import os
 
+    from .runtime.scheduler import feature_stream
+    from .runtime.workers import cfg_kwargs_for_workers, snp_features_worker
+
     state = SnpCallerState.create(cfg.snp_model)
     contigs = list(dict.fromkeys(x[0] for x in regions_list))
-    chunk_lines = []
     order = sorted(range(len(chunks)),
-                   key=lambda i: (contigs.index(chunks[i]["chrom"]), chunks[i]["start"]))
-    for i in order:
-        lines = call_chunk(state, bam, fasta, chunks[i], cfg, exclude=exclude)
-        chunk_lines.append(lines)
+                   key=lambda i: (contigs.index(chunks[i]["chrom"]),
+                                  chunks[i]["start"]))
+    ordered_chunks = [chunks[i] for i in order]
+    ploidy_of = [c.get("ploidy", "diploid") for c in ordered_chunks]
+
+    results = {}
+    init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg), exclude_path)
+    for idx, batch in feature_stream(ordered_chunks, snp_features_worker,
+                                     init_args, cfg.cpu):
+        if len(batch) == 0:
+            results[idx] = []
+        else:
+            probs = infer_snp_batch(state, batch, cfg, ploidy_of[idx])
+            if ploidy_of[idx] == "haploid":
+                results[idx] = decode_haploid(batch, probs)
+            else:
+                results[idx] = decode_diploid(batch, probs)
         if progress:
             progress(1)
 
@@ -288,8 +305,8 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
     all_path = os.path.join(out_dir, "%s.unfiltered.snps.vcf.gz" % cfg.prefix)
     pass_path = os.path.join(out_dir, "%s.snps.vcf.gz" % cfg.prefix)
     with VcfWriter(all_path, header) as w:
-        for lines in chunk_lines:
-            for ln in lines:
+        for idx in range(len(ordered_chunks)):
+            for ln in results.get(idx, []):
                 w.write(ln)
     view_filter(all_path, pass_path, lambda r: r.filter == "PASS")
     return pass_path
