@@ -41,6 +41,26 @@ def _row_codes(row):
     return _CODE_LUT[np.frombuffer(row.encode(), dtype=np.uint8)]
 
 
+def msa_sample(seq_list, v_pos, maxcov):
+    """Deterministic maxcov downsample; sorted read names (the reference
+    sorts its sample at generate_indel_pileups.py:22)."""
+    sample = sorted(seq_list.keys())
+    if len(sample) > maxcov:
+        rng = np.random.default_rng((812 << 32) | (int(v_pos) & 0xFFFFFFFF))
+        pick = rng.choice(len(sample), size=maxcov, replace=False)
+        sample = [sample[i] for i in sorted(pick)]
+    return sample
+
+
+def star_msa_from_cigars(seqs, cigars, ref, mincov):
+    """Column projection + tensor given precomputed read-vs-ref cigars."""
+    if len(seqs) < mincov:
+        return (0, 0, None, None, None)
+    rows, ref_row = project_alignments(seqs, cigars, ref)
+    tensor, cns, ref_degapped = msa_tensor(rows, ref_row)
+    return (1, 1, tensor, cns, ref_degapped)
+
+
 def star_msa(seq_list, ref, v_pos, mincov, maxcov, align_fn=None):
     """MSA over read windows + ref; same contract as the reference msa().
 
@@ -48,26 +68,16 @@ def star_msa(seq_list, ref, v_pos, mincov, maxcov, align_fn=None):
     Returns (flag, flag, tensor (5,128,2) float32, consensus, ref) or
     (0, 0, None, None, None) when coverage is insufficient.
     """
-    sample = sorted(seq_list.keys())
-    if len(sample) > maxcov:
-        rng = np.random.default_rng((812 << 32) | (int(v_pos) & 0xFFFFFFFF))
-        pick = rng.choice(len(sample), size=maxcov, replace=False)
-        sample = [sample[i] for i in sorted(pick)]
+    sample = msa_sample(seq_list, v_pos, maxcov)
     if len(sample) < mincov:
         return (0, 0, None, None, None)
-
     seqs = [seq_list[name] for name in sample]
     if align_fn is None:
         align_fn = lambda s: nw_align(
             s, ref, match=MSA_MATCH, mismatch=MSA_MISMATCH,
             gap_open=MSA_GAP_OPEN, gap_extend=MSA_GAP_EXTEND)[1]
     cigars = [align_fn(s) for s in seqs]
-
-    rows, ref_row = project_alignments(seqs, cigars, ref)
-    if len(rows) < mincov:
-        return (0, 0, None, None, None)
-    tensor, cns, ref_degapped = msa_tensor(rows, ref_row)
-    return (1, 1, tensor, cns, ref_degapped)
+    return star_msa_from_cigars(seqs, cigars, ref, mincov)
 
 
 def project_alignments(seqs, cigars, ref):

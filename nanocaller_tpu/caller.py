@@ -173,7 +173,8 @@ def run(cfg: Config, progress=None):
                         small_win_size=cfg.small_win_size,
                         impute_indel_phase=cfg.impute_indel_phase,
                         exclude=exclude,
-                        ploidy=chunk.get("ploidy", "diploid"), rw=rw)
+                        ploidy=chunk.get("ploidy", "diploid"), rw=rw,
+                        use_device_alignment=cfg.device_alignment)
             stream = _inline()
 
         for idx, batch in stream:

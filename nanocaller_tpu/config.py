@@ -59,6 +59,7 @@ class Config:
     suppress_progress: bool = False
     verbose: bool = False
     skip_phased_bam: bool = False  # skip the per-contig phased BAM artifact
+    device_alignment: bool = True  # batch indel NW alignments on the TPU
 
     @property
     def threshold(self):

@@ -266,7 +266,8 @@ def call_indel_chunk(state, bam, fasta, chunk, cfg, exclude=None, rw=None):
         maxcov=cfg.maxcov, ins_t=cfg.ins_threshold, del_t=cfg.del_threshold,
         win_size=cfg.win_size, small_win_size=cfg.small_win_size,
         impute_indel_phase=cfg.impute_indel_phase, exclude=exclude,
-        ploidy=ploidy, rw=rw)
+        ploidy=ploidy, rw=rw,
+        use_device_alignment=getattr(cfg, "device_alignment", False))
     if len(batch) == 0:
         return []
     if ploidy == "haploid":

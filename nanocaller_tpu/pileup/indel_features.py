@@ -223,13 +223,14 @@ def _impute_split(groups, rw, mincov):
     return None
 
 
-def allele_prediction(alt, ref_seq, max_range):
+def allele_prediction(alt, ref_seq, max_range, cigar=None):
     """NW cigar walk → (REF, ALT) allele strings; bug-for-bug port of
     generate_indel_pileups.py:77-127 (incl. the trailing-op trim and
     the +1 when no match precedes the indel)."""
     if not alt or not ref_seq:
         return (None, None)
-    cigar = nw_align(alt, ref_seq)[1]
+    if cigar is None:
+        cigar = nw_align(alt, ref_seq)[1]
     indel = False
     ref_cnt = [0] * 10
     alt_cnt = [0] * 10
@@ -351,10 +352,17 @@ class _ColumnView:
 def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
                          maxcov=160, ins_t=0.4, del_t=0.6, win_size=40,
                          small_win_size=4, impute_indel_phase=False,
-                         exclude=None, ploidy="diploid", rw=None):
+                         exclude=None, ploidy="diploid", rw=None,
+                         use_device_alignment=False):
     """Full indel feature generation for one chunk (1-based chunk coords).
 
     Diploid returns IndelBatch; haploid returns HaploidIndelBatch.
+
+    use_device_alignment=True batches ALL read-vs-ref MSA alignments and
+    consensus-vs-ref allele alignments of the chunk through the TPU
+    wavefront DP (align/batch_nw.py) in two launches; cigars are
+    bit-identical to the numpy path, so results don't depend on the
+    flag (feature workers, which must not touch JAX, always use numpy).
     """
     contig = chunk["chrom"]
     start0 = chunk["start"] - 1
@@ -386,9 +394,22 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
     hap1_set = set(np.flatnonzero(rw.hp == 1).tolist())
     hap2_set = set(np.flatnonzero(rw.hp == 2).tolist())
 
-    out_pos, out_x0, out_x1, out_x2, out_alleles, out_phase = [], [], [], [], [], []
-    hap_out_x, hap_out_alleles = [], []
+    from ..align.msa import (MSA_GAP_EXTEND, MSA_GAP_OPEN, MSA_MATCH,
+                             MSA_MISMATCH, msa_sample, star_msa_from_cigars)
 
+    aligner_msa = aligner_allele = None
+    if use_device_alignment:
+        from ..align.batch_nw import BatchAligner
+
+        aligner_msa = BatchAligner(match=MSA_MATCH, mismatch=MSA_MISMATCH,
+                                   gap_open=MSA_GAP_OPEN,
+                                   gap_extend=MSA_GAP_EXTEND)
+        aligner_allele = BatchAligner()
+
+    # phase A: collect MSA jobs (window extraction + sampling)
+    group_keys = ("tot",) if haploid else ("h0", "h1", "tot")
+    group_mincov = {"h0": 2, "h1": 2, "tot": mincov}
+    jobs = []
     for v0 in sorted(variants):
         if v0 < scan_lo:
             continue
@@ -402,8 +423,7 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
         reads = cview.reads_at(v0)
         if not reads:
             continue
-        d_tot = {}
-        d0, d1 = {}, {}
+        d = {"h0": {}, "h1": {}, "tot": {}}
         if v0 in extra:
             names0, names1 = extra[v0]
         else:
@@ -413,40 +433,84 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
             seq = rw.seqs[rid]
             dt = seq[max(0, qpos): qpos + window_after]
             name = rw.qnames[rid]
-            d_tot[name] = dt
+            d["tot"][name] = dt
             if rid in names0:
-                d0[name] = dt
+                d["h0"][name] = dt
                 if first_h0_rid is None:
                     first_h0_rid = rid
             elif rid in names1:
-                d1[name] = dt
-
-        mr = max_range[variants[v0]]
+                d["h1"][name] = dt
         v1 = v0 + 1
-        if haploid:
-            ft, _, xt, cns_t, ref_t = star_msa(d_tot, ref_win, v1, mincov, maxcov)
-            if ft:
-                hap_out_x.append(xt)
-                hap_out_alleles.append(allele_prediction(cns_t, ref_t, mr))
-                out_pos.append(v1)
-            continue
+        seqs_by_group = {}
+        for key in group_keys:
+            names = msa_sample(d[key], v1, maxcov)
+            seqs_by_group[key] = [d[key][n] for n in names]
+        ps = int(rw.ps[first_h0_rid]) if (
+            first_h0_rid is not None and rw.ps[first_h0_rid] >= 0) else None
+        jobs.append({"v1": v1, "mr": max_range[variants[v0]],
+                     "ref": ref_win, "seqs": seqs_by_group, "ps": ps})
 
-        f0, _, x0, cns0, ref0 = star_msa(d0, ref_win, v1, 2, maxcov)
-        f1, _, x1, cns1, ref1 = star_msa(d1, ref_win, v1, 2, maxcov)
-        ft, _, xt, cns_t, ref_t = star_msa(d_tot, ref_win, v1, mincov, maxcov)
-        if f0 and f1 and ft:
-            out_pos.append(v1)
-            out_x0.append(x0)
-            out_x1.append(x1)
-            out_x2.append(xt)
-            ps = int(rw.ps[first_h0_rid]) if (
-                first_h0_rid is not None and rw.ps[first_h0_rid] >= 0) else None
-            out_phase.append(ps)
-            out_alleles.append((
-                allele_prediction(cns0, ref0, mr),
-                allele_prediction(cns1, ref1, mr),
-                allele_prediction(cns_t, ref_t, mr),
-            ))
+    # round 1: all read-vs-ref alignments in one device sweep
+    if aligner_msa is not None:
+        pairs = [(s, job["ref"]) for job in jobs
+                 for key in group_keys for s in job["seqs"][key]]
+        flat_cigars = iter(aligner_msa.align_many(pairs))
+        msa_cigars = [
+            {key: [next(flat_cigars) for _ in job["seqs"][key]]
+             for key in group_keys}
+            for job in jobs]
+    else:
+        msa_cigars = [
+            {key: [nw_align(s, job["ref"], match=MSA_MATCH,
+                            mismatch=MSA_MISMATCH, gap_open=MSA_GAP_OPEN,
+                            gap_extend=MSA_GAP_EXTEND)[1]
+                   for s in job["seqs"][key]]
+             for key in group_keys}
+            for job in jobs]
+
+    # column projection + consensus per job, then round 2: allele NW
+    out_pos, out_x0, out_x1, out_x2, out_alleles, out_phase = [], [], [], [], [], []
+    hap_out_x, hap_out_alleles = [], []
+    per_job = []
+    allele_pairs = []
+    for job, cig in zip(jobs, msa_cigars):
+        res = {}
+        for key in group_keys:
+            res[key] = star_msa_from_cigars(
+                job["seqs"][key], cig[key], job["ref"], group_mincov[key])
+        ok = all(res[key][0] for key in group_keys)
+        per_job.append((job, res, ok))
+        if ok:
+            for key in group_keys:
+                _, _, _, cns, ref_d = res[key]
+                allele_pairs.append((cns, ref_d))
+    if aligner_allele is not None:
+        allele_cigars = iter(aligner_allele.align_many(
+            [(a or "", b or "") for a, b in allele_pairs]))
+    else:
+        allele_cigars = iter(
+            [None] * len(allele_pairs))
+
+    for job, res, ok in per_job:
+        if not ok:
+            continue
+        preds = {}
+        for key in group_keys:
+            _, _, x, cns, ref_d = res[key]
+            cig = next(allele_cigars)
+            if cig is not None and (not cns or not ref_d):
+                cig = None
+            preds[key] = allele_prediction(cns, ref_d, job["mr"], cigar=cig)
+        out_pos.append(job["v1"])
+        if haploid:
+            hap_out_x.append(res["tot"][2])
+            hap_out_alleles.append(preds["tot"])
+        else:
+            out_x0.append(res["h0"][2])
+            out_x1.append(res["h1"][2])
+            out_x2.append(res["tot"][2])
+            out_phase.append(job["ps"])
+            out_alleles.append((preds["h0"], preds["h1"], preds["tot"]))
 
     if haploid:
         x = np.stack(hap_out_x) if hap_out_x else np.zeros((0, 5, 128, 2), np.float32)

@@ -131,6 +131,26 @@ class TestScan:
             assert any(abs(v - p) <= 45 for v in vpos), (p, vpos)
 
 
+class TestDeviceAlignmentParity:
+    def test_device_path_identical(self, indel_fixture):
+        (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
+        from nanocaller_tpu.io.fasta import FastaFile
+
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        chunk = {"chrom": "chr_t", "start": 1, "end": 6000}
+        kw = dict(seq_type="ont", mincov=4, maxcov=160, ins_t=0.4, del_t=0.6,
+                  win_size=40, small_win_size=4)
+        a = get_indel_candidates(bam, fasta, chunk, use_device_alignment=False, **kw)
+        b = get_indel_candidates(bam, fasta, chunk, use_device_alignment=True, **kw)
+        assert a.pos == b.pos and len(a.pos) > 0
+        np.testing.assert_array_equal(a.x0, b.x0)
+        np.testing.assert_array_equal(a.x1, b.x1)
+        np.testing.assert_array_equal(a.x2, b.x2)
+        assert a.alleles == b.alleles
+        assert a.phase == b.phase
+
+
 class TestEndToEndIndels:
     def test_call_recovers_planted(self, indel_fixture, tmp_path):
         (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
