@@ -137,8 +137,10 @@ class BatchAligner:
 
     BUCKETS = (64, 128, 192, 256, 320, 512)
 
-    def __init__(self, match=20, mismatch=-10, gap_open=9, gap_extend=1):
+    def __init__(self, match=20, mismatch=-10, gap_open=9, gap_extend=1,
+                 use_pallas=False):
         self.params = (match, mismatch, gap_open, gap_extend)
+        self.use_pallas = use_pallas
 
     def _bucket(self, n):
         for b in self.BUCKETS:
@@ -178,7 +180,13 @@ class BatchAligner:
                 qlens[b] = len(qa)
                 rlens[b] = len(ra)
             m, x, go, ge = self.params
-            _, tb = _batch_nw(qcodes, rcodes, m, x, go, ge, Q, R)
+            if self.use_pallas:
+                from .pallas_nw import batch_nw_tb_pallas
+
+                W = max(128, -(-(R + 1) // 128) * 128)
+                tb = batch_nw_tb_pallas(qcodes, rcodes, m, x, go, ge, Q, W)
+            else:
+                _, tb = _batch_nw(qcodes, rcodes, m, x, go, ge, Q, R)
             tb = np.asarray(tb)
             for b, k in enumerate(idxs):
                 walk = _traceback_matrix(tb[b], qlens[b], rlens[b])
