@@ -56,6 +56,58 @@ def make_train_step(model, tx):
     return train_step
 
 
+def train_snp_model(train_examples, val_examples, out_dir, *, epochs=100,
+                    lr=1e-3, batch_size=128, seed=0, init_params=None,
+                    log=print):
+    """Epoch loop mirroring the reference trainer's shape
+    (model_run.py:93-186: per-epoch validation + checkpoint-per-epoch,
+    retrain-from-checkpoint via init_params). Checkpoints are saved as
+    npz packs directly loadable by models/registry.load_model."""
+    import os
+
+    import numpy as np
+
+    from ..models import SNPModel
+    from ..models.weights import params_to_npz
+    from .data import batches_from_examples
+
+    model = SNPModel()
+    rng = np.random.default_rng(seed)
+    if init_params is None:
+        ex0 = next(batches_from_examples(train_examples, 2, rng))
+        params = model.init(jax.random.PRNGKey(seed), ex0["x"], ex0["ref"])
+    else:
+        params = init_params
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(model, tx))
+
+    os.makedirs(out_dir, exist_ok=True)
+    history = []
+    for epoch in range(epochs):
+        losses = []
+        for batch in batches_from_examples(train_examples, batch_size, rng):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        val_acc = None
+        if val_examples is not None and len(val_examples["gt"]):
+            n_ok = n_tot = 0
+            for batch in batches_from_examples(
+                    val_examples, min(batch_size, len(val_examples["gt"])),
+                    np.random.default_rng(0)):
+                n_ok += int(joint_accuracy(model, params, batch))
+                n_tot += len(batch["gt_label"])
+            val_acc = n_ok / max(1, n_tot)
+        ckpt = os.path.join(out_dir, "snp_model-%d.npz" % (epoch + 1))
+        params_to_npz(ckpt, jax.tree.map(np.asarray, params))
+        history.append({"epoch": epoch + 1,
+                        "loss": float(np.mean(losses)) if losses else None,
+                        "val_acc": val_acc, "ckpt": ckpt})
+        log("epoch %d loss %.4f val_acc %s" % (
+            epoch + 1, history[-1]["loss"] or 0.0, val_acc))
+    return params, history
+
+
 def joint_accuracy(model, params, batch):
     """The reference's 5-head joint accuracy metric
     (misc/training/model_architect.py:172-175)."""
