@@ -162,6 +162,43 @@ class TestAllMode:
         assert outputs["snps"] and outputs["phased_snps"]
         assert outputs["indels"] is None
 
+    def test_haploid_genome_mode(self, tmp_path):
+        """--haploid_genome: haploid SNP model (×100 Phred scale) and
+        haploid indel path (sigmoid)."""
+        rng = np.random.default_rng(9)
+        L = 6000
+        ref_seq = random_seq(rng, L)
+        snps = []
+        for pos in range(600, L - 600, 800):
+            rb = ref_seq[pos]
+            snps.append((pos, "ACGT"[("ACGT".index(rb) + 1) % 4], "hom"))
+        indels = [(3000, "del", 5, "hom")]
+        reads = make_diploid_readset(rng, ref_seq, snps=snps, indels=indels,
+                                     depth=30, read_len=900, error_rate=0.02)
+        fasta_p = str(tmp_path / "hap.fa")
+        write_fasta(fasta_p, {"chrM": ref_seq})
+        bam_p = str(tmp_path / "hap.bam")
+        write_bam(bam_p, "chrM", L, reads)
+        out = str(tmp_path / "outh")
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+            "--output", out, "--prefix", "h1", "--haploid_genome"])
+        # chrM is always haploid anyway (utils.py:57) — both routes agree.
+        # The CHM13 haploid model is weakly calibrated on synthetic reads
+        # (alt usually tops but near 0.5), so assert presence in the
+        # unfiltered output + GT form, not confident PASS calls.
+        unf = list(VcfReader(os.path.join(out, "h1.unfiltered.snps.vcf.gz")))
+        assert unf and all(r.sample_field("GT") == "1/1" for r in unf)
+        planted = {p + 1 for p, a, g in snps}
+        got = {r.pos for r in unf}
+        assert len(planted & got) >= 0.7 * len(planted)
+        # haploid quals use the ×100 Phred scale (snpCaller.py:192)
+        assert any(r.qual_value > 60 for r in unf)
+        ind = list(VcfReader(outputs["indels"]))
+        del_hits = [r for r in ind if abs(r.pos - 3001) <= 3
+                    and any(len(r.ref) - len(a) == 5 for a in r.alt.split(","))]
+        assert del_hits, [(r.pos, r.ref, r.alt) for r in ind]
+
     def test_indels_mode_with_tagged_bam(self, tmp_path):
         # pre-tagged BAM straight into indel-only mode
         indels = [(2000, "ins", "AAAA", "het2")]

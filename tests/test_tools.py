@@ -1,0 +1,116 @@
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from nanocaller_tpu.io.vcf import VcfReader, VcfRecord, VcfWriter
+from nanocaller_tpu.runtime.distributed import merge_host_shards, shard_chunks
+from nanocaller_tpu.runtime.metrics import Metrics
+
+from fixtures import make_fixture
+
+HDR = ["##fileformat=VCFv4.2", "##contig=<ID=c1>",
+       '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+       "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+
+
+def write_vcf(path, rows):
+    with VcfWriter(path, HDR) as w:
+        for pos, ref, alt, qual, gt in rows:
+            w.write(VcfRecord("c1", pos, ref, alt, str(qual), "PASS",
+                              format_="GT", samples=[gt]))
+    return path
+
+
+class TestVcfCompare:
+    def test_metrics(self, tmp_path):
+        import vcf_compare
+
+        truth = write_vcf(str(tmp_path / "t.vcf.gz"), [
+            (100, "A", "T", 50, "0/1"), (200, "C", "G", 50, "1/1"),
+            (300, "G", "A", 50, "0/1")])
+        calls = write_vcf(str(tmp_path / "c.vcf.gz"), [
+            (100, "A", "T", 30, "0/1"),      # TP
+            (200, "C", "G", 20, "0/1"),      # genotype mismatch → FP
+            (400, "T", "C", 10, "0/1")])     # FP
+        best = vcf_compare.main(["--calls", calls, "--truth", truth, "--json"])
+        assert best["tp"] == 1 and best["fn"] == 2
+
+    def test_type_filter(self, tmp_path):
+        import vcf_compare
+
+        truth = write_vcf(str(tmp_path / "t2.vcf.gz"), [
+            (100, "A", "AT", 50, "0/1")])
+        calls = write_vcf(str(tmp_path / "c2.vcf.gz"), [
+            (100, "A", "AT", 30, "0/1"), (150, "G", "C", 30, "0/1")])
+        best = vcf_compare.main(["--calls", calls, "--truth", truth,
+                                 "--type", "indel", "--json"])
+        assert best["tp"] == 1 and best["fp"] == 0
+
+
+class TestEnsemble:
+    def test_majority_vote(self, tmp_path):
+        import ensemble
+
+        a = write_vcf(str(tmp_path / "a.vcf.gz"),
+                      [(100, "A", "T", 40, "0/1"), (200, "C", "G", 10, "1/1")])
+        b = write_vcf(str(tmp_path / "b.vcf.gz"),
+                      [(100, "A", "T", 35, "0/1"), (300, "G", "A", 20, "0/1")])
+        c = write_vcf(str(tmp_path / "c.vcf.gz"),
+                      [(100, "A", "T", 99, "0/1"), (200, "C", "G", 30, "1/1")])
+        out = str(tmp_path / "ens.vcf.gz")
+        ensemble.main([a, b, c, "--out", out])
+        recs = {r.pos: r for r in VcfReader(out)}
+        assert 100 in recs and recs[100].sample_field("GT") == "0/1"
+        assert 200 in recs and recs[200].sample_field("GT") == "1/1"
+        assert 300 not in recs  # only one vote
+
+    def test_snp_readnames(self, tmp_path):
+        import snp_readnames
+
+        fasta_p, bam_p, ref_seq, snps = make_fixture(tmp_path, depth=20, L=4000)
+        vcf_p = str(tmp_path / "v.vcf.gz")
+        het_snps = [s for s in snps if s[2] != "hom"][:2]
+        rows = [(p + 1, ref_seq[p], a, 50, "0/1") for p, a, g in het_snps]
+        hdr = [h.replace("c1", "chr_t") for h in HDR]
+        with VcfWriter(vcf_p, hdr) as w:
+            for pos, ref, alt, qual, gt in rows:
+                w.write(VcfRecord("chr_t", pos, ref, alt, str(qual), "PASS",
+                                  format_="GT", samples=[gt]))
+        out = str(tmp_path / "names.txt")
+        snp_readnames.main(["--vcf", vcf_p, "--bam", bam_p, "--output", out])
+        lines = open(out).read().strip().split("\n")
+        assert len(lines) == 2
+        f = lines[0].split("\t")
+        assert f[0] == "chr_t"
+        # both allele columns have reads
+        assert len(f[2].split(":")[1].split(",")) > 3
+        assert len(f[3].split(":")[1].split(",")) > 3
+
+
+class TestDistributedHelpers:
+    def test_shard_chunks(self):
+        chunks = [{"chrom": "c", "start": i, "end": i + 1} for i in range(10)]
+        parts = [shard_chunks(chunks, p, 3) for p in range(3)]
+        assert sum(len(p) for p in parts) == 10
+        seen = [c["start"] for part in parts for c in part]
+        assert sorted(seen) == list(range(10))
+
+    def test_merge_host_shards(self, tmp_path):
+        p1 = write_vcf(str(tmp_path / "h0.vcf.gz"), [(10, "A", "T", 5, "0/1")])
+        p2 = write_vcf(str(tmp_path / "h1.vcf.gz"), [(5, "C", "G", 5, "0/1")])
+        out = merge_host_shards([p1, p2, str(tmp_path / "missing.vcf.gz")],
+                                str(tmp_path / "m.vcf.gz"))
+        assert [r.pos for r in VcfReader(out)] == [5, 10]
+
+    def test_metrics(self, tmp_path):
+        m = Metrics()
+        with m.timer("stage_a"):
+            pass
+        m.count("candidates", 5)
+        d = m.as_dict()
+        assert "stage_a" in d["timers_s"] and d["counts"]["candidates"] == 5
+        m.dump(str(tmp_path / "metrics.json"))
