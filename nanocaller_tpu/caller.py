@@ -37,8 +37,26 @@ from .snp_caller import SnpCallerState, call_snps
 
 def run(cfg: Config, progress=None):
     """Execute the configured pipeline; returns dict of output paths."""
+    import shutil
+
+    from .runtime.metrics import Metrics
+    from .runtime.scheduler import RunManifest
+
     os.makedirs(cfg.output, exist_ok=True)
     cfg.dump(os.path.join(cfg.output, "args"))
+    metrics = Metrics()
+
+    manifest_path = os.path.join(cfg.output, "run_manifest.json")
+    if not cfg.resume:
+        # fresh run: wipe stale state (the reference always restarts from
+        # scratch, snpCaller.py:228-229; --resume opts into reuse)
+        for p in (manifest_path,
+                  os.path.join(cfg.output, "intermediate_shards")):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+    manifest = RunManifest(manifest_path)
 
     bam = BamReader(cfg.bam)
     fasta = FastaFile(cfg.ref)
@@ -53,9 +71,11 @@ def run(cfg: Config, progress=None):
     snp_vcf = None
     if cfg.mode in ("snps", "all"):
         chunks = get_chunks(regions_list, cfg.cpu)
-        snp_vcf = call_snps(cfg, bam, fasta, regions_list, chunks, cfg.output,
-                            exclude=exclude, progress=progress,
-                            exclude_path=exclude_path)
+        with metrics.timer("snp_calling"):
+            snp_vcf = call_snps(cfg, bam, fasta, regions_list, chunks,
+                                cfg.output, exclude=exclude, progress=progress,
+                                exclude_path=exclude_path, manifest=manifest)
+        metrics.count("snp_chunks", len(chunks))
         outputs["snps"] = snp_vcf
 
     want_phase = cfg.mode == "all" or (cfg.mode == "snps" and cfg.phase)
@@ -79,7 +99,9 @@ def run(cfg: Config, progress=None):
     hap_tags_by_contig = {}
     phased_files = []
 
+    phase_timer = metrics.timer("phasing")
     if want_phase or (want_indels and cfg.mode == "all"):
+        phase_timer.__enter__()
         if snp_vcf is None:
             snp_vcf = os.path.join(cfg.output, "%s.snps.vcf.gz" % cfg.prefix)
         snp_reader = VcfReader(snp_vcf) if os.path.exists(snp_vcf) else None
@@ -129,6 +151,7 @@ def run(cfg: Config, progress=None):
                                       "%s.snps.phased.vcf.gz" % cfg.prefix)
             concat(phased_files, phased_out)
             outputs["phased_snps"] = phased_out
+        phase_timer.__exit__(None, None, None)
 
     if want_indels:
         from .indel_caller import (decode_diploid_indels, decode_haploid_indels,
@@ -153,16 +176,26 @@ def run(cfg: Config, progress=None):
                     chunk["sam_path"] = pbam
 
         results = {}
+        todo = []
+        for idx, chunk in enumerate(ordered_chunks):
+            if manifest.is_done("indel", chunk):
+                with open(manifest.shard_path("indel", chunk)) as fh:
+                    results[idx] = fh.readlines()
+                if progress:
+                    progress(1)
+            else:
+                todo.append(idx)
+        todo_chunks = [ordered_chunks[i] for i in todo]
         if parallel:
             init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg),
                          resolve_exclude_bed(cfg.exclude_bed) if cfg.exclude_bed else None)
-            stream = feature_stream(ordered_chunks, indel_features_worker,
+            stream = feature_stream(todo_chunks, indel_features_worker,
                                     init_args, cfg.cpu)
         else:
             def _inline():
                 from .pileup.indel_features import get_indel_candidates
 
-                for i, chunk in enumerate(ordered_chunks):
+                for i, chunk in enumerate(todo_chunks):
                     tags = hap_tags_by_contig.get(chunk["chrom"])
                     rw = _decode_with_tags(bam, fasta, chunk, cfg, tags)
                     yield i, get_indel_candidates(
@@ -177,17 +210,27 @@ def run(cfg: Config, progress=None):
                         use_device_alignment=cfg.device_alignment)
             stream = _inline()
 
-        for idx, batch in stream:
-            if len(batch) == 0:
-                results[idx] = []
-            elif ordered_chunks[idx].get("ploidy") == "haploid":
-                probs = infer_haploid_indel_batch(state, batch)
-                results[idx] = decode_haploid_indels(batch, probs)
-            else:
-                probs = infer_indel_batch(state, batch)
-                results[idx] = decode_diploid_indels(batch, probs)
-            if progress:
-                progress(1)
+        with metrics.timer("indel_calling"):
+            for sub_idx, batch in stream:
+                idx = todo[sub_idx]
+                if len(batch) == 0:
+                    results[idx] = []
+                elif ordered_chunks[idx].get("ploidy") == "haploid":
+                    probs = infer_haploid_indel_batch(state, batch)
+                    results[idx] = decode_haploid_indels(batch, probs)
+                else:
+                    probs = infer_indel_batch(state, batch)
+                    results[idx] = decode_diploid_indels(batch, probs)
+                chunk = ordered_chunks[idx]
+                shard = os.path.join(
+                    manifest.shard_dir,
+                    "indel_%s_%d.body" % (chunk["chrom"], chunk["start"]))
+                with open(shard, "w") as fh:
+                    fh.writelines(results[idx])
+                manifest.mark_done("indel", chunk, shard)
+                if progress:
+                    progress(1)
+        metrics.count("indel_chunks", len(ordered_chunks))
         chunk_lines = [results.get(i, []) for i in range(len(ordered_chunks))]
         outputs["indels"] = write_indel_vcf(cfg, list(contigs), chunk_lines,
                                             cfg.output)
@@ -196,6 +239,7 @@ def run(cfg: Config, progress=None):
         final = os.path.join(cfg.output, "%s.vcf.gz" % cfg.prefix)
         concat([outputs["phased_snps"], outputs["indels"]], final)
         outputs["final"] = final
+    metrics.dump(os.path.join(cfg.output, "metrics.json"))
     return outputs
 
 

@@ -37,6 +37,9 @@ def build_parser():
     cfgg.add_argument("--haploid_genome", action="store_true")
     cfgg.add_argument("--haploid_X", action="store_true")
     cfgg.add_argument("--verbose", action="store_true")
+    cfgg.add_argument("--resume", action="store_true",
+                      help="Reuse completed chunks from a previous "
+                           "interrupted run (chunk-level manifest).")
 
     out.add_argument("--output", "-o", type=str)
     out.add_argument("--prefix", default="variant_calls")
@@ -108,7 +111,8 @@ def config_from_args(argv=None):
         impute_indel_phase=args.impute_indel_phase, phase=args.phase,
         phase_qual_score=args.phase_qual_score,
         enable_whatshap=args.enable_whatshap,
-        suppress_progress=args.suppress_progress_bar, verbose=args.verbose)
+        suppress_progress=args.suppress_progress_bar, verbose=args.verbose,
+        resume=args.resume)
     if args.preset:
         apply_preset(cfg, args.preset, explicitly_set)
     return cfg

@@ -60,6 +60,7 @@ class Config:
     verbose: bool = False
     skip_phased_bam: bool = False  # skip the per-contig phased BAM artifact
     device_alignment: bool = True  # batch indel NW alignments on the TPU
+    resume: bool = False  # reuse completed chunks from a prior run's manifest
 
     @property
     def threshold(self):

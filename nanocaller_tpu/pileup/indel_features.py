@@ -353,7 +353,7 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
                          maxcov=160, ins_t=0.4, del_t=0.6, win_size=40,
                          small_win_size=4, impute_indel_phase=False,
                          exclude=None, ploidy="diploid", rw=None,
-                         use_device_alignment=False):
+                         use_device_alignment=False, preset_variants=None):
     """Full indel feature generation for one chunk (1-based chunk coords).
 
     Diploid returns IndelBatch; haploid returns HaploidIndelBatch.
@@ -379,7 +379,11 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
 
     cview = _ColumnView(rw)
     haploid = ploidy == "haploid"
-    if haploid:
+    if preset_variants is not None:
+        # training path: tensorize given candidate anchors
+        # (misc/training/generate_indel_pileups.py smears truth positions)
+        variants, extra = dict(preset_variants), {}
+    elif haploid:
         variants, extra = scan_indel_candidates(
             rw, scan_cols, win_size=win_size, small_win_size=small_win_size,
             mincov=mincov, ins_t=ins_t, del_t=del_t, haploid=True)

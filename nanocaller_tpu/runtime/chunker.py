@@ -51,6 +51,30 @@ def get_regions_list(cfg, bam):
     return [tuple(r) for r in regions]
 
 
+def get_coverage(bam, contig, start1, end1, mincov=0,
+                 flag_exclude=None, include_bed=None):
+    """Mean depth over columns with depth ≥ mincov (the reference's
+    `samtools depth | awk` pipeline, utils.py:118-148 — dead code there,
+    functional here)."""
+    import numpy as np
+
+    from ..pileup.engine import column_counts, decode_reads
+
+    total_bases = 0
+    total_cols = 0
+    for lo in range(start1 - 1, end1, 200000):
+        hi = min(end1, lo + 200000)
+        rw = decode_reads(bam, contig, lo, hi, flag_exclude=flag_exclude)
+        counts = column_counts(rw, lo, hi)
+        depth = counts[:, :5].sum(axis=1) + counts[:, 5]
+        if include_bed is not None:
+            depth = depth[include_bed.mask(contig, np.arange(lo, hi))]
+        sel = depth >= mincov if mincov else depth > 0
+        total_bases += int(depth[sel].sum())
+        total_cols += int(sel.sum())
+    return total_bases / total_cols if total_bases * total_cols else 0
+
+
 def get_chunks(regions_list, cpu, max_chunk_size=500000, min_chunk_size=10000):
     """Chunk policy parity with utils.py:67-83 (1-based inclusive)."""
     chunks = []

@@ -48,8 +48,11 @@ class RunManifest:
     """Tracks completed chunks; a restart skips finished work and reuses
     the per-chunk shard files."""
 
-    def __init__(self, path):
+    def __init__(self, path, shard_dir=None):
         self.path = path
+        self.shard_dir = shard_dir or os.path.join(
+            os.path.dirname(path), "intermediate_shards")
+        os.makedirs(self.shard_dir, exist_ok=True)
         self.done = {}
         if os.path.exists(path):
             try:
@@ -57,6 +60,8 @@ class RunManifest:
                     self.done = json.load(fh)
             except (ValueError, OSError):
                 self.done = {}
+        # drop entries whose shard files vanished
+        self.done = {k: v for k, v in self.done.items() if os.path.exists(v)}
 
     @staticmethod
     def chunk_key(stage, chunk):

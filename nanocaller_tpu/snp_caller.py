@@ -265,13 +265,15 @@ def call_chunk(state, bam, fasta, chunk, cfg, exclude=None):
 
 
 def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
-              progress=None, exclude_path=None):
+              progress=None, exclude_path=None, manifest=None):
     """Run SNP calling over all chunks; write unfiltered + PASS VCFs.
 
     Feature generation fans out over cfg.cpu worker processes while this
     process owns the device and runs batched inference as batches stream
-    in (runtime/scheduler.py). Returns the PASS VCF path (the reference's
-    return contract, snpCaller.py:287).
+    in (runtime/scheduler.py). With a RunManifest, completed chunks are
+    reloaded from their shard files (idempotent restart — the capability
+    the reference lacks, SURVEY.md §5.4). Returns the PASS VCF path (the
+    reference's return contract, snpCaller.py:287).
     """
     import os
 
@@ -287,9 +289,20 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
     ploidy_of = [c.get("ploidy", "diploid") for c in ordered_chunks]
 
     results = {}
+    todo = []
+    for idx, chunk in enumerate(ordered_chunks):
+        if manifest is not None and manifest.is_done("snp", chunk):
+            with open(manifest.shard_path("snp", chunk)) as fh:
+                results[idx] = fh.readlines()
+            if progress:
+                progress(1)
+        else:
+            todo.append(idx)
     init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg), exclude_path)
-    for idx, batch in feature_stream(ordered_chunks, snp_features_worker,
-                                     init_args, cfg.cpu):
+    for sub_idx, batch in feature_stream([ordered_chunks[i] for i in todo],
+                                         snp_features_worker, init_args,
+                                         cfg.cpu):
+        idx = todo[sub_idx]
         if len(batch) == 0:
             results[idx] = []
         else:
@@ -298,6 +311,14 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
                 results[idx] = decode_haploid(batch, probs)
             else:
                 results[idx] = decode_diploid(batch, probs)
+        if manifest is not None:
+            chunk = ordered_chunks[idx]
+            shard = os.path.join(
+                manifest.shard_dir, "snp_%s_%d.body" % (chunk["chrom"],
+                                                        chunk["start"]))
+            with open(shard, "w") as fh:
+                fh.writelines(results[idx])
+            manifest.mark_done("snp", chunk, shard)
         if progress:
             progress(1)
 

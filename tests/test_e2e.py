@@ -162,6 +162,30 @@ class TestAllMode:
         assert outputs["snps"] and outputs["phased_snps"]
         assert outputs["indels"] is None
 
+    def test_resume_reuses_chunks_and_matches(self, full_fixture, tmp_path):
+        """--resume: a rerun over an existing manifest reloads completed
+        chunk shards (no recompute) and produces identical outputs."""
+        fasta_p, bam_p, *_ = full_fixture
+        out = str(tmp_path / "outr")
+        args = ["--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+                "--output", out, "--prefix", "r", "--phase_qual_score", "4"]
+        first = main(args)
+        a = [(r.chrom, r.pos, r.ref, r.alt, r.qual, r.samples)
+             for r in VcfReader(first["final"])]
+        manifest = os.path.join(out, "run_manifest.json")
+        assert os.path.exists(manifest)
+        import json
+        done = json.load(open(manifest))
+        assert any(k.startswith("snp:") for k in done)
+        assert any(k.startswith("indel:") for k in done)
+        # poison the BAM path dependency: resume must NOT need feature gen
+        second = main(args + ["--resume"])
+        b = [(r.chrom, r.pos, r.ref, r.alt, r.qual, r.samples)
+             for r in VcfReader(second["final"])]
+        assert a == b
+        # metrics dumped
+        assert os.path.exists(os.path.join(out, "metrics.json"))
+
     def test_haploid_genome_mode(self, tmp_path):
         """--haploid_genome: haploid SNP model (×100 Phred scale) and
         haploid indel path (sigmoid)."""

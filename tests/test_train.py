@@ -134,6 +134,41 @@ class TestTraining:
             log=lambda *a: None)
         assert history[-1]["loss"] < history[0]["loss"]
 
+    def test_indel_feature_generation(self, tmp_path):
+        from nanocaller_tpu.train.indel_data import (
+            generate_indel_training_examples, truth_indels)
+        from nanocaller_tpu.io.vcf import VcfRecord, VcfWriter
+
+        indels = [(1500, "del", 6, "het1"), (3000, "ins", "TTTTT", "hom")]
+        fasta_p, bam_p, ref_seq, _ = make_fixture(
+            tmp_path, depth=36, L=5000, read_len=900, seed=21, snps=[],
+            indels=indels, tag_haplotypes=True)
+        hdr = ["##fileformat=VCFv4.2", "##contig=<ID=chr_t>",
+               '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+               "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+        vcf_p = str(tmp_path / "truth_ind.vcf.gz")
+        with VcfWriter(vcf_p, hdr) as w:
+            w.write(VcfRecord("chr_t", 1501, ref_seq[1500:1507],
+                              ref_seq[1500], "50", "PASS", format_="GT",
+                              samples=["0/1"]))
+            w.write(VcfRecord("chr_t", 3001, ref_seq[3000],
+                              ref_seq[3000] + "TTTTT", "50", "PASS",
+                              format_="GT", samples=["1/1"]))
+        truth = truth_indels(VcfReader(vcf_p), "chr_t", 1, 5000)
+        assert truth == {1500: 2, 3000: 1}
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        x, labels, pos = generate_indel_training_examples(
+            bam, fasta, truth, {"chrom": "chr_t", "start": 1, "end": 5000})
+        assert x.shape[1:] == (15, 128, 2) and len(x) == len(labels) > 0
+        # positives present with the right classes
+        assert 2 in labels and 1 in labels
+        # training works end-to-end on these features
+        params, history = train_indel_model(
+            x, labels, str(tmp_path / "ick"), epochs=2,
+            batch_size=min(8, len(x)), log=lambda *a: None)
+        assert history[-1]["loss"] is not None
+
     def test_label_candidates(self):
         class FakeBatch:
             pos = [100, 205, 300]
