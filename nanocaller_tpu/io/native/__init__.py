@@ -46,6 +46,10 @@ def get_lib():
             ctypes.c_int32]
         lib.ncio_sizes.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_counts_width.restype = ctypes.c_int64
+        lib.ncio_counts_width.argtypes = [ctypes.c_void_p]
+        lib.ncio_counts_fill.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_int32)]
         lib.ncio_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure → python fallback
@@ -126,6 +130,12 @@ def decode_window_native(bam_reader, contig, start, end, flag_exclude,
             p(out["del_rid"], ctypes.c_int32), p(out["del_start"], ctypes.c_int64),
             p(out["del_len"], ctypes.c_int64), p(out["ins_rid"], ctypes.c_int32),
             p(out["ins_pos"], ctypes.c_int64), p(out["ins_len"], ctypes.c_int64))
+        cw = lib.ncio_counts_width(ctypes.c_void_p(handle))
+        if cw > 0:
+            counts = np.zeros((cw, 6), np.int32)
+            lib.ncio_counts_fill(ctypes.c_void_p(handle),
+                                 p(counts, ctypes.c_int32))
+            out["counts"] = counts
         return out
     finally:
         lib.ncio_free(ctypes.c_void_p(handle))

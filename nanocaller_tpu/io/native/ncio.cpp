@@ -46,6 +46,11 @@ struct Window {
   std::vector<int64_t> del_start, del_len;
   std::vector<int32_t> ins_rid;
   std::vector<int64_t> ins_pos, ins_len;
+  // per-column base counts over [start, end): 6 channels
+  // A,G,T,C,other(aligned),DEL — accumulated during decode so Python
+  // never touches per-base event arrays for counting
+  std::vector<int32_t> counts;
+  int64_t count_start = 0;
   std::string error;
 };
 
@@ -281,10 +286,14 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
         for (int64_t i = 0; i < l; i++) {
           int32_t q = qpos + int32_t(i);
           uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+          int8_t code = NIBBLE_CODE[nib];
           w->ev_rid.push_back(rid);
           w->ev_pos.push_back(rpos + i);
-          w->ev_code.push_back(NIBBLE_CODE[nib]);
+          w->ev_code.push_back(code);
           w->ev_qpos.push_back(q);
+          int64_t col = rpos + i - w->count_start;
+          if (col >= 0 && size_t(col * 6) < w->counts.size())
+            w->counts[col * 6 + code]++;
         }
         rpos += l;
         qpos += int32_t(l);
@@ -300,6 +309,11 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
         w->del_rid.push_back(rid);
         w->del_start.push_back(rpos);
         w->del_len.push_back(l);
+        for (int64_t i = 0; i < l; i++) {
+          int64_t col = rpos + i - w->count_start;
+          if (col >= 0 && size_t(col * 6) < w->counts.size())
+            w->counts[col * 6 + 5]++;
+        }
         rpos += l;
         break;
       case 3:  // N
@@ -328,6 +342,9 @@ void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
   auto* w = new Window();
   w->qname_off.push_back(0);
   w->seq_off.push_back(0);
+  w->count_start = start;
+  if (end > start && end - start < (int64_t(1) << 31))
+    w->counts.assign(size_t(end - start) * 6, 0);
   BgzfFile f(path);
   if (!f.ok()) {
     w->error = "cannot open file";
@@ -401,6 +418,16 @@ void ncio_fill(void* handle, int32_t* flags, int8_t* strand,
   cp(w->ins_rid, ins_rid);
   cp(w->ins_pos, ins_pos);
   cp(w->ins_len, ins_len);
+}
+
+int64_t ncio_counts_width(void* handle) {
+  return int64_t(static_cast<Window*>(handle)->counts.size() / 6);
+}
+
+void ncio_counts_fill(void* handle, int32_t* out) {
+  auto* w = static_cast<Window*>(handle);
+  if (!w->counts.empty())
+    memcpy(out, w->counts.data(), w->counts.size() * sizeof(int32_t));
 }
 
 void ncio_free(void* handle) { delete static_cast<Window*>(handle); }

@@ -66,6 +66,8 @@ class ReadWindow:
     ins_len: np.ndarray = None
     # query sequences kept for realignment window extraction (indel path)
     seqs: list = field(default_factory=list)
+    # (start, end, counts int32[W,6]) — precomputed by the C++ decoder
+    counts_cache: tuple = None
 
     @property
     def n_reads(self):
@@ -193,7 +195,8 @@ def _window_from_native(raw, contig, start, end):
         del_rid=raw["del_rid"], del_start=raw["del_start"],
         del_len=raw["del_len"],
         ins_rid=raw["ins_rid"], ins_pos=raw["ins_pos"], ins_len=raw["ins_len"],
-        seqs=seqs)
+        seqs=seqs,
+        counts_cache=(start, end, raw["counts"]) if "counts" in raw else None)
 
 
 def column_counts(rw: ReadWindow, start, end):
@@ -203,23 +206,25 @@ def column_counts(rw: ReadWindow, start, end):
     ``n_aligned`` (pysam get_num_aligned semantics: non-deletion entries)
     is counts[:, :5].sum(-1).
     """
+    if rw.counts_cache is not None:
+        cs, ce, cached = rw.counts_cache
+        if cs <= start and end <= ce:
+            return cached[start - cs : end - cs]
     width = end - start
-    counts = np.zeros((width, N_COUNT_CH), dtype=np.int32)
     m = (rw.ev_pos >= start) & (rw.ev_pos < end)
-    np.add.at(
-        counts,
-        (rw.ev_pos[m] - start, rw.ev_code[m].astype(np.int64)),
-        1,
-    )
-    # deletion-covered columns
+    # bincount over a fused (pos, code) index — far faster than np.add.at
+    fused = (rw.ev_pos[m] - start) * N_COUNT_CH + rw.ev_code[m]
+    counts = np.bincount(fused, minlength=width * N_COUNT_CH).astype(np.int32)
+    counts = counts.reshape(width, N_COUNT_CH)
+    # deletion-covered columns via interval diff + prefix sum
     if len(rw.del_rid):
         ds = np.maximum(rw.del_start, start)
         de = np.minimum(rw.del_start + rw.del_len, end)
-        span = de - ds
-        keep = span > 0
+        keep = de > ds
         if keep.any():
-            idx = np.repeat(ds[keep], span[keep]) + _ragged_arange(span[keep])
-            np.add.at(counts[:, CH_DEL], idx - start, 1)
+            diff = np.bincount(ds[keep] - start, minlength=width + 1)
+            diff -= np.bincount(de[keep] - start, minlength=width + 1)
+            counts[:, CH_DEL] += np.cumsum(diff[:-1]).astype(np.int32)
     return counts
 
 
@@ -242,10 +247,20 @@ def site_read_codes(rw: ReadWindow, sites):
     reference's pileup strings, generate_SNP_pileups.py:104).
     """
     sites = np.asarray(sites, dtype=np.int64)
-    idx = np.searchsorted(sites, rw.ev_pos)
-    hit = (idx < len(sites))
-    hit[hit] = sites[idx[hit]] == rw.ev_pos[hit]
-    s_idx = [idx[hit].astype(np.int32)]
+    # bitmap prefilter: one O(E) gather instead of an O(E log S)
+    # searchsorted over all events (events vastly outnumber site hits)
+    if len(sites):
+        lo, hi = int(sites[0]), int(sites[-1]) + 1
+        bitmap = np.zeros(hi - lo, dtype=bool)
+        bitmap[sites - lo] = True
+        in_range = (rw.ev_pos >= lo) & (rw.ev_pos < hi)
+        hit = np.zeros(len(rw.ev_pos), dtype=bool)
+        hit[in_range] = bitmap[rw.ev_pos[in_range] - lo]
+    else:
+        hit = np.zeros(len(rw.ev_pos), dtype=bool)
+    hit_pos = rw.ev_pos[hit]
+    idx = np.searchsorted(sites, hit_pos)
+    s_idx = [idx.astype(np.int32)]
     s_rid = [rw.ev_rid[hit]]
     s_code = [rw.ev_code[hit]]
     if len(rw.del_rid):

@@ -54,6 +54,21 @@ class TestNativeDecode:
         nat = decode_reads(bam_noidx, "chr_t", 500, 1500, use_native=True)
         assert_windows_equal(nat, py)
 
+    def test_counts_cache_matches_python(self, bam_fixture):
+        from nanocaller_tpu.pileup.engine import column_counts
+
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        nat = decode_reads(bam, "chr_t", 100, 4900, use_native=True)
+        assert nat.counts_cache is not None
+        py = decode_reads(bam, "chr_t", 100, 4900, use_native=False)
+        want = column_counts(py, 100, 4900)
+        got = column_counts(nat, 100, 4900)
+        np.testing.assert_array_equal(got, want)
+        # sub-window slice of the cache
+        np.testing.assert_array_equal(
+            column_counts(nat, 1000, 2000), column_counts(py, 1000, 2000))
+
     def test_no_seq_mode(self, bam_fixture):
         fasta_p, bam_p, _, _ = bam_fixture
         bam = BamReader(bam_p)
