@@ -118,10 +118,30 @@ def config_from_args(argv=None):
     return cfg
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache — compiles of the fixed model/
+    bucket shapes are paid once per machine, not once per run (the axon
+    remote-compile path costs tens of seconds per shape)."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "NANOCALLER_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "nanocaller_tpu_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     t0 = time.time()
     cfg = config_from_args(argv)
     print("%s: Starting nanocaller-tpu." % datetime.datetime.now(), flush=True)
+    enable_compilation_cache()
     from .caller import run
 
     outputs = run(cfg)

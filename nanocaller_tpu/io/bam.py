@@ -20,6 +20,11 @@ import numpy as np
 from .bgzf import BgzfReader, BgzfWriter
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+# char → 4-bit code for SEQ packing (unknown chars → N = 15)
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _i, _c in enumerate(SEQ_NT16):
+    _NT16_LUT[ord(_c)] = _i
+    _NT16_LUT[ord(_c.lower())] = _i
 CIGAR_OPS = "MIDNSHP=X"
 # op consumes (query, reference)
 _OP_CONSUMES = {
@@ -119,13 +124,13 @@ def _decode_record(data, refs):
         cigar.append((v & 0xF, v >> 4))
         off += 4
     nbytes = (l_seq + 1) // 2
-    seq_packed = data[off : off + nbytes]
+    packed = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=off)
     off += nbytes
-    chars = []
-    for b in seq_packed:
-        chars.append(SEQ_NT16[b >> 4])
-        chars.append(SEQ_NT16[b & 0xF])
-    seq = "".join(chars[:l_seq])
+    chars = np.empty(nbytes * 2, dtype=np.uint8)
+    nt16 = np.frombuffer(SEQ_NT16.encode(), dtype=np.uint8)
+    chars[0::2] = nt16[packed >> 4]
+    chars[1::2] = nt16[packed & 0xF]
+    seq = chars[:l_seq].tobytes().decode()
     qual = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=off).copy()
     off += l_seq
     tags = _decode_tags(data, off)
@@ -412,19 +417,16 @@ class BamWriter:
             0,
         )
         rec += qname
-        for op, l in read.cigar:
-            rec += struct.pack("<I", (l << 4) | op)
-        packed = bytearray()
-        lookup = {c: i for i, c in enumerate(SEQ_NT16)}
-        for i in range(0, l_seq, 2):
-            hi = lookup.get(read.seq[i], 15)
-            lo = lookup.get(read.seq[i + 1], 15) if i + 1 < l_seq else 0
-            packed.append((hi << 4) | lo)
-        rec += bytes(packed)
+        rec += np.array([(l << 4) | op for op, l in read.cigar],
+                        dtype="<u4").tobytes()
+        codes = _NT16_LUT[np.frombuffer(read.seq.encode(), dtype=np.uint8)]
+        if l_seq % 2:
+            codes = np.append(codes, 0)
+        rec += ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
         if read.qual is None:
             rec += b"\xff" * l_seq
         else:
-            rec += bytes(bytearray(int(q) for q in read.qual))
+            rec += np.asarray(read.qual, dtype=np.uint8).tobytes()
         for tag, val in (read.tags or {}).items():
             rec += _encode_tag(tag, val)
         voff_beg = self._bgzf.tell()

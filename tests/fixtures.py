@@ -48,16 +48,48 @@ def make_diploid_readset(
                 edits[pos] = (kind, val)
         haps.append(edits)
 
-    reads = []
+    # Pre-build per-haplotype mutated sequences by ref segment so read
+    # construction is slicing + a short edit walk, not per-base Python.
     L = len(ref_seq)
+    hap_data = []
+    for edits in haps:
+        positions = sorted(edits)
+        # segments of untouched reference between edit anchors
+        mutated = []
+        seg_ref_start = []  # ref coordinate where each output segment starts
+        cursor = 0
+        events = []  # (ref_pos, kind, payload) for cigar construction
+        for p in positions:
+            kind, val = edits[p]
+            if p < cursor:
+                continue
+            mutated.append(ref_seq[cursor:p])
+            if kind == "X":
+                mutated.append(val)
+                events.append((p, "X", 1))
+                cursor = p + 1
+            elif kind == "ins":
+                mutated.append(ref_seq[p] + val)
+                events.append((p, "I", len(val)))
+                cursor = p + 1
+            else:  # del
+                dlen = int(val)
+                mutated.append(ref_seq[p])
+                events.append((p, "D", dlen))
+                cursor = p + 1 + dlen
+        mutated.append(ref_seq[cursor:])
+        hap_data.append((edits, events))
+
+    reads = []
     n_reads = max(1, depth * L // read_len)
+    starts = rng.integers(0, max(1, L - read_len // 2), size=n_reads)
     for i in range(n_reads):
         hap = 1 + (i % 2)
-        start = int(rng.integers(0, max(1, L - read_len // 2)))
+        start = int(starts[i])
         end = min(L, start + read_len)
-        edits = haps[hap - 1]
+        edits, events = hap_data[hap - 1]
         seq_parts = []
-        cigar = []  # list of (op_char, len)
+        cigar = []
 
         def push(op, n):
             if n <= 0:
@@ -68,35 +100,37 @@ def make_diploid_readset(
                 cigar.append((op, n))
 
         p = start
-        while p < end:
-            e = edits.get(p)
-            if e is None:
-                seq_parts.append(ref_seq[p])
+        for ep, kind, val in events:
+            if ep < p:
+                continue
+            if ep >= end:
+                break
+            seq_parts.append(ref_seq[p:ep])
+            push("M", ep - p)
+            if kind == "X":
+                seq_parts.append(edits[ep][1])
                 push("M", 1)
-                p += 1
-            elif e[0] == "X":
-                seq_parts.append(e[1])
+                p = ep + 1
+            elif kind == "I":
+                seq_parts.append(ref_seq[ep] + edits[ep][1])
                 push("M", 1)
-                p += 1
-            elif e[0] == "ins":
-                seq_parts.append(ref_seq[p])
+                push("I", val)
+                p = ep + 1
+            else:  # D
+                seq_parts.append(ref_seq[ep])
                 push("M", 1)
-                seq_parts.append(e[1])
-                push("I", len(e[1]))
-                p += 1
-            elif e[0] == "del":
-                seq_parts.append(ref_seq[p])
-                push("M", 1)
-                dlen = int(e[1])
-                push("D", min(dlen, end - p - 1))
-                p += 1 + dlen
+                push("D", min(val, end - ep - 1))
+                p = ep + 1 + val
+        if p < end:
+            seq_parts.append(ref_seq[p:end])
+            push("M", end - p)
         seq = "".join(seq_parts)
         if error_rate > 0:
-            chars = list(seq)
-            for j in range(len(chars)):
-                if rng.random() < error_rate:
-                    chars[j] = BASES[int(rng.integers(0, 4))]
-            seq = "".join(chars)
+            arr = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
+            mask = rng.random(len(arr)) < error_rate
+            subs = rng.integers(0, 4, size=int(mask.sum()))
+            arr[mask] = np.frombuffer(b"ACGT", dtype=np.uint8)[subs]
+            seq = arr.tobytes().decode()
         reads.append(("read_%04d" % i, contig_start + start, seq, cigar, hap))
     return reads
 
