@@ -59,22 +59,6 @@ def build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes):
     return (np.concatenate(rid_l), np.concatenate(sidx_l), np.concatenate(al_l))
 
 
-class _UnionFind:
-    def __init__(self, n):
-        self.p = list(range(n))
-
-    def find(self, x):
-        while self.p[x] != x:
-            self.p[x] = self.p[self.p[x]]
-            x = self.p[x]
-        return x
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.p[rb] = ra
-
-
 def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
     """Core MEC phasing. Returns PhaseResult."""
     S = len(sites_pos0)
@@ -85,29 +69,38 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
     order = np.lexsort((sidx, rids))
     rids, sidx, alleles = rids[order], sidx[order], alleles[order]
     r_ptr = np.searchsorted(rids, np.arange(n_reads + 1))
+    obs_per_read = np.diff(r_ptr)
 
-    # connected components over sites linked by reads
-    uf = _UnionFind(S)
-    for r in range(n_reads):
-        lo, hi = r_ptr[r], r_ptr[r + 1]
-        for k in range(lo + 1, hi):
-            uf.union(int(sidx[lo]), int(sidx[k]))
-    comp = np.array([uf.find(j) for j in range(S)], dtype=np.int64)
+    # adjacent observation pairs within each read (vectorized)
+    same_read = np.zeros(max(0, len(rids) - 1), dtype=bool)
+    if len(rids) > 1:
+        same_read = rids[1:] == rids[:-1]
+    pa = sidx[:-1][same_read].astype(np.int64)
+    pb = sidx[1:][same_read].astype(np.int64)
+    trans = (alleles[:-1][same_read] != alleles[1:][same_read]).astype(np.int64)
+    keep = pa != pb
+    pa, pb, trans = pa[keep], pb[keep], trans[keep]
+
+    # connected components over sites linked by adjacent pairs
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    if len(pa):
+        g = sp.coo_matrix((np.ones(len(pa)), (pa, pb)), shape=(S, S))
+        _, comp = csgraph.connected_components(g, directed=False)
+    else:
+        comp = np.arange(S)
+    comp = comp.astype(np.int64)
 
     # adjacent-pair cis/trans votes to seed haplotype orientation
     h = np.zeros(S, dtype=np.int8)
     pair_votes = {}
-    for r in range(n_reads):
-        lo, hi = r_ptr[r], r_ptr[r + 1]
-        for k in range(lo + 1, hi):
-            a, b = int(sidx[k - 1]), int(sidx[k])
-            if b == a:
-                continue
-            trans = int(alleles[k - 1] != alleles[k])
-            key = (a, b)
-            cis_trans = pair_votes.get(key, [0, 0])
-            cis_trans[trans] += 1
-            pair_votes[key] = cis_trans
+    if len(pa):
+        enc = pa * S + pb
+        uniq, inv = np.unique(enc, return_inverse=True)
+        cis = np.bincount(inv, weights=1 - trans, minlength=len(uniq))
+        trs = np.bincount(inv, weights=trans, minlength=len(uniq))
+        pair_votes = {int(e): (c, t) for e, c, t in zip(uniq, cis, trs)}
     # propagate along position order within component
     by_comp = {}
     for j in range(S):
@@ -115,25 +108,21 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
     for members in by_comp.values():
         members.sort()
         for a, b in zip(members[:-1], members[1:]):
-            votes = pair_votes.get((a, b))
+            votes = pair_votes.get(a * S + b)
             o = 1 if votes and votes[1] > votes[0] else 0
             h[b] = h[a] ^ o
 
-    # refinement: alternate read assignment and site flips
+    # refinement: alternate read assignment and site flips (vectorized)
     read_hp = np.zeros(n_reads, dtype=np.int8)
     for _ in range(n_iter):
-        # read assignment
-        changed = False
-        for r in range(n_reads):
-            lo, hi = r_ptr[r], r_ptr[r + 1]
-            if lo == hi:
-                continue
-            mis1 = int((alleles[lo:hi] != h[sidx[lo:hi]]).sum())
-            mis2 = (hi - lo) - mis1
-            new = 1 if mis1 < mis2 else (2 if mis2 < mis1 else 0)
-            if new != read_hp[r]:
-                read_hp[r] = new
-                changed = True
+        mism = (alleles != h[sidx]).astype(np.int64)
+        mis1 = np.bincount(rids, weights=mism, minlength=n_reads)
+        mis2 = obs_per_read - mis1
+        new_hp = np.where(mis1 < mis2, 1,
+                          np.where(mis2 < mis1, 2, 0)).astype(np.int8)
+        new_hp[obs_per_read == 0] = 0
+        changed = not np.array_equal(new_hp, read_hp)
+        read_hp = new_hp
         # site flips: majority vote of assigned reads
         # evidence for h[j]=1: hap-1 reads showing alt, hap-2 reads showing ref
         v0 = np.zeros(S, np.int32)
@@ -176,13 +165,9 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
             if read_ps[r] < 0:
                 read_hp[r] = 0
 
-    mec = 0
-    for r in range(n_reads):
-        lo, hi = r_ptr[r], r_ptr[r + 1]
-        if read_hp[r] == 1:
-            mec += int((alleles[lo:hi] != h[sidx[lo:hi]]).sum())
-        elif read_hp[r] == 2:
-            mec += int((alleles[lo:hi] == h[sidx[lo:hi]]).sum())
+    mism = alleles != h[sidx]
+    hp_of_obs = read_hp[rids]
+    mec = int(((hp_of_obs == 1) & mism).sum() + ((hp_of_obs == 2) & ~mism).sum())
     return PhaseResult(site_pos=np.asarray(sites_pos0), hap_allele=h,
                        block_ps=block_ps, read_hp=read_hp, read_ps=read_ps,
                        n_blocks=len(ps_of_comp), mec_cost=mec)
