@@ -45,6 +45,13 @@ def run(cfg: Config, progress=None):
     os.makedirs(cfg.output, exist_ok=True)
     cfg.dump(os.path.join(cfg.output, "args"))
     metrics = Metrics()
+    owns_progress = False
+    if progress is None and not cfg.suppress_progress:
+        from .runtime.scheduler import Progress
+
+        bar = Progress(None, "calling", suppress=cfg.suppress_progress)
+        progress = bar.update
+        owns_progress = True
 
     manifest_path = os.path.join(cfg.output, "run_manifest.json")
     if not cfg.resume:
@@ -239,6 +246,8 @@ def run(cfg: Config, progress=None):
         final = os.path.join(cfg.output, "%s.vcf.gz" % cfg.prefix)
         concat([outputs["phased_snps"], outputs["indels"]], final)
         outputs["final"] = final
+    if owns_progress:
+        bar.close()
     metrics.dump(os.path.join(cfg.output, "metrics.json"))
     return outputs
 

@@ -263,6 +263,12 @@ class BaiIndex:
 class BamReader:
     def __init__(self, path, index_path=None):
         self.path = path
+        with open(path, "rb") as fh:
+            head = fh.read(4)
+        if head == b"CRAM":
+            raise NotImplementedError(
+                "CRAM input is not supported yet — convert to BAM first "
+                "(e.g. `samtools view -b -o out.bam in.cram`)")
         self._bgzf = BgzfReader(path)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":

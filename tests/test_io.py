@@ -107,6 +107,24 @@ class TestBam:
         assert reg2bin(0, 1 << 29) == 0
 
 
+class TestCoverage:
+    def test_get_coverage(self, tmp_path):
+        from nanocaller_tpu.runtime.chunker import get_coverage
+
+        fasta, bam, ref_seq, snps = make_fixture(tmp_path, depth=20, L=4000)
+        rd = BamReader(bam)
+        cov = get_coverage(rd, "chr_t", 1, 4000)
+        assert 10 < cov < 30  # ~20x simulated
+        cov_hi = get_coverage(rd, "chr_t", 1, 4000, mincov=1000)
+        assert cov_hi == 0
+
+    def test_cram_rejected(self, tmp_path):
+        p = tmp_path / "x.cram"
+        p.write_bytes(b"CRAM\x03\x00" + b"\x00" * 64)
+        with pytest.raises(NotImplementedError, match="CRAM"):
+            BamReader(str(p))
+
+
 class TestBed:
     def test_overlaps_and_mask(self, tmp_path):
         bed = tmp_path / "ex.bed"
