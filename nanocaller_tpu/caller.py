@@ -21,18 +21,16 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from .config import Config, resolve_exclude_bed
-from .indel_caller import IndelCallerState, call_indel_chunk, write_indel_vcf
+from .indel_caller import IndelCallerState, write_indel_vcf
 from .io.bam import BamReader
 from .io.bed import BedIntervals
 from .io.fasta import FastaFile
-from .io.vcf import VcfReader, VcfWriter, concat, view_filter
+from .io.vcf import VcfReader, VcfWriter, concat
 from .phase.mec import haplotag_reads, phase_contig, write_phased_vcf
 from .pileup.engine import decode_reads
 from .runtime.chunker import get_chunks, get_regions_list
-from .snp_caller import SnpCallerState, call_snps
+from .snp_caller import call_snps
 
 
 def run(cfg: Config, progress=None):

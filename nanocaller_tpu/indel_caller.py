@@ -15,13 +15,11 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import numpy as np
 
 from .align.nw import nw_align
-from .io.vcf import VcfRecord, VcfWriter, standard_indel_header, write_sorted
+from .io.vcf import VcfRecord, standard_indel_header, write_sorted
 from .models import HaploidIndelModel, IndelModel, load_model
 from .pileup.indel_features import HaploidIndelBatch, IndelBatch, get_indel_candidates
 

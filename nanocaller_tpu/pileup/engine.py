@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..io.bam import DEFAULT_FLAG_FILTER, FREVERSE, FSECONDARY, FSUPPLEMENTARY
+from ..io.bam import DEFAULT_FLAG_FILTER, FREVERSE
 
 # base → code LUT over ASCII (upper+lower); everything else → 4
 BASE_CODE_LUT = np.full(256, 4, dtype=np.int8)

@@ -32,9 +32,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..align.msa import star_msa
 from ..align.nw import nw_align
-from .engine import ReadWindow, _ragged_arange, decode_reads
+from .engine import ReadWindow, decode_reads
 
 REF_N_LUT = np.full(256, 0, dtype=np.int8)  # 1 = valid AGTC uppercase
 for _b in "AGTC":

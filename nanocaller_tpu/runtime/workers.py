@@ -9,8 +9,6 @@ never touch JAX/TPU state (this module only imports io + pileup).
 
 from __future__ import annotations
 
-import numpy as np
-
 _G = {}
 
 

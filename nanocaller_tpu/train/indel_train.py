@@ -20,8 +20,6 @@ L2_GAMMA = 1e-5
 
 def indel_loss(model, params, batch, l2_gamma=L2_GAMMA):
     """batch: x (B,15,128,2), label (B,4) one-hot genotype class."""
-    import flax.linen as nn
-
     probs = model.apply(params, batch["x"])
     logp = jnp.log(jnp.clip(probs, 1e-9, 1.0))
     ce = -(batch["label"] * logp).sum(-1).mean()
