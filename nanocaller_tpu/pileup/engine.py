@@ -301,6 +301,18 @@ class SiteCodes:
             return np.zeros(0, np.int32), np.zeros(0, np.int8)
         return self.at(i)
 
+    def indexed_keys(self, n_reads):
+        """Encoded (site, rid) keys of all observations, ascending —
+        enables one global searchsorted lookup across many sites."""
+        if not hasattr(self, "_keys") or self._keys_n != n_reads:
+            # triplets are lexsorted by (site_idx, rid) already
+            site_of = np.repeat(
+                np.arange(len(self.sites), dtype=np.int64),
+                np.diff(self.indptr))
+            self._keys = site_of * n_reads + self.rid
+            self._keys_n = n_reads
+        return self._keys
+
     def codes_for(self, site_i, rids):
         """Codes at site for the given read ids; 4 where read absent."""
         srid, scode = self.at(site_i)

@@ -314,6 +314,7 @@ def get_snp_candidates(
     fwd_dp = np.zeros((B, 4), dtype=np.int32)
     rev_dp = np.zeros((B, 4), dtype=np.int32)
     sampled_depth = np.zeros(B, dtype=np.int32)
+    rid_mat = np.full((B, Rmax), -1, dtype=np.int64)
 
     ref_at = lambda p: ref_codes[p - scan_start]
 
@@ -336,16 +337,35 @@ def get_snp_candidates(
         R = len(rids)
         sampled_depth[i] = R
         read_mask[i, :R] = True
+        rid_mat[i, :R] = rids
         codes[i, :R, CENTER] = ccodes
         col_ref[i, CENTER] = ref_at(v)
         col_valid[i, CENTER] = True
-        for w in range(WIDTH):
-            j = nbr_site_of_col[i, w]
-            if j < 0:
-                continue
-            codes[i, :R, w] = sc.codes_for(j, rids)
-            col_ref[i, w] = ref_at(union_sites[j])
-            col_valid[i, w] = True
+
+    # neighbor-column codes for all candidates in one (site,rid)-key lookup:
+    # the SiteCodes triplets are sorted by (site, rid), so a single global
+    # searchsorted over encoded keys replaces B×41 per-column queries
+    nbr_valid = nbr_site_of_col >= 0
+    if nbr_valid.any():
+        n_reads = rw.n_reads
+        data_keys = sc.indexed_keys(n_reads)
+        qi, qw = np.nonzero(nbr_valid)
+        sites_q = nbr_site_of_col[qi, qw].astype(np.int64)
+        col_ref[qi, qw] = ref_codes[union_sites[sites_q] - scan_start]
+        col_valid[qi, qw] = True
+        # expand over the read axis
+        rids_q = rid_mat[qi]  # (Q, Rmax)
+        valid_r = rids_q >= 0
+        keys_q = sites_q[:, None] * n_reads + rids_q
+        flat = keys_q[valid_r]
+        pos = np.searchsorted(data_keys, flat)
+        ok = pos < len(data_keys)
+        ok[ok] = data_keys[pos[ok]] == flat[ok]
+        vals = np.full(len(flat), 4, dtype=np.int8)
+        vals[ok] = sc.code[pos[ok]]
+        out_block = np.full(rids_q.shape, 4, dtype=np.int8)
+        out_block[valid_r] = vals
+        codes[qi[:, None], np.arange(Rmax)[None, :], qw[:, None]] = out_block
 
     return SnpBatch(
         contig=contig,
