@@ -163,6 +163,25 @@ def write_bam(path, contig, contig_len, reads, tags_by_name=None, mapq=60,
     return path
 
 
+def write_bam_multi(path, contig_reads, contig_lens, tag_haplotypes=False,
+                    mapq=60):
+    """contig_reads: {contig: reads list}; contig_lens: {contig: len}."""
+    names = list(contig_lens)
+    recs = []
+    for ci, contig in enumerate(names):
+        for qname, pos, seq, cigar, hap in contig_reads.get(contig, []):
+            cig = [(_CIGAR_OP_NUM[op], l) for op, l in cigar]
+            tags = {"HP": hap, "PS": 1} if tag_haplotypes else {}
+            recs.append(AlignedRead("%s_%s" % (contig, qname), 0, ci, pos,
+                                    mapq, cig, seq,
+                                    np.full(len(seq), 30, np.uint8), tags))
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    with BamWriter(path, names, [contig_lens[n] for n in names]) as w:
+        for r in recs:
+            w.write(r)
+    return path
+
+
 def make_fixture(tmpdir, seed=7, L=6000, depth=30, read_len=800,
                  snps=None, indels=None, contig="chr_t", error_rate=0.0,
                  tag_haplotypes=False):

@@ -223,6 +223,55 @@ class TestAllMode:
                     and any(len(r.ref) - len(a) == 5 for a in r.alt.split(","))]
         assert del_hits, [(r.pos, r.ref, r.alt) for r in ind]
 
+    def test_multi_contig(self, tmp_path):
+        """Two contigs in one BAM: per-contig phasing, contig-ordered
+        sorted outputs, and a haploid chrM alongside a diploid autosome."""
+        from fixtures import write_bam_multi
+
+        rng = np.random.default_rng(77)
+        contigs = {"chrA": 9000, "chrM": 5000}
+        seqs = {c: random_seq(rng, L) for c, L in contigs.items()}
+        contig_reads = {}
+        planted = {}
+        for contig, L in contigs.items():
+            snps = []
+            for i, pos in enumerate(range(600, L - 600, 400)):
+                rb = seqs[contig][pos]
+                alt = "ACGT"[("ACGT".index(rb) + 1) % 4]
+                gt = "hom" if contig == "chrM" else ("het1" if i % 2 else "het2")
+                snps.append((pos, alt, gt))
+            planted[contig] = snps
+            contig_reads[contig] = make_diploid_readset(
+                rng, seqs[contig], snps=snps, depth=36, read_len=1400,
+                error_rate=0.02)
+        fasta_p = str(tmp_path / "multi.fa")
+        write_fasta(fasta_p, seqs)
+        bam_p = str(tmp_path / "multi.bam")
+        write_bam_multi(bam_p, contig_reads, contigs)
+        out = str(tmp_path / "outm")
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+            "--output", out, "--prefix", "m", "--phase_qual_score", "4"])
+        recs = list(VcfReader(outputs["snps"]))
+        by_contig = {}
+        for r in recs:
+            by_contig.setdefault(r.chrom, []).append(r.pos)
+        assert set(by_contig) == {"chrA", "chrM"}
+        # contig-major sorted order
+        flat = [(r.chrom, r.pos) for r in recs]
+        assert flat == sorted(flat, key=lambda t: (["chrA", "chrM"].index(t[0]), t[1]))
+        for c in by_contig:
+            assert by_contig[c] == sorted(by_contig[c])
+        # chrM auto-haploid → all 1/1; chrA has phased hets
+        m_recs = [r for r in recs if r.chrom == "chrM"]
+        assert m_recs and all(r.sample_field("GT") == "1/1" for r in m_recs)
+        phased = [r for r in VcfReader(outputs["phased_snps"])
+                  if r.chrom == "chrA" and r.sample_field("GT") in ("0|1", "1|0")]
+        assert len(phased) >= 2
+        # indexed fetch per contig works on the final file
+        final = VcfReader(outputs["final"])
+        assert list(final.fetch("chrM"))
+
     def test_indels_mode_with_tagged_bam(self, tmp_path):
         # pre-tagged BAM straight into indel-only mode
         indels = [(2000, "ins", "AAAA", "het2")]
