@@ -1,0 +1,199 @@
+"""Differential parity: run the REFERENCE feature generator unmodified
+(via the pysam shim) against our vectorized implementation on identical
+inputs, and require identical candidate sets and tensors.
+
+This is the strongest available parity evidence in an environment with
+no real pysam/HG002 data: the reference's own Python code executes its
+per-column logic over our I/O stack, and every derived quantity is
+diffed bit-for-bit (tensor) / exactly (positions, depths, freqs,
+strand-split depths).
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_SRC = "/root/reference/nanocaller_src/generate_SNP_pileups.py"
+pytestmark = pytest.mark.skipif(not os.path.exists(REF_SRC),
+                                reason="reference sources unavailable")
+
+from nanocaller_tpu.io.bam import BamReader
+from nanocaller_tpu.io.fasta import FastaFile
+from nanocaller_tpu.pileup.snp_features import (
+    assemble_matrices_np,
+    get_snp_candidates,
+)
+
+from fixtures import make_fixture
+
+
+class _FakeIntervalModule:
+    class Interval:
+        def __init__(self, *a, **k):
+            pass
+
+    class IntervalTree:
+        def __init__(self, *a, **k):
+            pass
+
+
+@pytest.fixture(scope="module")
+def reference_module():
+    import pysam_shim
+
+    sys.modules["pysam"] = pysam_shim
+    sys.modules["intervaltree"] = _FakeIntervalModule
+    spec = importlib.util.spec_from_file_location("ref_snp_pileups", REF_SRC)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def parity_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("refparity")
+    # depth safely below maxcov so the reference's unseeded downsampling
+    # branch (its only nondeterminism) never triggers
+    return make_fixture(tmp, depth=30, L=20000, read_len=2500, seed=42,
+                        error_rate=0.06)
+
+
+@pytest.mark.parametrize("seq_type", ["ont", "ul_ont", "pacbio"])
+@pytest.mark.parametrize("window", [(1, 20000), (4001, 9000)])
+def test_snp_candidates_and_tensors_identical(reference_module,
+                                              parity_fixture, seq_type,
+                                              window):
+    fasta_p, bam_p, ref_seq, snps = parity_fixture
+    start, end = window
+    dct = {
+        "exclude_bed": None,
+        "sam_path": bam_p,
+        "fasta_path": fasta_p,
+        "threshold": [0.4, 0.6],
+        "mincov": 4,
+        "maxcov": 160,
+        "min_allele_freq": 0.15,
+        "min_nbr_sites": 1,
+        "seq": seq_type,
+        "supplementary": False,
+    }
+    region = {"chrom": "chr_t", "start": start, "end": end,
+              "ploidy": "diploid"}
+    (r_pos, r_ref, r_mat, r_dp, r_freq, r_depth,
+     r_fwd, r_rev) = reference_module.get_snp_testing_candidates(dct, region)
+
+    bam = BamReader(bam_p)
+    fasta = FastaFile(fasta_p)
+    batch = get_snp_candidates(
+        bam, fasta, region, seq_type=seq_type, mincov=4, maxcov=160,
+        min_allele_freq=0.15, min_nbr_sites=1, threshold=(0.4, 0.6))
+
+    assert len(r_pos) > 5, "fixture produced too few reference candidates"
+    # candidate positions (reference is 1-based)
+    np.testing.assert_array_equal(np.asarray(r_pos), batch.pos + 1)
+    # per-candidate scalars
+    np.testing.assert_array_equal(np.asarray(r_dp), batch.dp)
+    np.testing.assert_allclose(np.asarray(r_freq), batch.freq, atol=1e-9)
+    # strand-split depths
+    np.testing.assert_array_equal(np.asarray(r_fwd), batch.fwd_dp)
+    np.testing.assert_array_equal(np.asarray(r_rev), batch.rev_dp)
+    # region coverage scalar
+    assert abs(r_depth - batch.coverage) < 1e-9
+    # reference one-hot
+    ours_ref = np.eye(4)[batch.center_ref.astype(int)]
+    np.testing.assert_array_equal(np.asarray(r_ref), ours_ref)
+    # THE tensors
+    ours_mat = assemble_matrices_np(batch)
+    np.testing.assert_array_equal(np.asarray(r_mat).astype(np.float32),
+                                  ours_mat)
+
+
+class _FakeParasail:
+    @staticmethod
+    def matrix_create(*a, **k):
+        return None
+
+    @staticmethod
+    def nw_trace(*a, **k):
+        raise NotImplementedError
+
+
+@pytest.fixture(scope="module")
+def reference_indel_module():
+    import pysam_shim
+
+    sys.modules["pysam"] = pysam_shim
+    sys.modules["intervaltree"] = _FakeIntervalModule
+    sys.modules["parasail"] = _FakeParasail
+    path = "/root/reference/nanocaller_src/generate_indel_pileups.py"
+    spec = importlib.util.spec_from_file_location("ref_indel_pileups", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_indel_candidate_scan_parity(reference_indel_module, tmp_path_factory):
+    """The sliding-window distinct-read indel scan (the subtlest
+    vectorization, SURVEY.md §7.4.6): run the reference's pass 1
+    unmodified with a recording MSA stub and require the identical
+    candidate anchor set."""
+    tmp = tmp_path_factory.mktemp("indelscan")
+    indels = [(3000, "del", 6, "het1"), (7000, "ins", "TTTTT", "hom"),
+              (11000, "ins", "GATC", "het2"), (15000, "del", 4, "het2")]
+    fasta_p, bam_p, ref_seq, _ = make_fixture(
+        tmp, depth=30, L=20000, read_len=2500, seed=11, snps=[],
+        indels=indels, tag_haplotypes=True, error_rate=0.02)
+
+    mod = reference_indel_module
+    recorded = []
+    def recording_msa(seq_list, ref, v_pos, mincov, maxcov):
+        recorded.append(int(v_pos))
+        return (0, 0, None, None, None)
+    orig_msa = mod.msa
+    mod.msa = recording_msa
+    try:
+        dct = {"seq": "ont", "fasta_path": fasta_p, "win_size": 40,
+               "small_win_size": 4, "mincov": 4, "maxcov": 160,
+               "ins_t": 0.4, "del_t": 0.6, "exclude_bed": None,
+               "supplementary": False, "impute_indel_phase": False}
+        chunk = {"chrom": "chr_t", "start": 1, "end": 20000,
+                 "sam_path": bam_p}
+        mod.get_indel_testing_candidates(dct, chunk)
+    finally:
+        mod.msa = orig_msa
+    ref_candidates = sorted(set(recorded))
+    assert len(ref_candidates) >= len(indels)
+
+    from nanocaller_tpu.pileup.engine import decode_reads
+    from nanocaller_tpu.pileup.indel_features import scan_indel_candidates
+
+    bam = BamReader(bam_p)
+    rw = decode_reads(bam, "chr_t", 0, 20000, keep_seq=True)
+    variants, extra = scan_indel_candidates(
+        rw, np.arange(0, 20000), win_size=40, small_win_size=4, mincov=4,
+        ins_t=0.4, del_t=0.6)
+    ours = sorted(v + 1 for v in variants)
+    assert ours == ref_candidates
+
+
+def test_haploid_threshold_parity(reference_module, parity_fixture):
+    fasta_p, bam_p, ref_seq, snps = parity_fixture
+    dct = {
+        "exclude_bed": None, "sam_path": bam_p, "fasta_path": fasta_p,
+        "threshold": [0.4, 0.6], "mincov": 4, "maxcov": 160,
+        "min_allele_freq": 0.15, "min_nbr_sites": 1, "seq": "ont",
+        "supplementary": False,
+    }
+    region = {"chrom": "chr_t", "start": 2001, "end": 12000,
+              "ploidy": "haploid"}
+    r = reference_module.get_snp_testing_candidates(dct, region)
+    bam = BamReader(bam_p)
+    fasta = FastaFile(fasta_p)
+    batch = get_snp_candidates(
+        bam, fasta, region, seq_type="ont", ploidy="haploid")
+    np.testing.assert_array_equal(np.asarray(r[0]), batch.pos + 1)
+    np.testing.assert_array_equal(
+        np.asarray(r[2]).astype(np.float32), assemble_matrices_np(batch))
