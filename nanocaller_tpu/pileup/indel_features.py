@@ -348,6 +348,29 @@ class _ColumnView:
         return groups
 
 
+def extract_candidate_windows(rw, cview, v0, window_after, names0, names1):
+    """Read windows at candidate column v0, split by haplotype set.
+
+    Mirrors generate_indel_pileups.py:330-338: each covering read
+    contributes query_sequence[qpos_or_next : qpos_or_next+window_after].
+    Returns ({'h0': {}, 'h1': {}, 'tot': {}}, first_hap0_rid).
+    """
+    d = {"h0": {}, "h1": {}, "tot": {}}
+    first_h0_rid = None
+    for rid, qpos in cview.reads_at(v0):
+        seq = rw.seqs[rid]
+        dt = seq[max(0, qpos): qpos + window_after]
+        name = rw.qnames[rid]
+        d["tot"][name] = dt
+        if rid in names0:
+            d["h0"][name] = dt
+            if first_h0_rid is None:
+                first_h0_rid = rid
+        elif rid in names1:
+            d["h1"][name] = dt
+    return d, first_h0_rid
+
+
 def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
                          maxcov=160, ins_t=0.4, del_t=0.6, win_size=40,
                          small_win_size=4, impute_indel_phase=False,
@@ -423,26 +446,14 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
         codes_ok = REF_N_LUT[np.frombuffer(ref_win.encode(), dtype=np.uint8)]
         if not codes_ok.all():
             continue
-        reads = cview.reads_at(v0)
-        if not reads:
-            continue
-        d = {"h0": {}, "h1": {}, "tot": {}}
         if v0 in extra:
             names0, names1 = extra[v0]
         else:
             names0, names1 = hap1_set, hap2_set
-        first_h0_rid = None
-        for rid, qpos in reads:
-            seq = rw.seqs[rid]
-            dt = seq[max(0, qpos): qpos + window_after]
-            name = rw.qnames[rid]
-            d["tot"][name] = dt
-            if rid in names0:
-                d["h0"][name] = dt
-                if first_h0_rid is None:
-                    first_h0_rid = rid
-            elif rid in names1:
-                d["h1"][name] = dt
+        d, first_h0_rid = extract_candidate_windows(
+            rw, cview, v0, window_after, names0, names1)
+        if not d["tot"]:
+            continue
         v1 = v0 + 1
         seqs_by_group = {}
         for key in group_keys:

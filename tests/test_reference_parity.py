@@ -149,8 +149,10 @@ def test_indel_candidate_scan_parity(reference_indel_module, tmp_path_factory):
 
     mod = reference_indel_module
     recorded = []
+    recorded_windows = []
     def recording_msa(seq_list, ref, v_pos, mincov, maxcov):
         recorded.append(int(v_pos))
+        recorded_windows.append((int(v_pos), dict(seq_list), ref))
         return (0, 0, None, None, None)
     orig_msa = mod.msa
     mod.msa = recording_msa
@@ -177,6 +179,30 @@ def test_indel_candidate_scan_parity(reference_indel_module, tmp_path_factory):
         ins_t=0.4, del_t=0.6)
     ours = sorted(v + 1 for v in variants)
     assert ours == ref_candidates
+
+    # window extraction parity: the reference's per-candidate read
+    # windows (hap0/hap1/all, incl. deletion-spanning reads via
+    # query_position_or_next) must match extract_candidate_windows
+    from nanocaller_tpu.pileup.indel_features import (
+        _ColumnView, extract_candidate_windows)
+
+    cview = _ColumnView(rw)
+    hap1_set = set(np.flatnonzero(rw.hp == 1).tolist())
+    hap2_set = set(np.flatnonzero(rw.hp == 2).tolist())
+    # reference msa() calls per candidate: hap0, hap1, then all-reads
+    by_cand = {}
+    for v1, seqs, ref_win in recorded_windows:
+        by_cand.setdefault(v1, []).append((seqs, ref_win))
+    checked = 0
+    for v1, calls in by_cand.items():
+        assert len(calls) == 3
+        d, _ = extract_candidate_windows(rw, cview, v1 - 1, 160,
+                                         hap1_set, hap2_set)
+        assert calls[0][0] == d["h0"], v1
+        assert calls[1][0] == d["h1"], v1
+        assert calls[2][0] == d["tot"], v1
+        checked += 1
+    assert checked == len(ref_candidates)
 
 
 def test_haploid_threshold_parity(reference_module, parity_fixture):
