@@ -27,6 +27,7 @@ def make_diploid_readset(
     depth=30,
     read_len=800,
     error_rate=0.0,
+    indel_error_rate=0.0,
     contig_start=0,
 ):
     """Simulate reads from two haplotypes of one contig.
@@ -131,8 +132,67 @@ def make_diploid_readset(
             subs = rng.integers(0, 4, size=int(mask.sum()))
             arr[mask] = np.frombuffer(b"ACGT", dtype=np.uint8)[subs]
             seq = arr.tobytes().decode()
+        if indel_error_rate > 0:
+            # sprinkle 1-2bp sequencing indels (ONT's dominant error mode):
+            # split M runs at random points into M-I-M / M-D-M
+            seq, cigar = _inject_indel_errors(rng, seq, cigar,
+                                              indel_error_rate)
         reads.append(("read_%04d" % i, contig_start + start, seq, cigar, hap))
     return reads
+
+
+def _inject_indel_errors(rng, seq, cigar, rate):
+    out_cigar = []
+    out_seq = []
+    qi = 0
+    for op, l in cigar:
+        if op != "M" or l < 8:
+            out_cigar.append((op, l))
+            if op in ("M", "I"):
+                out_seq.append(seq[qi : qi + l])
+                qi += l
+            continue
+        n_err = rng.binomial(l, rate)
+        if n_err == 0:
+            out_cigar.append((op, l))
+            out_seq.append(seq[qi : qi + l])
+            qi += l
+            continue
+        cuts = np.sort(rng.integers(2, l - 2, size=n_err))
+        prev = 0
+        for c in cuts:
+            c = int(c)
+            if c - prev < 2:
+                continue
+            out_cigar.append(("M", c - prev))
+            out_seq.append(seq[qi + prev : qi + c])
+            ln = int(rng.integers(1, 3))
+            if rng.integers(2):  # insertion error
+                out_cigar.append(("I", ln))
+                out_seq.append(random_seq(rng, ln))
+                prev = c
+            else:  # deletion error: skip ln matched bases
+                ln = min(ln, l - c - 2)
+                if ln <= 0:
+                    out_cigar.append(("M", 0))
+                    prev = c
+                    continue
+                out_cigar.append(("D", ln))
+                prev = c + ln
+        if l - prev > 0:
+            out_cigar.append(("M", l - prev))
+            out_seq.append(seq[qi + prev : qi + l])
+        qi += l
+    # merge zero/adjacent runs
+    merged = []
+    for op, l in out_cigar:
+        if l <= 0:
+            continue
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + l)
+        else:
+            merged.append((op, l))
+    return "".join(out_seq), merged
 
 
 _CIGAR_OP_NUM = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6, "=": 7, "X": 8}

@@ -152,6 +152,44 @@ class TestDeviceAlignmentParity:
 
 
 class TestEndToEndIndels:
+    def test_noisy_reads_with_indel_errors(self, tmp_path):
+        """Robustness: 1% sequencing-indel + 3% substitution errors (the
+        ONT error profile the thresholds were designed for) must not
+        bury planted indels or flood the caller with false positives."""
+        from fixtures import make_diploid_readset, random_seq, write_bam
+        from nanocaller_tpu.io.fasta import write_fasta, FastaFile
+
+        rng = np.random.default_rng(31)
+        L = 8000
+        ref_seq = random_seq(rng, L)
+        indels = [(2500, "del", 6, "het1"), (5500, "ins", "TTTTT", "hom")]
+        reads = make_diploid_readset(
+            rng, ref_seq, snps=[], indels=indels, depth=40, read_len=1200,
+            error_rate=0.03, indel_error_rate=0.01)
+        fasta_p = str(tmp_path / "n.fa")
+        write_fasta(fasta_p, {"chr_t": ref_seq})
+        bam_p = str(tmp_path / "n.bam")
+        write_bam(bam_p, "chr_t", L, reads, tag_haplotypes=True)
+
+        cfg = Config(bam=bam_p, ref=fasta_p, prefix="n", sample="S")
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        state = IndelCallerState.create("ONT-HG002")
+        chunk = {"chrom": "chr_t", "start": 1, "end": L, "ploidy": "diploid"}
+        lines = call_indel_chunk(state, bam, fasta, chunk, cfg)
+        path = write_indel_vcf(cfg, ["chr_t"], [lines], str(tmp_path))
+        recs = list(VcfReader(path))
+        found = 0
+        for p, kind, val, gt in indels:
+            ln = len(val) if kind == "ins" else -val
+            if any(abs(r.pos - (p + 1)) <= 3
+                   and any(len(a) - len(r.ref) == ln for a in r.alt.split(","))
+                   for r in recs):
+                found += 1
+        assert found == len(indels), [(r.pos, r.ref, r.alt) for r in recs]
+        # false positives bounded (error indels are 1-2bp and unphased)
+        assert len(recs) <= 12, [(r.pos, r.ref, r.alt) for r in recs]
+
     def test_call_recovers_planted(self, indel_fixture, tmp_path):
         (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
         cfg = Config(bam=bam_p, ref=fasta_p, prefix="t", sample="S")
