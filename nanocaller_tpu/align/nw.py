@@ -139,6 +139,25 @@ def nw_cigar(query, ref, **kw):
     return nw_align(query, ref, **kw)[1]
 
 
+def align_pairs_host(pairs, match=20, mismatch=-10, gap_open=9, gap_extend=1):
+    """Host-side batch alignment: C++ kernel (io/native) when available —
+    an exact port producing identical cigars — else the numpy DP."""
+    try:
+        from ..io.native import nw_batch_native
+    except Exception:
+        nw_batch_native = None
+    if nw_batch_native is not None and pairs:
+        qcodes = [_codes(q) for q, _ in pairs]
+        rcodes = [_codes(r) for _, r in pairs]
+        out = nw_batch_native(qcodes, rcodes, match, mismatch, gap_open,
+                              gap_extend)
+        if out is not None:
+            return out[0]
+    return [nw_align(q, r, match=match, mismatch=mismatch,
+                     gap_open=gap_open, gap_extend=gap_extend)[1]
+            for q, r in pairs]
+
+
 def cigar_to_strings(cigar, query, ref):
     """Expand a cigar into aligned (query_row, ref_row) gap strings."""
     qi = ri = 0

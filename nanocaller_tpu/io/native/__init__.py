@@ -51,6 +51,18 @@ def get_lib():
         lib.ncio_counts_fill.argtypes = [ctypes.c_void_p,
                                          ctypes.POINTER(ctypes.c_int32)]
         lib.ncio_free.argtypes = [ctypes.c_void_p]
+        lib.ncio_nw_batch.restype = ctypes.c_void_p
+        lib.ncio_nw_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.ncio_nw_sizes.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_nw_fill.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_nw_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure → python fallback
         _build_error = e
@@ -60,6 +72,53 @@ def get_lib():
 
 def native_available():
     return get_lib() is not None
+
+
+def nw_batch_native(qcodes_list, rcodes_list, match, mismatch, gap_open,
+                    gap_extend):
+    """Batched host NW via the C++ kernel; returns (cigars, scores) with
+    cigars as lists of (op, len) identical to align/nw.nw_align. None if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qcodes_list)
+    q_off = np.zeros(n + 1, np.int64)
+    r_off = np.zeros(n + 1, np.int64)
+    for k in range(n):
+        q_off[k + 1] = q_off[k] + len(qcodes_list[k])
+        r_off[k + 1] = r_off[k] + len(rcodes_list[k])
+    qcat = (np.concatenate(qcodes_list).astype(np.int8)
+            if q_off[-1] else np.zeros(1, np.int8))
+    rcat = (np.concatenate(rcodes_list).astype(np.int8)
+            if r_off[-1] else np.zeros(1, np.int8))
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    handle = lib.ncio_nw_batch(
+        p(qcat, ctypes.c_int8), p(q_off, ctypes.c_int64),
+        p(rcat, ctypes.c_int8), p(r_off, ctypes.c_int64),
+        n, match, mismatch, gap_open, gap_extend)
+    try:
+        sizes = np.zeros(2, np.int64)
+        lib.ncio_nw_sizes(ctypes.c_void_p(handle),
+                          p(sizes, ctypes.c_int64))
+        n_pairs, n_runs = int(sizes[0]), int(sizes[1])
+        cigars_flat = np.zeros(max(1, n_runs), np.uint32)
+        offsets = np.zeros(n_pairs + 1, np.int64)
+        scores = np.zeros(max(1, n_pairs), np.int64)
+        lib.ncio_nw_fill(ctypes.c_void_p(handle),
+                         p(cigars_flat, ctypes.c_uint32),
+                         p(offsets, ctypes.c_int64),
+                         p(scores, ctypes.c_int64))
+        cigars = []
+        for k in range(n_pairs):
+            runs = cigars_flat[offsets[k]:offsets[k + 1]]
+            cigars.append([(int(v & 0xF), int(v >> 4)) for v in runs])
+        return cigars, scores[:n_pairs]
+    finally:
+        lib.ncio_nw_free(ctypes.c_void_p(handle))
 
 
 def decode_window_native(bam_reader, contig, start, end, flag_exclude,

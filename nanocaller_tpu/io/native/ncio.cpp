@@ -432,4 +432,155 @@ void ncio_counts_fill(void* handle, int32_t* out) {
 
 void ncio_free(void* handle) { delete static_cast<Window*>(handle); }
 
+// ---------------------------------------------------------------------------
+// Batched affine-gap NW with traceback — exact port of align/nw.py
+// (same recurrences, same prefix-max horizontal trick, same tie-breaks),
+// so cigars are identical to the numpy/JAX paths. Used by feature-worker
+// processes, which must not touch JAX.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int64_t NEG_NW = -(int64_t(1) << 40);
+
+// cigar ops appended as uint32 (len<<4 | op); ops: 7'=', 8'X', 1'I', 2'D'
+void nw_align_one(const int8_t* q, int n, const int8_t* r, int m,
+                  int match, int mismatch, int gap_open, int gap_extend,
+                  std::vector<uint32_t>* cigar_out, int64_t* score_out) {
+  // never merge runs across pair boundaries in the shared output vector
+  const size_t pair_base = cigar_out->size();
+  auto push_op = [&](int op, int l) {
+    if (l <= 0) return;
+    if (cigar_out->size() > pair_base && int(cigar_out->back() & 0xf) == op)
+      cigar_out->back() += uint32_t(l) << 4;
+    else
+      cigar_out->push_back((uint32_t(l) << 4) | op);
+  };
+  if (n == 0 && m == 0) { *score_out = 0; return; }
+  if (n == 0) { *score_out = -(gap_open + int64_t(m - 1) * gap_extend); push_op(2, m); return; }
+  if (m == 0) { *score_out = -(gap_open + int64_t(n - 1) * gap_extend); push_op(1, n); return; }
+
+  std::vector<int64_t> H(m + 1), Hprev(m + 1), V(m + 1, NEG_NW), G(m + 1);
+  std::vector<int64_t> c(m + 1), M(m + 1);
+  std::vector<uint8_t> tb(size_t(n + 1) * (m + 1), 0);
+  H[0] = 0;
+  for (int j = 1; j <= m; j++) {
+    H[j] = -(gap_open + int64_t(j - 1) * gap_extend);
+    tb[j] = (j == 1) ? 2 : (2 | 8);
+  }
+  for (int i = 1; i <= n; i++)
+    tb[size_t(i) * (m + 1)] = 1 | (i > 1 ? 4 : 0);
+
+  for (int i = 1; i <= n; i++) {
+    Hprev = H;
+    int64_t H0i = -(gap_open + int64_t(i - 1) * gap_extend);
+    G[0] = H0i;
+    uint8_t* row = &tb[size_t(i) * (m + 1)];
+    int8_t qc = q[i - 1];
+    for (int j = 1; j <= m; j++) {
+      bool is_match = (qc == r[j - 1]) && qc < 4;
+      int64_t diag = Hprev[j - 1] + (is_match ? match : mismatch);
+      int64_t vh = Hprev[j] - gap_open;
+      int64_t vv = V[j] - gap_extend;
+      int64_t Vnew = vh > vv ? vh : vv;
+      bool v_ext = vv > vh;
+      V[j] = Vnew;
+      int64_t g = diag > Vnew ? diag : Vnew;
+      G[j] = g;
+      row[j] = (Vnew > diag) ? 1 : 0;
+      if (v_ext) row[j] |= 4;
+    }
+    // prefix max of c[j] = G[j] - open + j*ext, then Z[j] = M[j-1] - (j-1)e
+    for (int j = 0; j <= m; j++) {
+      c[j] = G[j] - gap_open + int64_t(j) * gap_extend;
+      M[j] = (j == 0) ? c[0] : (M[j - 1] > c[j] ? M[j - 1] : c[j]);
+    }
+    H[0] = H0i;
+    for (int j = 1; j <= m; j++) {
+      int64_t Z = M[j - 1] - int64_t(j - 1) * gap_extend;
+      bool z_ext = (j >= 2) && (M[j - 2] > c[j - 1]);
+      if (Z > G[j]) {
+        row[j] = (row[j] & 4) | 2;  // came_z wins; preserve v_ext bit
+      }
+      if (z_ext) row[j] |= 8;
+      H[j] = Z > G[j] ? Z : G[j];
+    }
+  }
+  *score_out = H[m];
+
+  // traceback (identical walk to nw.py)
+  std::vector<int> ops;
+  int i = n, j = m, state = 0;
+  while (i > 0 || j > 0) {
+    uint8_t cell = tb[size_t(i) * (m + 1) + j];
+    if (state == 0) {
+      if (j == 0) { state = 1; continue; }
+      if (i == 0) { state = 2; continue; }
+      int src = cell & 3;
+      if (src == 0) {
+        ops.push_back((q[i - 1] == r[j - 1] && q[i - 1] < 4) ? 7 : 8);
+        i--; j--;
+      } else {
+        state = src;
+      }
+    } else if (state == 1) {
+      ops.push_back(1);
+      bool ext = cell & 4;
+      i--;
+      if (!ext) state = 0;
+    } else {
+      ops.push_back(2);
+      bool ext = cell & 8;
+      j--;
+      if (!ext) state = 0;
+    }
+  }
+  for (auto it = ops.rbegin(); it != ops.rend(); ++it) push_op(*it, 1);
+}
+
+struct NwBatch {
+  std::vector<uint32_t> cigars;   // concatenated (len<<4|op) runs
+  std::vector<int64_t> offsets;   // size n_pairs+1 into cigars
+  std::vector<int64_t> scores;
+};
+
+}  // namespace
+
+// queries/refs: concatenated int8 code arrays (A0 C1 G2 T3 other4 — the
+// align/nw.py encoding); q_off/r_off: n_pairs+1 offsets.
+void* ncio_nw_batch(const int8_t* queries, const int64_t* q_off,
+                    const int8_t* refs, const int64_t* r_off,
+                    int32_t n_pairs, int32_t match, int32_t mismatch,
+                    int32_t gap_open, int32_t gap_extend) {
+  auto* b = new NwBatch();
+  b->offsets.push_back(0);
+  b->scores.resize(n_pairs);
+  for (int k = 0; k < n_pairs; k++) {
+    nw_align_one(queries + q_off[k], int(q_off[k + 1] - q_off[k]),
+                 refs + r_off[k], int(r_off[k + 1] - r_off[k]),
+                 match, mismatch, gap_open, gap_extend,
+                 &b->cigars, &b->scores[k]);
+    b->offsets.push_back(int64_t(b->cigars.size()));
+  }
+  return b;
+}
+
+void ncio_nw_sizes(void* handle, int64_t* out) {
+  auto* b = static_cast<NwBatch*>(handle);
+  out[0] = int64_t(b->scores.size());
+  out[1] = int64_t(b->cigars.size());
+}
+
+void ncio_nw_fill(void* handle, uint32_t* cigars, int64_t* offsets,
+                  int64_t* scores) {
+  auto* b = static_cast<NwBatch*>(handle);
+  if (!b->cigars.empty())
+    memcpy(cigars, b->cigars.data(), b->cigars.size() * 4);
+  memcpy(offsets, b->offsets.data(), b->offsets.size() * 8);
+  if (!b->scores.empty())
+    memcpy(scores, b->scores.data(), b->scores.size() * 8);
+}
+
+void ncio_nw_free(void* handle) { delete static_cast<NwBatch*>(handle); }
+
 }  // extern "C"

@@ -474,11 +474,17 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
              for key in group_keys}
             for job in jobs]
     else:
+        # host path (feature workers): C++ batch kernel when available,
+        # numpy otherwise — identical cigars either way
+        from ..align.nw import align_pairs_host
+
+        pairs = [(s, job["ref"]) for job in jobs
+                 for key in group_keys for s in job["seqs"][key]]
+        flat_cigars = iter(align_pairs_host(
+            pairs, match=MSA_MATCH, mismatch=MSA_MISMATCH,
+            gap_open=MSA_GAP_OPEN, gap_extend=MSA_GAP_EXTEND))
         msa_cigars = [
-            {key: [nw_align(s, job["ref"], match=MSA_MATCH,
-                            mismatch=MSA_MISMATCH, gap_open=MSA_GAP_OPEN,
-                            gap_extend=MSA_GAP_EXTEND)[1]
-                   for s in job["seqs"][key]]
+            {key: [next(flat_cigars) for _ in job["seqs"][key]]
              for key in group_keys}
             for job in jobs]
 
@@ -502,8 +508,10 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
         allele_cigars = iter(aligner_allele.align_many(
             [(a or "", b or "") for a, b in allele_pairs]))
     else:
-        allele_cigars = iter(
-            [None] * len(allele_pairs))
+        from ..align.nw import align_pairs_host
+
+        allele_cigars = iter(align_pairs_host(
+            [(a or "", b or "") for a, b in allele_pairs]))
 
     for job, res, ok in per_job:
         if not ok:

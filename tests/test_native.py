@@ -69,6 +69,40 @@ class TestNativeDecode:
         np.testing.assert_array_equal(
             column_counts(nat, 1000, 2000), column_counts(py, 1000, 2000))
 
+    def test_nw_batch_matches_numpy(self):
+        from nanocaller_tpu.align.nw import _codes, nw_align, score_alignment
+        from nanocaller_tpu.io.native import nw_batch_native
+        from test_align import rand_seq
+
+        rng = np.random.default_rng(13)
+        pairs = []
+        for _ in range(40):
+            r = rand_seq(rng, int(rng.integers(5, 200)))
+            q = list(r)
+            for _ in range(int(rng.integers(0, 6))):
+                p = int(rng.integers(0, max(1, len(q) - 6)))
+                k = rng.integers(0, 3)
+                if k == 0:
+                    q[p] = rand_seq(rng, 1)
+                elif k == 1:
+                    q.insert(p, rand_seq(rng, int(rng.integers(1, 5))))
+                else:
+                    del q[p : p + int(rng.integers(1, 5))]
+            pairs.append(("".join(q), r))
+        pairs.append(("", rand_seq(rng, 10)))
+        pairs.append((rand_seq(rng, 10), ""))
+        for params in ((20, -10, 9, 1), (5, -4, 8, 1)):
+            m, x, go, ge = params
+            out = nw_batch_native([_codes(q) for q, _ in pairs],
+                                  [_codes(r) for _, r in pairs], m, x, go, ge)
+            assert out is not None
+            cigars, scores = out
+            for k, (q, r) in enumerate(pairs):
+                want_s, want_c = nw_align(q, r, match=m, mismatch=x,
+                                          gap_open=go, gap_extend=ge)
+                assert cigars[k] == want_c, (params, k, q, r)
+                assert scores[k] == want_s
+
     def test_no_seq_mode(self, bam_fixture):
         fasta_p, bam_p, _, _ = bam_fixture
         bam = BamReader(bam_p)
