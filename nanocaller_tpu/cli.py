@@ -120,12 +120,20 @@ def config_from_args(argv=None):
 
 def enable_compilation_cache():
     """Persistent XLA compilation cache — compiles of the fixed model/
-    bucket shapes are paid once per machine, not once per run (the axon
-    remote-compile path costs tens of seconds per shape)."""
+    bucket shapes are paid once per machine, not once per run.
+
+    Disabled on the experimental axon platform: its AOT remote-compile
+    backend stalls for minutes when deserializing cached executables
+    (observed empirically; fresh compiles are fine)."""
     import os
 
     import jax
 
+    try:
+        if jax.default_backend() == "axon":
+            return
+    except Exception:
+        pass
     cache_dir = os.environ.get(
         "NANOCALLER_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "nanocaller_tpu_jax"))
