@@ -124,8 +124,10 @@ def run(cfg: Config, progress=None):
                 continue
             hiq = [r for r in recs if r.qual_value >= cfg.phase_qual_score]
             lowq = [r for r in recs if r.qual_value < cfg.phase_qual_score]
-            rw = decode_reads(bam, name, max(0, s - 1), e, keep_seq=False)
-            result, phase_map = phase_contig(hiq, rw)
+            with metrics.timer("phase.decode"):
+                rw = decode_reads(bam, name, max(0, s - 1), e, keep_seq=False)
+            with metrics.timer("phase.mec"):
+                result, phase_map = phase_contig(hiq, rw)
             tags = haplotag_reads(rw, result)
             hap_tags_by_contig[name] = tags
 
@@ -147,9 +149,10 @@ def run(cfg: Config, progress=None):
             # parallel indel workers re-read tags from the phased BAM, so
             # it must exist when cpu > 1 regardless of skip_phased_bam
             if not cfg.skip_phased_bam or cfg.cpu > 1:
-                write_haplotagged_bam(
-                    bam, os.path.join(phase_dir, "%s.phased.bam" % name),
-                    name, max(0, s - 1), e, tags)
+                with metrics.timer("phase.haplotag_bam"):
+                    write_haplotagged_bam(
+                        bam, os.path.join(phase_dir, "%s.phased.bam" % name),
+                        name, max(0, s - 1), e, tags)
 
         if phased_files:
             phased_out = os.path.join(cfg.output,
