@@ -118,11 +118,14 @@ def generate_snp_training_examples(bam, fasta, truth, chunk, *, seq_type="ont",
             plist = [plist[i] for i in pick]
         selected_negs.extend(plist)
 
-    # neighbor maps: freq-band sites and truth sites (:190-194)
+    # neighbor maps: freq-band sites and HETEROZYGOUS truth sites — the
+    # reference's gtruth neighbors keep only het genotypes
+    # (misc/training/generate_SNP_pileups.py:136-141, gt_map[gt] truthy)
     nbr_ok = ok & (alt_freq >= nbr_threshold[0]) & (alt_freq < nbr_threshold[1])
     nbr_freq = pos_all[nbr_ok]
-    nbr_truth = np.array(sorted(p for p in truth
-                                if scan_start <= p < scan_end), dtype=np.int64)
+    nbr_truth = np.array(sorted(p for p, (g, a1, a2) in truth.items()
+                                if g == 1 and scan_start <= p < scan_end),
+                         dtype=np.int64)
 
     all_sites = [(p, truth[p]) for p in truth_pos]
     all_sites += [(p, None) for p in selected_negs]
