@@ -59,8 +59,11 @@ def generate_snp_training_examples(bam, fasta, truth, chunk, *, seq_type="ont",
                                    nbr_threshold=(0.4, 0.6), seed=0):
     """One chunk → training example arrays (both neighbor variants).
 
-    truth: {pos0: (gt, a1, a2)} for the region. Returns dict of arrays
-    (possibly empty).
+    truth: {pos0: (gt, a1, a2)} — must cover the chunk PLUS the ±50 kb
+    halo (truth-derived neighbor sites reach that far, like the
+    reference's get_nbr fetch at misc/training/generate_SNP_pileups.py:
+    102-104); positives are restricted to the chunk internally. Returns
+    dict of arrays (possibly empty).
     """
     rng = np.random.default_rng(seed)
     contig = chunk["chrom"]
@@ -118,13 +121,16 @@ def generate_snp_training_examples(bam, fasta, truth, chunk, *, seq_type="ont",
             plist = [plist[i] for i in pick]
         selected_negs.extend(plist)
 
-    # neighbor maps: freq-band sites and HETEROZYGOUS truth sites — the
-    # reference's gtruth neighbors keep only het genotypes
-    # (misc/training/generate_SNP_pileups.py:136-141, gt_map[gt] truthy)
-    nbr_ok = ok & (alt_freq >= nbr_threshold[0]) & (alt_freq < nbr_threshold[1])
+    # neighbor maps (misc/training/generate_SNP_pileups.py:100-160):
+    # - freq: threshold band + mincov (NO maxcov gate, unlike candidates)
+    # - gtruth: HETEROZYGOUS truth sites with coverage >= mincov
+    nbr_base = ref_valid & (n_aligned >= mincov)
+    nbr_ok = nbr_base & (alt_freq >= nbr_threshold[0]) & (alt_freq < nbr_threshold[1])
     nbr_freq = pos_all[nbr_ok]
+    covered = set(pos_all[n_aligned >= mincov].tolist())
     nbr_truth = np.array(sorted(p for p, (g, a1, a2) in truth.items()
-                                if g == 1 and scan_start <= p < scan_end),
+                                if g == 1 and scan_start <= p < scan_end
+                                and p in covered),
                          dtype=np.int64)
 
     all_sites = [(p, truth[p]) for p in truth_pos]

@@ -176,15 +176,91 @@ class FastaFile(_Fasta):
     pass
 
 
+class _BedRow(list):
+    pass
+
+
 class TabixFile:
+    """BED access: fetch(contig, parser=asBed()) → rows indexable [1],[2]."""
+
     def __init__(self, path):
-        raise NotImplementedError("tabix not needed in shim tests")
+        self._rows = {}
+        import gzip
+
+        from nanocaller_tpu.io.bgzf import BgzfReader, is_bgzf
+
+        if is_bgzf(path):
+            fh = BgzfReader(path)
+            data = fh.read()
+            fh.close()
+        elif path.endswith(".gz"):
+            data = gzip.open(path, "rb").read()
+        else:
+            data = open(path, "rb").read()
+        for line in data.decode().splitlines():
+            f = line.split("\t") if "\t" in line else line.split()
+            if len(f) >= 3:
+                self._rows.setdefault(f[0], []).append(_BedRow(f))
+
+    def fetch(self, contig=None, parser=None):
+        if contig not in self._rows:
+            raise ValueError("could not create iterator for region")
+        return iter(self._rows[contig])
+
+
+class _AsBedMarker:
+    pass
 
 
 def asBed():
-    raise NotImplementedError
+    return _AsBedMarker()
+
+
+class _VcfSampleValues(dict):
+    def get(self, key, default=None):
+        return dict.get(self, key, default)
+
+
+class _VcfSamples:
+    def __init__(self, gt):
+        self._gt = gt
+
+    def items(self):
+        return [("SAMPLE", _VcfSampleValues(GT=self._gt))]
+
+
+class _VcfRec:
+    def __init__(self, rec):
+        self.pos = rec.pos
+        self.ref = rec.ref
+        self.contig = rec.chrom
+        self.alleles = tuple([rec.ref] + rec.alt.split(","))
+        gt_str = rec.sample_field("GT")
+        gt = None
+        if gt_str:
+            parts = gt_str.replace("|", "/").split("/")
+            vals = []
+            for p in parts:
+                vals.append(None if p == "." else int(p))
+            gt = tuple(vals)
+        self.samples = _VcfSamples(gt)
 
 
 class VariantFile:
     def __init__(self, path):
-        raise NotImplementedError
+        from nanocaller_tpu.io.vcf import VcfReader
+
+        self._reader = VcfReader(path)
+
+    def fetch(self, contig=None, start=None, end=None):
+        # pysam fetch uses 0-based start, end-exclusive; the reference
+        # calls fetch(chrom, start, end+1) with 1-based-ish bounds —
+        # match pysam: include records with pos > start and pos <= end
+        for rec in self._reader:
+            if contig is not None and rec.chrom != contig:
+                continue
+            if start is not None and rec.pos <= start:
+                continue
+            if end is not None and rec.pos > end:
+                continue
+            yield _VcfRec(rec)

@@ -32,12 +32,16 @@ from fixtures import make_fixture
 
 class _FakeIntervalModule:
     class Interval:
-        def __init__(self, *a, **k):
-            pass
+        def __init__(self, begin, end, data=None):
+            self.begin = begin
+            self.end = end
 
     class IntervalTree:
-        def __init__(self, *a, **k):
-            pass
+        def __init__(self, intervals=()):
+            self._ivs = list(intervals)
+
+        def overlaps(self, pos):
+            return any(iv.begin <= pos < iv.end for iv in self._ivs)
 
 
 @pytest.fixture(scope="module")
@@ -203,6 +207,107 @@ def test_indel_candidate_scan_parity(reference_indel_module, tmp_path_factory):
         assert calls[2][0] == d["tot"], v1
         checked += 1
     assert checked == len(ref_candidates)
+
+
+@pytest.fixture(scope="module")
+def reference_training_module():
+    import pysam_shim
+
+    sys.modules["pysam"] = pysam_shim
+    sys.modules["intervaltree"] = _FakeIntervalModule
+    path = "/root/reference/misc/training/generate_SNP_pileups.py"
+    spec = importlib.util.spec_from_file_location("ref_train_pileups", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_snp_training_positive_examples_parity(reference_training_module,
+                                               tmp_path_factory):
+    """Run the reference TRAINING feature generator unmodified and diff
+    the truth-site (positive) records — (gt, allele1, allele2, ref) labels
+    and both neighbor-variant tensors — against our training generator.
+    (Negative sampling uses unseeded RNG in the reference and is excluded.)
+    """
+    from nanocaller_tpu.io.vcf import VcfRecord, VcfWriter, VcfReader
+    from nanocaller_tpu.io.bgzf import BgzfWriter
+    from nanocaller_tpu.train.data import (
+        generate_snp_training_examples, truth_snps)
+
+    tmp = tmp_path_factory.mktemp("trainparity")
+    fasta_p, bam_p, ref_seq, snps = make_fixture(
+        tmp, depth=25, L=20000, read_len=2500, seed=5, error_rate=0.05)
+    # truth VCF
+    vcf_p = str(tmp / "truth.vcf.gz")
+    hdr = ["##fileformat=VCFv4.2", "##contig=<ID=chr_t>",
+           '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+    with VcfWriter(vcf_p, hdr) as w:
+        for pos, alt, gt in snps:
+            gt_str = "1/1" if gt == "hom" else "0/1"
+            w.write(VcfRecord("chr_t", pos + 1, ref_seq[pos], alt, "50",
+                              "PASS", format_="GT", samples=[gt_str]))
+    # include bed = whole region; exclude bed = far-away dummy interval
+    include_bed = str(tmp / "inc.bed.gz")
+    with BgzfWriter(include_bed) as w:
+        w.write("chr_t\t0\t20000\n")
+    exclude_bed = str(tmp / "exc.bed.gz")
+    with BgzfWriter(exclude_bed) as w:
+        w.write("chr_t\t25000\t26000\n")
+
+    start, end = 2001, 18000
+    dct = {"chrom": "chr_t", "start": start, "end": end,
+           "sam_path": bam_p, "fasta_path": fasta_p, "vcf_path": vcf_p,
+           "include_bed": include_bed, "exclude_bed": exclude_bed,
+           "threshold": [0.4, 0.6], "mincov": 8, "maxcov": 160,
+           "seq": "ont", "type": "train"}
+    pileup_list, _ = reference_training_module.get_snp_training_pileups(dct)
+    ref_pos_records = pileup_list["pos"]
+    assert len(ref_pos_records) >= 8  # ≥4 truth sites × 2 nbr variants
+
+    # reference emits per truth site: (freq-nbr record, gtruth-nbr record)
+    ref_by_key = {}
+    seen = {}
+    for v_pos, gt, a1, a2, rb, data in ref_pos_records:
+        variant = seen.get(v_pos, 0)
+        seen[v_pos] = variant + 1
+        ref_by_key[(v_pos, variant)] = (gt, a1, a2, rb,
+                                        np.asarray(data, dtype=np.int8))
+    assert all(v == 2 for v in seen.values())
+
+    from nanocaller_tpu.io.bam import BamReader
+    from nanocaller_tpu.io.fasta import FastaFile
+
+    bam = BamReader(bam_p)
+    fasta = FastaFile(fasta_p)
+    # truth must cover the ±50kb halo (matching the reference's
+    # get_nbr fetch range incl. its off-by-one start+1 behavior)
+    truth = truth_snps(VcfReader(vcf_p), "chr_t",
+                       max(1, start - 50000) + 1, end + 50000)
+    ex = generate_snp_training_examples(
+        bam, fasta, truth, {"chrom": "chr_t", "start": start, "end": end},
+        seq_type="ont", mincov=8, maxcov=160, nbr_threshold=(0.4, 0.6))
+
+    # our records: first all sites with freq-nbrs (variant 0), then all
+    # with truth-nbrs (variant 1); keep only truth-site entries
+    ours_by_key = {}
+    seen_ours = {}
+    for k in range(len(ex["pos"])):
+        p1 = int(ex["pos"][k]) + 1
+        if (p1 - 1) not in truth:
+            continue
+        variant = seen_ours.get(p1, 0)
+        seen_ours[p1] = variant + 1
+        ours_by_key[(p1, variant)] = (
+            int(ex["gt"][k]), int(ex["allele1"][k]), int(ex["allele2"][k]),
+            int(ex["ref"][k]), ex["x"][k])
+
+    assert set(ref_by_key) == set(ours_by_key)
+    for key in ref_by_key:
+        rg, ra1, ra2, rr, rmat = ref_by_key[key]
+        og, oa1, oa2, orf, omat = ours_by_key[key]
+        assert (rg, ra1, ra2, rr) == (og, oa1, oa2, orf), key
+        np.testing.assert_array_equal(rmat, omat, err_msg=str(key))
 
 
 def test_haploid_threshold_parity(reference_module, parity_fixture):
