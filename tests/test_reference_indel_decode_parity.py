@@ -1,0 +1,188 @@
+"""Differential parity for the indel DECODE stage: feed OUR feature
+batch into the reference's indelCaller.indel_run() (feature generator
+and CNN monkeypatched — muscle/parasail don't exist here) and diff its
+VCF body lines against decode_diploid_indels/decode_haploid_indels.
+
+Validates the reference decision logic port: the p0≤0.95 gate, QUAL/GQ
+formulas, 1/1 vs 1|2 allele merging, 0|1 / 1|0 phase sets, and overlap
+suppression (indelCaller.py:91-182).
+"""
+
+import importlib
+import os
+import queue
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_ROOT, "nanocaller_src/indelCaller.py")),
+    reason="reference sources unavailable")
+
+tf = pytest.importorskip("tensorflow")
+
+from nanocaller_tpu.config import Config
+from nanocaller_tpu.indel_caller import (
+    IndelCallerState,
+    decode_diploid_indels,
+    decode_haploid_indels,
+    infer_haploid_indel_batch,
+    infer_indel_batch,
+)
+from nanocaller_tpu.io.bam import BamReader
+from nanocaller_tpu.io.fasta import FastaFile
+from nanocaller_tpu.models.registry import _pack_path
+from nanocaller_tpu.models.weights import params_from_npz
+from nanocaller_tpu.pileup.indel_features import get_indel_candidates
+
+from fixtures import make_fixture
+
+
+def _tf_weights(name):
+    tree = params_from_npz(_pack_path("indel", name))["params"]
+    return {"%s/%s" % (l, v): tf.constant(val)
+            for l, vs in tree.items() for v, val in vs.items()}
+
+
+class _TwinIndelModel:
+    """Reference Indel_model wiring (model_architect_indel.py:28-48)."""
+
+    def __init__(self):
+        self.w = _tf_weights("ONT-HG002")
+
+    def load_weights(self, path):
+        class _R:
+            def expect_partial(self):
+                return self
+        return _R()
+
+    def __call__(self, x):
+        w = self.w
+        x = tf.cast(x, tf.float32)
+        conv = lambda n, h, s, p: tf.nn.selu(
+            tf.nn.conv2d(h, w[n + "/kernel"], s, p) + w[n + "/bias"])
+        dense = lambda n, h: tf.matmul(h, w[n + "/kernel"]) + w[n + "/bias"]
+        m = tf.concat([conv("conv1_1", x, [1, 1], "SAME"),
+                       conv("conv1_2", x, [1, 1], "SAME"),
+                       conv("conv1_3", x, [1, 1], "SAME")], 3)
+        m = conv("conv3", conv("conv2", m, [1, 1, 2, 1], "VALID"),
+                 [1, 1, 2, 1], "VALID")
+        flat = tf.reshape(m, [tf.shape(x)[0], -1])
+        out = tf.nn.softmax(dense("fc3", tf.nn.selu(
+            dense("fc2", tf.nn.selu(dense("fc1", flat))))))
+        return out.numpy()
+
+
+class _TwinHaploidIndelModel:
+    def __init__(self):
+        self.w = _tf_weights("haploid")
+
+    def build(self, input_shape=None):
+        pass
+
+    def load_weights(self, path):
+        pass
+
+    def __call__(self, x):
+        w = self.w
+        x = tf.cast(x, tf.float32)
+        conv = lambda n, h, s, p: tf.nn.selu(
+            tf.nn.conv2d(h, w[n + "/kernel"], s, p) + w[n + "/bias"])
+        dense = lambda n, h: tf.matmul(h, w[n + "/kernel"]) + w[n + "/bias"]
+        m = tf.concat([conv("conv1_1", x, [1, 1], "SAME"),
+                       conv("conv1_2", x, [1, 1], "SAME"),
+                       conv("conv1_3", x, [1, 1], "SAME")], 3)
+        m = conv("conv3", conv("conv2", m, [1, 1, 2, 1], "VALID"),
+                 [1, 1, 2, 1], "VALID")
+        flat = tf.reshape(m, [tf.shape(x)[0], -1])
+        return tf.sigmoid(dense("fc3", tf.nn.selu(
+            dense("fc2", tf.nn.selu(dense("fc1", flat)))))).numpy()
+
+
+@pytest.fixture(scope="module")
+def ref_indel_caller():
+    import pysam_shim
+    import test_reference_parity as T
+
+    sys.modules["pysam"] = pysam_shim
+    sys.modules["intervaltree"] = T._FakeIntervalModule
+    sys.modules["parasail"] = T._FakeParasail
+    pkg = types.ModuleType("nanocaller_src")
+    pkg.__path__ = [os.path.join(REF_ROOT, "nanocaller_src")]
+    sys.modules["nanocaller_src"] = pkg
+    mod = importlib.import_module("nanocaller_src.indelCaller")
+    mod.Indel_model = _TwinIndelModel
+    mod.haploid_Indel_model = _TwinHaploidIndelModel
+    mod.current_process = lambda: types.SimpleNamespace(_identity=[3])
+    return mod
+
+
+@pytest.fixture(scope="module")
+def indel_batches(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("idecode")
+    indels = [(2000, "del", 6, "het1"), (4500, "ins", "TTTTT", "hom"),
+              (7000, "ins", "GATC", "het2"), (9500, "del", 4, "het2")]
+    fasta_p, bam_p, ref_seq, _ = make_fixture(
+        tmp, depth=34, L=12000, read_len=1400, seed=17, snps=[],
+        indels=indels, tag_haplotypes=True, error_rate=0.02)
+    bam = BamReader(bam_p)
+    fasta = FastaFile(fasta_p)
+    batches = {}
+    for ploidy in ("diploid", "haploid"):
+        batches[ploidy] = get_indel_candidates(
+            bam, fasta, {"chrom": "chr_t", "start": 1, "end": 12000},
+            ploidy=ploidy)
+        # haploid scan legitimately misses het indels (freq ~0.5 < del_t)
+        assert len(batches[ploidy]) >= (3 if ploidy == "diploid" else 2)
+    return batches
+
+
+@pytest.mark.parametrize("ploidy", ["diploid", "haploid"])
+def test_indel_vcf_lines_match_reference(ref_indel_caller, indel_batches,
+                                         tmp_path, ploidy):
+    mod = ref_indel_caller
+    batch = indel_batches[ploidy]
+
+    if ploidy == "diploid":
+        feat = (list(batch.pos), batch.x0, batch.x1, batch.x2,
+                list(batch.alleles), list(batch.phase))
+        mod.get_indel_testing_candidates = lambda params, chunk: feat
+    else:
+        feat = (list(batch.pos), batch.x, list(batch.alleles))
+        mod.get_indel_testing_candidates_haploid = lambda params, chunk: feat
+
+    params = {"intermediate_indel_files_dir": str(tmp_path),
+              "prefix": "p" + ploidy, "indel_model": "ONT-HG002"}
+    job_Q = queue.Queue()
+    job_Q.put(("indel", {"chrom": "chr_t", "ploidy": ploidy}))
+    counter_Q = queue.Queue()
+    files = []
+    mod.indel_run(params, {}, job_Q, counter_Q, files)
+    ref_lines = open(files[0]).readlines()
+    assert len(ref_lines) >= (2 if ploidy == "diploid" else 1)
+
+    state = IndelCallerState.create("ONT-HG002")
+    if ploidy == "diploid":
+        probs = infer_indel_batch(state, batch)
+        ours = decode_diploid_indels(batch, probs)
+    else:
+        probs = infer_haploid_indel_batch(state, batch)
+        ours = decode_haploid_indels(batch, probs)
+    assert len(ours) == len(ref_lines)
+
+    n_exact = 0
+    for rl, ol in zip(ref_lines, ours):
+        if rl == ol:
+            n_exact += 1
+            continue
+        rf, of = rl.rstrip().split("\t"), ol.rstrip().split("\t")
+        # everything except float QUAL / GQ must be identical
+        assert rf[:5] == of[:5] and rf[6:9] == of[6:9], (rl, ol)
+        assert abs(float(rf[5]) - float(of[5])) < 0.51
+        rs, os_ = rf[9].split(":"), of[9].split(":")
+        assert rs[0] == os_[0]  # GT
+        assert rs[2:] == os_[2:]  # PS
+    assert n_exact >= 0.7 * len(ref_lines), (n_exact, len(ref_lines))
