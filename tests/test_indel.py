@@ -131,6 +131,50 @@ class TestScan:
             assert any(abs(v - p) <= 45 for v in vpos), (p, vpos)
 
 
+class TestImputeIndelPhase:
+    def test_clustering_pseudophasing_finds_het_indel(self, tmp_path):
+        """--impute_indel_phase: with an UNTAGGED BAM (no HP), the
+        per-column allele-clustering fallback must still produce
+        candidates and calls for a het indel
+        (generate_indel_pileups.py:278-304)."""
+        from fixtures import make_fixture
+        from nanocaller_tpu.io.fasta import FastaFile
+
+        indels = [(2000, "del", 6, "het1")]
+        fasta_p, bam_p, ref_seq, _ = make_fixture(
+            tmp_path, depth=30, L=4000, read_len=900, seed=8, snps=[],
+            indels=indels, tag_haplotypes=False)
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        chunk = {"chrom": "chr_t", "start": 1, "end": 4000}
+        # ccs-preset thresholds (del_t=0.4) — the preset that enables
+        # impute_indel_phase; a 0.5-freq het del clears the 0.4 gate
+        kw = dict(seq_type="ont", mincov=4, maxcov=160, ins_t=0.4,
+                  del_t=0.4, win_size=40, small_win_size=4)
+        # without impute: hap coverage gate fails everywhere → nothing
+        none_batch = get_indel_candidates(bam, fasta, chunk,
+                                          impute_indel_phase=False, **kw)
+        assert len(none_batch) == 0
+        batch = get_indel_candidates(bam, fasta, chunk,
+                                     impute_indel_phase=True, **kw)
+        assert len(batch) >= 1
+        # the pseudo-haplotypes should separate the del allele
+        hits = [j for j, p in enumerate(batch.pos) if abs(p - 2001) <= 12]
+        assert hits, batch.pos
+        a0, a1, at = batch.alleles[hits[0]]
+        diffs = {len(x[0]) - len(x[1]) for x in (a0, a1, at)
+                 if x[0] and x[1]}
+        assert 6 in diffs, batch.alleles[hits[0]]
+
+        # end-to-end decode on the imputed batch (ccs-like thresholds)
+        cfg = Config(bam=bam_p, ref=fasta_p, prefix="imp", sample="S",
+                     impute_indel_phase=True, del_threshold=0.4)
+        state = IndelCallerState.create("ONT-HG002")
+        lines = call_indel_chunk(state, bam, fasta,
+                                 dict(chunk, ploidy="diploid"), cfg)
+        assert any(1990 <= int(l.split("\t")[1]) <= 2012 for l in lines), lines
+
+
 class TestDeviceAlignmentParity:
     def test_device_path_identical(self, indel_fixture):
         (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
