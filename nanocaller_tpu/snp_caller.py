@@ -113,6 +113,39 @@ class SnpCallerState:
         return cls(params=params, train_coverage=cov, hap_params=hap_params)
 
 
+def prewarm_snp_model(state: SnpCallerState, cfg, buckets=(64, 96, 128, 160),
+                      diploid=True, haploid=False):
+    """Kick off jit compilation of the inference shapes in a background
+    thread so (remote) compilation overlaps host feature generation —
+    without a persistent cache each run pays ~30-60s per shape otherwise."""
+    import threading
+
+    def _warm():
+        try:
+            for R in buckets:
+                if R > cfg.maxcov:
+                    continue
+                packed = np.zeros((cfg.batch_size, R, (WIDTH + 1) // 2),
+                                  np.uint8)
+                mask = np.zeros((cfg.batch_size, R), bool)
+                cr = np.zeros((cfg.batch_size, WIDTH), np.int8)
+                cv = np.zeros((cfg.batch_size, WIDTH), bool)
+                ctr = np.zeros(cfg.batch_size, np.int8)
+                nrm = np.ones(cfg.batch_size, np.float32)
+                if diploid:
+                    _snp_forward_packed(state.params, packed, mask, cr, cv,
+                                        ctr, nrm)
+                if haploid:
+                    _snp_forward_packed(state.hap_params, packed, mask, cr,
+                                        cv, ctr, nrm, haploid=True)
+        except Exception:
+            pass  # prewarm is best-effort
+
+    t = threading.Thread(target=_warm, daemon=True)
+    t.start()
+    return t
+
+
 def infer_snp_batch(state: SnpCallerState, batch: SnpBatch, cfg, ploidy):
     """Run the model over one chunk's candidates in padded device batches."""
     B = len(batch)
@@ -287,6 +320,22 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
                                   chunks[i]["start"]))
     ordered_chunks = [chunks[i] for i in order]
     ploidy_of = [c.get("ploidy", "diploid") for c in ordered_chunks]
+
+    # probe depth on a small window → prewarm the matching read-axis
+    # bucket while feature workers run (overlaps remote compilation)
+    try:
+        from .runtime.chunker import get_coverage
+
+        c0 = ordered_chunks[0]
+        cov = get_coverage(bam, c0["chrom"], c0["start"],
+                           min(c0["end"], c0["start"] + 20000))
+        bucket = next((b for b in _R_BUCKETS
+                       if b >= min(1.6 * cov, cfg.maxcov)), _R_BUCKETS[-1])
+        prewarm_snp_model(state, cfg, buckets=(bucket,),
+                          diploid=any(p == "diploid" for p in ploidy_of),
+                          haploid=any(p == "haploid" for p in ploidy_of))
+    except Exception:
+        pass
 
     results = {}
     todo = []
