@@ -322,8 +322,14 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
     ploidy_of = [c.get("ploidy", "diploid") for c in ordered_chunks]
 
     # probe depth on a small window → prewarm the matching read-axis
-    # bucket while feature workers run (overlaps remote compilation)
+    # bucket while feature workers run (overlaps compilation with host
+    # work). Skipped on the axon backend: its remote-compile channel
+    # does not tolerate a concurrent background compile.
     try:
+        import jax
+
+        if jax.default_backend() == "axon":
+            raise RuntimeError("prewarm disabled on axon")
         from .runtime.chunker import get_coverage
 
         c0 = ordered_chunks[0]
