@@ -163,15 +163,15 @@ def decode_window_native(bam_reader, contig, start, end, flag_exclude,
             "seqs_raw": np.zeros(max(1, seq_bytes), np.uint8),
             "seq_off": np.zeros(n_reads + 1, np.int64),
             "ev_rid": np.zeros(n_ev, np.int32),
-            "ev_pos": np.zeros(n_ev, np.int64),
+            "ev_pos": np.zeros(n_ev, np.int32),
             "ev_code": np.zeros(n_ev, np.int8),
             "ev_qpos": np.zeros(n_ev, np.int32),
             "del_rid": np.zeros(n_del, np.int32),
-            "del_start": np.zeros(n_del, np.int64),
-            "del_len": np.zeros(n_del, np.int64),
+            "del_start": np.zeros(n_del, np.int32),
+            "del_len": np.zeros(n_del, np.int32),
             "ins_rid": np.zeros(n_ins, np.int32),
-            "ins_pos": np.zeros(n_ins, np.int64),
-            "ins_len": np.zeros(n_ins, np.int64),
+            "ins_pos": np.zeros(n_ins, np.int32),
+            "ins_len": np.zeros(n_ins, np.int32),
         }
 
         def p(a, ct):
@@ -184,11 +184,11 @@ def decode_window_native(bam_reader, contig, start, end, flag_exclude,
             p(out["hp"], ctypes.c_int8), p(out["ps"], ctypes.c_int64),
             p(out["qnames_raw"], ctypes.c_char), p(out["qname_off"], ctypes.c_int64),
             p(out["seqs_raw"], ctypes.c_char), p(out["seq_off"], ctypes.c_int64),
-            p(out["ev_rid"], ctypes.c_int32), p(out["ev_pos"], ctypes.c_int64),
+            p(out["ev_rid"], ctypes.c_int32), p(out["ev_pos"], ctypes.c_int32),
             p(out["ev_code"], ctypes.c_int8), p(out["ev_qpos"], ctypes.c_int32),
-            p(out["del_rid"], ctypes.c_int32), p(out["del_start"], ctypes.c_int64),
-            p(out["del_len"], ctypes.c_int64), p(out["ins_rid"], ctypes.c_int32),
-            p(out["ins_pos"], ctypes.c_int64), p(out["ins_len"], ctypes.c_int64))
+            p(out["del_rid"], ctypes.c_int32), p(out["del_start"], ctypes.c_int32),
+            p(out["del_len"], ctypes.c_int32), p(out["ins_rid"], ctypes.c_int32),
+            p(out["ins_pos"], ctypes.c_int32), p(out["ins_len"], ctypes.c_int32))
         cw = lib.ncio_counts_width(ctypes.c_void_p(handle))
         if cw > 0:
             counts = np.zeros((cw, 6), np.int32)

@@ -36,16 +36,16 @@ struct Window {
   std::vector<int64_t> qname_off;  // size n_reads+1
   std::string seqs;                // concatenated (optional)
   std::vector<int64_t> seq_off;    // size n_reads+1
-  // aligned-base events
+  // aligned-base events (positions fit int32 for any real genome)
   std::vector<int32_t> ev_rid;
-  std::vector<int64_t> ev_pos;
+  std::vector<int32_t> ev_pos;
   std::vector<int8_t> ev_code;
   std::vector<int32_t> ev_qpos;
   // deletions / insertions
   std::vector<int32_t> del_rid;
-  std::vector<int64_t> del_start, del_len;
+  std::vector<int32_t> del_start, del_len;
   std::vector<int32_t> ins_rid;
-  std::vector<int64_t> ins_pos, ins_len;
+  std::vector<int32_t> ins_pos, ins_len;
   // per-column base counts over [start, end): 6 channels
   // A,G,T,C,other(aligned),DEL — accumulated during decode so Python
   // never touches per-base event arrays for counting
@@ -288,7 +288,7 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
           uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
           int8_t code = NIBBLE_CODE[nib];
           w->ev_rid.push_back(rid);
-          w->ev_pos.push_back(rpos + i);
+          w->ev_pos.push_back(int32_t(rpos + i));
           w->ev_code.push_back(code);
           w->ev_qpos.push_back(q);
           int64_t col = rpos + i - w->count_start;
@@ -301,14 +301,14 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
       }
       case 1:  // I
         w->ins_rid.push_back(rid);
-        w->ins_pos.push_back(rpos - 1);
-        w->ins_len.push_back(l);
+        w->ins_pos.push_back(int32_t(rpos - 1));
+        w->ins_len.push_back(int32_t(l));
         qpos += int32_t(l);
         break;
       case 2:  // D
         w->del_rid.push_back(rid);
-        w->del_start.push_back(rpos);
-        w->del_len.push_back(l);
+        w->del_start.push_back(int32_t(rpos));
+        w->del_len.push_back(int32_t(l));
         for (int64_t i = 0; i < l; i++) {
           int64_t col = rpos + i - w->count_start;
           if (col >= 0 && size_t(col * 6) < w->counts.size())
@@ -390,10 +390,10 @@ void ncio_sizes(void* handle, int64_t* out) {
 void ncio_fill(void* handle, int32_t* flags, int8_t* strand,
                int64_t* read_start, int64_t* read_end, int8_t* hp, int64_t* ps,
                char* qnames, int64_t* qname_off, char* seqs, int64_t* seq_off,
-               int32_t* ev_rid, int64_t* ev_pos, int8_t* ev_code,
-               int32_t* ev_qpos, int32_t* del_rid, int64_t* del_start,
-               int64_t* del_len, int32_t* ins_rid, int64_t* ins_pos,
-               int64_t* ins_len) {
+               int32_t* ev_rid, int32_t* ev_pos, int8_t* ev_code,
+               int32_t* ev_qpos, int32_t* del_rid, int32_t* del_start,
+               int32_t* del_len, int32_t* ins_rid, int32_t* ins_pos,
+               int32_t* ins_len) {
   auto* w = static_cast<Window*>(handle);
   auto cp = [](auto& vec, auto* dst) {
     if (!vec.empty()) memcpy(dst, vec.data(), vec.size() * sizeof(vec[0]));

@@ -53,7 +53,7 @@ class ReadWindow:
     ps: np.ndarray = None  # int64[N], -1 = none
     # aligned-base events
     ev_rid: np.ndarray = None  # int32[E]
-    ev_pos: np.ndarray = None  # int64[E]
+    ev_pos: np.ndarray = None  # int32[E] (ref positions fit int32)
     ev_code: np.ndarray = None  # int8[E]
     ev_qpos: np.ndarray = None  # int32[E]
     # deletion events
@@ -122,7 +122,7 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
         for op, length in read.cigar:
             if op in (0, 7, 8):  # M/=/X
                 ev_rid.append(np.full(length, rid, np.int32))
-                ev_pos.append(np.arange(rpos, rpos + length, dtype=np.int64))
+                ev_pos.append(np.arange(rpos, rpos + length, dtype=np.int32))
                 ev_code.append(codes[qpos : qpos + length])
                 ev_qpos.append(np.arange(qpos, qpos + length, dtype=np.int32))
                 rpos += length
@@ -162,15 +162,15 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
         hp=np.asarray(hps, np.int8),
         ps=np.asarray(pss, np.int64),
         ev_rid=cat(ev_rid, np.int32),
-        ev_pos=cat(ev_pos, np.int64),
+        ev_pos=cat(ev_pos, np.int32),
         ev_code=cat(ev_code, np.int8),
         ev_qpos=cat(ev_qpos, np.int32),
         del_rid=np.asarray(del_rid, np.int32),
-        del_start=np.asarray(del_start, np.int64),
-        del_len=np.asarray(del_len, np.int64),
+        del_start=np.asarray(del_start, np.int32),
+        del_len=np.asarray(del_len, np.int32),
         ins_rid=np.asarray(ins_rid, np.int32),
-        ins_pos=np.asarray(ins_pos, np.int64),
-        ins_len=np.asarray(ins_len, np.int64),
+        ins_pos=np.asarray(ins_pos, np.int32),
+        ins_len=np.asarray(ins_len, np.int32),
         seqs=seqs,
     )
 
