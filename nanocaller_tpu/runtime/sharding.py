@@ -56,6 +56,39 @@ def snp_param_shardings(mesh, params):
     )
 
 
+def shard_inference_demo(mesh, B=None):
+    """Jit the SNP inference path with candidate batches sharded over the
+    'dp' axis and replicated weights — the serving-layout for region-
+    sharded multi-chip calling (SURVEY.md §2.4 DP row). Executes one
+    batch on tiny shapes; used by the driver's multi-chip dry run."""
+    import jax.numpy as jnp
+
+    from ..models import load_model
+    from ..snp_caller import _snp_forward_packed
+    from ..pileup.snp_features import WIDTH
+
+    rng = np.random.default_rng(0)
+    n_dp = mesh.shape["dp"]
+    B = B or max(8, 2 * n_dp)
+    R = 32
+    params, _ = load_model("snp", "ONT-HG002")
+    params = jax.device_put(params, replicated(mesh))
+    bshard = batch_sharding(mesh)
+    args = (
+        jax.device_put(rng.integers(0, 255, (B, R, (WIDTH + 1) // 2))
+                       .astype(np.uint8), bshard),
+        jax.device_put(rng.random((B, R)) < 0.5, bshard),
+        jax.device_put(rng.integers(0, 5, (B, WIDTH)).astype(np.int8), bshard),
+        jax.device_put(rng.random((B, WIDTH)) < 0.9, bshard),
+        jax.device_put(rng.integers(0, 4, (B,)).astype(np.int8), bshard),
+        jax.device_put(np.ones(B, np.float32), bshard),
+    )
+    probs = _snp_forward_packed(params, *args)
+    jax.block_until_ready(probs)
+    assert probs.shape == (B, 4)
+    return np.asarray(probs)
+
+
 def shard_train_step_demo(mesh, batch=None):
     """Jit the full SNP training step over the mesh with real dp+tp
     shardings and execute one step on tiny shapes. Used by the driver's
