@@ -25,9 +25,20 @@ import numpy as np
 from .io.vcf import VcfWriter, standard_snp_header, view_filter
 from .models import HaploidSNPModel, SNPModel, load_model
 from .models.registry import HAPLOID_TRAIN_COVERAGE
-from .pileup.snp_features import CENTER, SnpBatch, get_snp_candidates
+from .pileup.snp_features import CENTER, WIDTH, SnpBatch, get_snp_candidates
 
 NUM_TO_BASE = "AGTC"  # snpCaller.py:14
+
+
+def _phred(p, cap=99, scale=10, eps=1e-10):
+    """min(cap, -scale*log10(eps + 1 - p)) with the reference's effective
+    NaN behavior: float32 softmax can give p marginally above 1, where
+    numpy log10 yields NaN and Python's min(cap, nan) returns cap
+    (snpCaller.py:135 et al.) — so out-of-domain clamps to cap."""
+    x = eps + 1.0 - float(p)
+    if x <= 0:
+        return float(cap)
+    return min(cap, -scale * math.log10(x))
 
 
 def pack_codes(codes):
@@ -217,7 +228,7 @@ def decode_diploid(batch: SnpBatch, probs):
             if pred1 == ref:
                 alt = pred2
                 alt_dp = (int(fwd[alt]), int(rev[alt]))
-                qual = min(99, -10 * math.log10(1e-10 + 1 - pj[alt]))
+                qual = _phred(pj[alt])
                 lines.append(line(
                     NUM_TO_BASE[alt], qual, "PASS", "0/1",
                     "%d:%.4f:%d,%d:%d,%d:%d,%d" % (
@@ -226,7 +237,7 @@ def decode_diploid(batch: SnpBatch, probs):
             elif pred2 == ref and pj[pred2] >= 0.5:
                 alt = pred1
                 alt_dp = (int(fwd[alt]), int(rev[alt]))
-                qual = min(99, -10 * math.log10(1e-10 + 1 - pj[pred2]))
+                qual = _phred(pj[pred2])
                 lines.append(line(
                     NUM_TO_BASE[alt], qual, "PASS", "0/1",
                     "%d:%.4f:%d,%d:%d,%d:%d,%d" % (
@@ -235,7 +246,7 @@ def decode_diploid(batch: SnpBatch, probs):
             elif pred2 != ref and pred1 != ref and pj[pred2] >= 0.5:
                 alt1_dp = (int(fwd[pred1]), int(rev[pred1]))
                 alt2_dp = (int(fwd[pred2]), int(rev[pred2]))
-                qual = min(99, -10 * math.log10(1e-10 + 1 - pj[pred2]))
+                qual = _phred(pj[pred2])
                 lines.append(line(
                     "%s,%s" % (NUM_TO_BASE[pred1], NUM_TO_BASE[pred2]),
                     qual, "PASS", "1/2",
@@ -246,7 +257,7 @@ def decode_diploid(batch: SnpBatch, probs):
                         ref_dp[1], alt1_dp[1], alt2_dp[1])))
         elif n_ge[j] == 1 and ref != pred1 and pj[pred1] >= 0.5:  # hom-alt
             alt_dp = (int(fwd[pred1]), int(rev[pred1]))
-            qual = min(99, -10 * math.log10(1e-10 + 1 - pj[pred1]))
+            qual = _phred(pj[pred1])
             lines.append(line(
                 NUM_TO_BASE[pred1], qual, "PASS", "1/1",
                 "%d:%.4f:%d,%d:%d,%d:%d,%d" % (
@@ -254,7 +265,7 @@ def decode_diploid(batch: SnpBatch, probs):
                     ref_dp[0], alt_dp[0], ref_dp[1], alt_dp[1])))
         else:
             if n_ge[j] == 1 and ref == pred1:
-                qual = min(99, -10 * math.log10(1e-10 + 1 - pj[pred1]))
+                qual = _phred(pj[pred1])
                 lines.append(line(".", qual, "REF", "./.", "%d:.:.:.:." % dp))
             else:
                 lines.append(line(".", 0.0, "LOW", "./.", "%d:.:.:.:." % dp))
@@ -272,7 +283,7 @@ def decode_haploid(batch: SnpBatch, probs):
         pj = probs[j]
         info = "PR=" + ",".join("%.4f" % x for x in pj[[0, 3, 1, 2]]) + \
                ";FQ=%.4f" % batch.freq[j]
-        qual = min(999, -100 * math.log10(1e-10 + 1 - pj[pred]))
+        qual = _phred(pj[pred], cap=999, scale=100)
         filt = "PASS" if pred != ref else "REF"
         lines.append(
             "%s\t%d\t.\t%s\t%s\t%.3f\t%s\t%s\tGT:DP:VF:AD:ADF:ADR\t%s:%d:%.4f:.:.:.\n"

@@ -223,6 +223,39 @@ class TestAllMode:
                     and any(len(r.ref) - len(a) == 5 for a in r.alt.split(","))]
         assert del_hits, [(r.pos, r.ref, r.alt) for r in ind]
 
+    @pytest.mark.parametrize("preset", ["ccs", "clr"])
+    def test_pacbio_presets_model_swap(self, tmp_path, preset):
+        """CCS/CLR presets: pacbio band schedule + window sizes, CCS/CLR
+        SNP models and per-preset indel thresholds run end to end."""
+        rng = np.random.default_rng(3 + len(preset))
+        L = 8000
+        ref_seq = random_seq(rng, L)
+        snps = []
+        for i, pos in enumerate(range(500, L - 500, 450)):
+            rb = ref_seq[pos]
+            snps.append((pos, "ACGT"[("ACGT".index(rb) + 1) % 4],
+                         "hom" if i % 3 == 2 else ("het1" if i % 2 else "het2")))
+        indels = [(3000, "ins", "TTTT", "hom")]
+        err = 0.005 if preset == "ccs" else 0.05
+        reads = make_diploid_readset(rng, ref_seq, snps=snps, indels=indels,
+                                     depth=30, read_len=1200, error_rate=err)
+        fasta_p = str(tmp_path / "pb.fa")
+        write_fasta(fasta_p, {"chr_t": ref_seq})
+        bam_p = str(tmp_path / "pb.bam")
+        write_bam(bam_p, "chr_t", L, reads)
+        out = str(tmp_path / ("out_" + preset))
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+            "--preset", preset, "--output", out, "--prefix", "p",
+            "--phase_qual_score", "4"])
+        recs = list(VcfReader(outputs["snps"]))
+        planted = {p + 1 for p, a, g in snps}
+        got = {r.pos for r in recs}
+        # the CCS/CLR models must recover a solid share of planted SNPs
+        assert len(planted & got) >= 0.5 * len(planted), (
+            preset, len(planted & got), len(planted))
+        assert outputs["final"] is not None
+
     def test_multi_contig(self, tmp_path):
         """Two contigs in one BAM: per-contig phasing, contig-ordered
         sorted outputs, and a haploid chrM alongside a diploid autosome."""
