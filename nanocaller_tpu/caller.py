@@ -125,7 +125,12 @@ def run(cfg: Config, progress=None):
             hiq = [r for r in recs if r.qual_value >= cfg.phase_qual_score]
             lowq = [r for r in recs if r.qual_value < cfg.phase_qual_score]
             with metrics.timer("phase.decode"):
-                rw = decode_reads(bam, name, max(0, s - 1), e, keep_seq=False)
+                # site-filtered decode: phasing only needs read codes at
+                # het sites — memory stays O(reads × hets), making whole-
+                # contig phasing feasible at any contig length
+                het_sites = sorted(r.pos - 1 for r in hiq)
+                rw = decode_reads(bam, name, max(0, s - 1), e,
+                                  keep_seq=False, sites=het_sites)
             with metrics.timer("phase.mec"):
                 result, phase_map = phase_contig(hiq, rw)
             tags = haplotag_reads(rw, result)

@@ -43,7 +43,7 @@ def get_lib():
         lib.ncio_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32]
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         lib.ncio_sizes.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_int64)]
         lib.ncio_counts_width.restype = ctypes.c_int64
@@ -122,7 +122,7 @@ def nw_batch_native(qcodes_list, rcodes_list, match, mismatch, gap_open,
 
 
 def decode_window_native(bam_reader, contig, start, end, flag_exclude,
-                         keep_seq=False):
+                         keep_seq=False, sites=None):
     """Native decode → dict of arrays (same content as ReadWindow fields).
 
     bam_reader: an open io.bam.BamReader (provides the BAI chunk list and
@@ -141,10 +141,19 @@ def decode_window_native(bam_reader, contig, start, end, flag_exclude,
         else:
             chunks = np.array([bam_reader._data_start, 0], dtype=np.uint64)
     rid = bam_reader._ref_to_id.get(contig, -1)
+    if sites is None:
+        sites_arr = np.zeros(1, np.int64)
+        n_sites = 0
+    else:
+        sites_arr = np.ascontiguousarray(sites, dtype=np.int64)
+        n_sites = len(sites_arr)
+        if n_sites == 0:
+            sites_arr = np.zeros(1, np.int64)
     handle = lib.ncio_decode(
         bam_reader.path.encode(), rid, start, end,
         chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        len(chunks) // 2, flag_exclude, 1 if keep_seq else 0)
+        len(chunks) // 2, flag_exclude, 1 if keep_seq else 0,
+        sites_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_sites)
     try:
         sizes = np.zeros(7, dtype=np.int64)
         lib.ncio_sizes(handle, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))

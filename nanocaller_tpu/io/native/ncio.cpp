@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC ncio.cpp -o libncio.so -lz
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -201,7 +202,7 @@ size_t tag_value_size(char typ, const uint8_t* p, const uint8_t* end) {
 
 void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
                    int32_t want_rid, int flag_exclude, bool keep_seq,
-                   Window* w) {
+                   const int64_t* sites, int32_t n_sites, Window* w) {
   if (len < 32) return;
   int32_t ref_id, pos;
   memcpy(&ref_id, data, 4);
@@ -283,17 +284,34 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
     int64_t l = v >> 4;
     switch (op) {
       case 0: case 7: case 8: {  // M/=/X
-        for (int64_t i = 0; i < l; i++) {
-          int32_t q = qpos + int32_t(i);
-          uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
-          int8_t code = NIBBLE_CODE[nib];
-          w->ev_rid.push_back(rid);
-          w->ev_pos.push_back(int32_t(rpos + i));
-          w->ev_code.push_back(code);
-          w->ev_qpos.push_back(q);
-          int64_t col = rpos + i - w->count_start;
-          if (col >= 0 && size_t(col * 6) < w->counts.size())
-            w->counts[col * 6 + code]++;
+        if (n_sites > 0) {
+          // site-filtered mode: emit events only at the given sorted
+          // positions (memory stays O(reads × sites), not O(bases))
+          const int64_t* lo =
+              std::lower_bound(sites, sites + n_sites, rpos);
+          for (const int64_t* s = lo; s < sites + n_sites && *s < rpos + l;
+               s++) {
+            int64_t i = *s - rpos;
+            int32_t q = qpos + int32_t(i);
+            uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+            w->ev_rid.push_back(rid);
+            w->ev_pos.push_back(int32_t(rpos + i));
+            w->ev_code.push_back(NIBBLE_CODE[nib]);
+            w->ev_qpos.push_back(q);
+          }
+        } else {
+          for (int64_t i = 0; i < l; i++) {
+            int32_t q = qpos + int32_t(i);
+            uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+            int8_t code = NIBBLE_CODE[nib];
+            w->ev_rid.push_back(rid);
+            w->ev_pos.push_back(int32_t(rpos + i));
+            w->ev_code.push_back(code);
+            w->ev_qpos.push_back(q);
+            int64_t col = rpos + i - w->count_start;
+            if (col >= 0 && size_t(col * 6) < w->counts.size())
+              w->counts[col * 6 + code]++;
+          }
         }
         rpos += l;
         qpos += int32_t(l);
@@ -338,12 +356,13 @@ extern "C" {
 // (data_start, 0) means "scan until past the region" (no index).
 void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
                   const uint64_t* chunks, int32_t n_chunks,
-                  int32_t flag_exclude, int32_t keep_seq) {
+                  int32_t flag_exclude, int32_t keep_seq,
+                  const int64_t* sites, int32_t n_sites) {
   auto* w = new Window();
   w->qname_off.push_back(0);
   w->seq_off.push_back(0);
   w->count_start = start;
-  if (end > start && end - start < (int64_t(1) << 31))
+  if (n_sites == 0 && end > start && end - start < (int64_t(1) << 31))
     w->counts.assign(size_t(end - start) * 6, 0);
   BgzfFile f(path);
   if (!f.ok()) {
@@ -369,7 +388,7 @@ void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
         if (r_rid > rid || (r_rid == rid && r_pos >= end)) goto done;
       }
       decode_record(rec.data(), rec.size(), start, end, rid, flag_exclude,
-                    keep_seq != 0, w);
+                    keep_seq != 0, sites, n_sites, w);
     }
   }
 done:

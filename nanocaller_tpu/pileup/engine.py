@@ -75,7 +75,7 @@ class ReadWindow:
 
 
 def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
-                 reads=None, use_native=True):
+                 reads=None, use_native=True, sites=None):
     """Decode reads overlapping [start, end) (0-based) into a ReadWindow.
 
     flag_exclude defaults to the reference's pileup filter
@@ -87,12 +87,14 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
     """
     if flag_exclude is None:
         flag_exclude = DEFAULT_FLAG_FILTER
+    if sites is not None:
+        sites = np.asarray(sites, dtype=np.int64)
     if reads is None and use_native and hasattr(bam, "path"):
         try:
             from ..io.native import decode_window_native
 
             raw = decode_window_native(bam, contig, start, end, flag_exclude,
-                                       keep_seq)
+                                       keep_seq, sites=sites)
         except Exception:
             raw = None
         if raw is not None:
@@ -150,7 +152,7 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
             return np.zeros(0, dtype)
         return np.concatenate(parts).astype(dtype, copy=False)
 
-    return ReadWindow(
+    rw_out = ReadWindow(
         contig=contig,
         start=start,
         end=end,
@@ -173,6 +175,16 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
         ins_len=np.asarray(ins_len, np.int32),
         seqs=seqs,
     )
+    if sites is not None:
+        # oracle path: full decode then filter aligned events to sites
+        idx = np.searchsorted(sites, rw_out.ev_pos)
+        hit = idx < len(sites)
+        hit[hit] = sites[idx[hit]] == rw_out.ev_pos[hit]
+        rw_out.ev_rid = rw_out.ev_rid[hit]
+        rw_out.ev_pos = rw_out.ev_pos[hit]
+        rw_out.ev_code = rw_out.ev_code[hit]
+        rw_out.ev_qpos = rw_out.ev_qpos[hit]
+    return rw_out
 
 
 def _window_from_native(raw, contig, start, end):

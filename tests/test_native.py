@@ -69,6 +69,44 @@ class TestNativeDecode:
         np.testing.assert_array_equal(
             column_counts(nat, 1000, 2000), column_counts(py, 1000, 2000))
 
+    def test_sites_filtered_decode(self, bam_fixture):
+        """Site-filtered decode (used by whole-contig phasing) must yield
+        exactly the events at the requested sites, in both native and
+        oracle paths, with identical content to the full decode."""
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        sites = np.array([500, 1000, 1500, 2999, 3001, 4800], np.int64)
+        full = decode_reads(bam, "chr_t", 0, 5000, use_native=False)
+        nat = decode_reads(bam, "chr_t", 0, 5000, sites=sites)
+        py = decode_reads(bam, "chr_t", 0, 5000, sites=sites,
+                          use_native=False)
+        assert_windows_equal(nat, py)
+        # events == full decode restricted to sites
+        keep = np.isin(full.ev_pos, sites)
+        np.testing.assert_array_equal(nat.ev_pos, full.ev_pos[keep])
+        np.testing.assert_array_equal(nat.ev_rid, full.ev_rid[keep])
+        np.testing.assert_array_equal(nat.ev_code, full.ev_code[keep])
+        np.testing.assert_array_equal(nat.ev_qpos, full.ev_qpos[keep])
+        assert len(nat.ev_pos) < len(full.ev_pos) / 10
+
+    def test_phasing_same_result_with_site_decode(self, bam_fixture):
+        from nanocaller_tpu.phase.mec import phase_sites
+
+        fasta_p, bam_p, ref_seq, _ = bam_fixture
+        bam = BamReader(bam_p)
+        rng = np.random.default_rng(0)
+        sites = np.sort(rng.choice(np.arange(200, 4800), 20, replace=False)
+                        ).astype(np.int64)
+        refc = rng.integers(0, 4, len(sites)).astype(np.int8)
+        altc = ((refc + 1) % 4).astype(np.int8)
+        full = decode_reads(bam, "chr_t", 0, 5000)
+        filt = decode_reads(bam, "chr_t", 0, 5000, sites=sites)
+        a = phase_sites(full, sites, refc, altc)
+        b = phase_sites(filt, sites, refc, altc)
+        np.testing.assert_array_equal(a.hap_allele, b.hap_allele)
+        np.testing.assert_array_equal(a.block_ps, b.block_ps)
+        np.testing.assert_array_equal(a.read_hp, b.read_hp)
+
     def test_nw_batch_matches_numpy(self):
         from nanocaller_tpu.align.nw import _codes, nw_align, score_alignment
         from nanocaller_tpu.io.native import nw_batch_native
