@@ -71,6 +71,18 @@ def run(cfg: Config, progress=None):
 
     regions_list = get_regions_list(cfg, bam)
     outputs = {"snps": None, "phased_snps": None, "indels": None, "final": None}
+    if cfg.num_shards > 1:
+        # region sharding across hosts (SURVEY.md §2.4 DP row): each
+        # process takes a deterministic round-robin share of regions
+        # (contig-granular so per-contig phasing stays self-contained)
+        # and writes suffix-tagged outputs; merge_host_outputs() combines
+        from .runtime.distributed import shard_chunks
+
+        regions_list = shard_chunks(regions_list, cfg.shard_index,
+                                    cfg.num_shards)
+        cfg.prefix = "%s.host%03d" % (cfg.prefix, cfg.shard_index)
+        if not regions_list:
+            return outputs
 
     exclude_path = resolve_exclude_bed(cfg.exclude_bed) if cfg.exclude_bed else None
     snp_vcf = None

@@ -40,6 +40,15 @@ def build_parser():
     cfgg.add_argument("--resume", action="store_true",
                       help="Reuse completed chunks from a previous "
                            "interrupted run (chunk-level manifest).")
+    cfgg.add_argument("--num_shards", type=int, default=1,
+                      help="Region-shard the run across N hosts; this "
+                           "process handles shard --shard_index and writes "
+                           "host-suffixed outputs (merge with "
+                           "tools/merge_shards.py).")
+    cfgg.add_argument("--shard_index", type=int, default=0)
+    cfgg.add_argument("--merge_shards", action="store_true",
+                      help="Instead of calling, merge existing host-shard "
+                           "outputs for --prefix/--num_shards in --output.")
 
     out.add_argument("--output", "-o", type=str)
     out.add_argument("--prefix", default="variant_calls")
@@ -112,7 +121,9 @@ def config_from_args(argv=None):
         phase_qual_score=args.phase_qual_score,
         enable_whatshap=args.enable_whatshap,
         suppress_progress=args.suppress_progress_bar, verbose=args.verbose,
-        resume=args.resume)
+        resume=args.resume, num_shards=args.num_shards,
+        shard_index=args.shard_index)
+    cfg._merge_shards = args.merge_shards
     if args.preset:
         apply_preset(cfg, args.preset, explicitly_set)
     return cfg
@@ -149,6 +160,13 @@ def main(argv=None):
     t0 = time.time()
     cfg = config_from_args(argv)
     print("%s: Starting nanocaller-tpu." % datetime.datetime.now(), flush=True)
+    if getattr(cfg, "_merge_shards", False):
+        from .runtime.distributed import merge_host_outputs
+
+        outputs = merge_host_outputs(cfg.output or ".", cfg.prefix,
+                                     cfg.num_shards)
+        print("merged shards:", outputs, flush=True)
+        return outputs
     enable_compilation_cache()
     from .caller import run
 

@@ -61,6 +61,12 @@ class Config:
     skip_phased_bam: bool = False  # skip the per-contig phased BAM artifact
     device_alignment: bool = True  # batch indel NW alignments on the TPU
     resume: bool = False  # reuse completed chunks from a prior run's manifest
+    # multi-host region sharding: each process handles chunks where
+    # chunk_index % num_shards == shard_index and writes suffix-tagged
+    # outputs; merge with tools/merge_shards.py (or any shard can merge
+    # once all host outputs exist)
+    num_shards: int = 1
+    shard_index: int = 0
 
     @property
     def threshold(self):

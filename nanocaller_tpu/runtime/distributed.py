@@ -53,3 +53,23 @@ def merge_host_shards(paths, dst_path):
 
     existing = [p for p in paths if os.path.exists(p)]
     return concat(existing, dst_path)
+
+
+def merge_host_outputs(output_dir, prefix, num_shards):
+    """Merge per-host suffix-tagged run outputs (written by runs with
+    num_shards > 1) into the standard single-run file set. Returns the
+    merged paths dict."""
+    merged = {}
+    for kind, suffix in (("snps", "snps.vcf.gz"),
+                         ("unfiltered_snps", "unfiltered.snps.vcf.gz"),
+                         ("phased_snps", "snps.phased.vcf.gz"),
+                         ("indels", "indels.vcf.gz"),
+                         ("final", "vcf.gz")):
+        shard_paths = [
+            os.path.join(output_dir, "%s.host%03d.%s" % (prefix, i, suffix))
+            for i in range(num_shards)]
+        existing = [p for p in shard_paths if os.path.exists(p)]
+        if existing:
+            dst = os.path.join(output_dir, "%s.%s" % (prefix, suffix))
+            merged[kind] = merge_host_shards(existing, dst)
+    return merged

@@ -305,6 +305,50 @@ class TestAllMode:
         final = VcfReader(outputs["final"])
         assert list(final.fetch("chrM"))
 
+    def test_sharded_hosts_match_single_run(self, tmp_path):
+        """--num_shards/--shard_index region sharding: two 'host' runs +
+        merge produce the same records as one unsharded run."""
+        from fixtures import write_bam_multi
+
+        rng = np.random.default_rng(55)
+        contigs = {"chrA": 7000, "chrB": 7000}
+        seqs = {c: random_seq(rng, L) for c, L in contigs.items()}
+        contig_reads = {}
+        for contig, L in contigs.items():
+            snps = []
+            for i, pos in enumerate(range(600, L - 600, 400)):
+                rb = seqs[contig][pos]
+                alt = "ACGT"[("ACGT".index(rb) + 1) % 4]
+                snps.append((pos, alt, ("het1", "het2", "hom")[i % 3]))
+            contig_reads[contig] = make_diploid_readset(
+                rng, seqs[contig], snps=snps, depth=32, read_len=1300,
+                error_rate=0.02)
+        fasta_p = str(tmp_path / "sh.fa")
+        write_fasta(fasta_p, seqs)
+        bam_p = str(tmp_path / "sh.bam")
+        write_bam_multi(bam_p, contig_reads, contigs)
+
+        out = str(tmp_path / "out")
+        base = ["--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+                "--output", out, "--prefix", "s", "--phase_qual_score", "4"]
+        single = main(base)
+        want = [(r.chrom, r.pos, r.ref, r.alt, r.qual, r.samples)
+                for r in VcfReader(single["final"])]
+
+        out2 = str(tmp_path / "out2")
+        base2 = ["--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+                 "--output", out2, "--prefix", "s",
+                 "--phase_qual_score", "4", "--num_shards", "2"]
+        main(base2 + ["--shard_index", "0"])
+        main(base2 + ["--shard_index", "1"])
+        merged = main(["--bam", bam_p, "--ref", fasta_p, "--output", out2,
+                       "--prefix", "s", "--num_shards", "2",
+                       "--merge_shards"])
+        assert os.path.exists(merged["final"])
+        got = [(r.chrom, r.pos, r.ref, r.alt, r.qual, r.samples)
+               for r in VcfReader(merged["final"])]
+        assert got == want and len(got) > 10
+
     def test_indels_mode_with_tagged_bam(self, tmp_path):
         # pre-tagged BAM straight into indel-only mode
         indels = [(2000, "ins", "AAAA", "het2")]
