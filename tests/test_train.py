@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -168,6 +170,57 @@ class TestTraining:
             x, labels, str(tmp_path / "ick"), epochs=2,
             batch_size=min(8, len(x)), log=lambda *a: None)
         assert history[-1]["loss"] is not None
+
+    def test_train_cli_end_to_end(self, train_fixture, tmp_path):
+        """tools/train_snp.py: feature gen → train → checkpoint usable by
+        inference, through the CLI surface."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        import train_snp
+
+        fasta_p, bam_p, vcf_p, ref_seq, snps = train_fixture
+        out = str(tmp_path / "cliout")
+        history = train_snp.main([
+            "--bam", bam_p, "--ref", fasta_p, "--truth_vcf", vcf_p,
+            "--regions", "chr_t:1-12000", "--output", out,
+            "--epochs", "2", "--batch_size", "16", "--val_every", "2",
+            "--chunk_size", "6000", "--train_coverage", "30"])
+        assert len(history) == 2
+        ckpt = history[-1]["ckpt"]
+        assert os.path.exists(ckpt)
+        assert os.path.exists(ckpt.replace(".npz", ".coverage"))
+        p, cov = load_model("snp", ckpt)
+        assert cov == 30.0
+
+    def test_indel_train_cli(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        import train_indel
+        from nanocaller_tpu.io.vcf import VcfRecord, VcfWriter
+
+        indels = [(1500, "del", 6, "het1"), (3000, "ins", "TTTTT", "hom")]
+        fasta_p, bam_p, ref_seq, _ = make_fixture(
+            tmp_path, depth=30, L=5000, read_len=900, seed=23, snps=[],
+            indels=indels, tag_haplotypes=True)
+        hdr = ["##fileformat=VCFv4.2", "##contig=<ID=chr_t>",
+               '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+               "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+        vcf_p = str(tmp_path / "ti.vcf.gz")
+        with VcfWriter(vcf_p, hdr) as w:
+            w.write(VcfRecord("chr_t", 1501, ref_seq[1500:1507],
+                              ref_seq[1500], "50", "PASS", format_="GT",
+                              samples=["0/1"]))
+            w.write(VcfRecord("chr_t", 3001, ref_seq[3000],
+                              ref_seq[3000] + "TTTTT", "50", "PASS",
+                              format_="GT", samples=["1/1"]))
+        out = str(tmp_path / "iout")
+        history = train_indel.main([
+            "--bam", bam_p, "--ref", fasta_p, "--truth_vcf", vcf_p,
+            "--regions", "chr_t:1-5000", "--output", out, "--epochs", "2",
+            "--batch_size", "8"])
+        assert history and os.path.exists(history[-1]["ckpt"])
 
     def test_label_candidates(self):
         class FakeBatch:
