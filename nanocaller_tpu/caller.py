@@ -87,8 +87,11 @@ def run(cfg: Config, progress=None):
     exclude_path = resolve_exclude_bed(cfg.exclude_bed) if cfg.exclude_bed else None
     snp_vcf = None
     if cfg.mode in ("snps", "all"):
+        from .runtime.metrics import profile_region
+
         chunks = get_chunks(regions_list, cfg.cpu)
-        with metrics.timer("snp_calling"):
+        with metrics.timer("snp_calling"), profile_region(
+                os.path.join(cfg.output, "trace"), enabled=cfg.profile):
             snp_vcf = call_snps(cfg, bam, fasta, regions_list, chunks,
                                 cfg.output, exclude=exclude, progress=progress,
                                 exclude_path=exclude_path, manifest=manifest)

@@ -49,6 +49,9 @@ def build_parser():
     cfgg.add_argument("--merge_shards", action="store_true",
                       help="Instead of calling, merge existing host-shard "
                            "outputs for --prefix/--num_shards in --output.")
+    cfgg.add_argument("--profile", action="store_true",
+                      help="Capture a jax.profiler trace of the SNP stage "
+                           "into OUTPUT/trace (view with XProf).")
 
     out.add_argument("--output", "-o", type=str)
     out.add_argument("--prefix", default="variant_calls")
@@ -122,7 +125,7 @@ def config_from_args(argv=None):
         enable_whatshap=args.enable_whatshap,
         suppress_progress=args.suppress_progress_bar, verbose=args.verbose,
         resume=args.resume, num_shards=args.num_shards,
-        shard_index=args.shard_index)
+        shard_index=args.shard_index, profile=args.profile)
     cfg._merge_shards = args.merge_shards
     if args.preset:
         apply_preset(cfg, args.preset, explicitly_set)

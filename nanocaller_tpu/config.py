@@ -67,6 +67,7 @@ class Config:
     # once all host outputs exist)
     num_shards: int = 1
     shard_index: int = 0
+    profile: bool = False  # capture a jax.profiler trace into output/trace
 
     @property
     def threshold(self):

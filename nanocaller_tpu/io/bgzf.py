@@ -11,7 +11,6 @@ format per the SAM/BAM spec (hts-specs SAMv1.pdf §4.1).
 
 from __future__ import annotations
 
-import io
 import os
 import struct
 import zlib

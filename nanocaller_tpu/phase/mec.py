@@ -17,7 +17,7 @@ flag is accepted and ignored with a note, matching its documented
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

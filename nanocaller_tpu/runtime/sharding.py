@@ -61,8 +61,6 @@ def shard_inference_demo(mesh, B=None):
     'dp' axis and replicated weights — the serving-layout for region-
     sharded multi-chip calling (SURVEY.md §2.4 DP row). Executes one
     batch on tiny shapes; used by the driver's multi-chip dry run."""
-    import jax.numpy as jnp
-
     from ..models import load_model
     from ..snp_caller import _snp_forward_packed
     from ..pileup.snp_features import WIDTH

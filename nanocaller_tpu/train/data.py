@@ -17,7 +17,6 @@ record CONTENT is the same.
 from __future__ import annotations
 
 import glob
-import os
 
 import numpy as np
 
