@@ -23,9 +23,15 @@ _build_error = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-           "-o", _SO + ".tmp", "-lz"]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+           "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp", "-lz"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # portable fallback (some toolchains reject -march=native)
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+               "-o", _SO + ".tmp", "-lz"]
+        subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
 
 

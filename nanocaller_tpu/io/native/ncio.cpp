@@ -460,7 +460,7 @@ void ncio_free(void* handle) { delete static_cast<Window*>(handle); }
 
 namespace {
 
-constexpr int64_t NEG_NW = -(int64_t(1) << 40);
+constexpr int32_t NEG_NW = -(int32_t(1) << 28);
 
 // cigar ops appended as uint32 (len<<4 | op); ops: 7'=', 8'X', 1'I', 2'D'
 void nw_align_one(const int8_t* q, int n, const int8_t* r, int m,
@@ -479,12 +479,13 @@ void nw_align_one(const int8_t* q, int n, const int8_t* r, int m,
   if (n == 0) { *score_out = -(gap_open + int64_t(m - 1) * gap_extend); push_op(2, m); return; }
   if (m == 0) { *score_out = -(gap_open + int64_t(n - 1) * gap_extend); push_op(1, n); return; }
 
-  std::vector<int64_t> H(m + 1), Hprev(m + 1), V(m + 1, NEG_NW), G(m + 1);
-  std::vector<int64_t> c(m + 1), M(m + 1);
+  // int32 scores (|score| ≤ ~20·len ≪ 2^28) double SIMD width
+  std::vector<int32_t> H(m + 1), Hprev(m + 1), V(m + 1, NEG_NW), G(m + 1);
+  std::vector<int32_t> c(m + 1), M(m + 1);
   std::vector<uint8_t> tb(size_t(n + 1) * (m + 1), 0);
   H[0] = 0;
   for (int j = 1; j <= m; j++) {
-    H[j] = -(gap_open + int64_t(j - 1) * gap_extend);
+    H[j] = -(gap_open + (j - 1) * gap_extend);
     tb[j] = (j == 1) ? 2 : (2 | 8);
   }
   for (int i = 1; i <= n; i++)
@@ -492,31 +493,31 @@ void nw_align_one(const int8_t* q, int n, const int8_t* r, int m,
 
   for (int i = 1; i <= n; i++) {
     Hprev = H;
-    int64_t H0i = -(gap_open + int64_t(i - 1) * gap_extend);
+    int32_t H0i = -(gap_open + (i - 1) * gap_extend);
     G[0] = H0i;
     uint8_t* row = &tb[size_t(i) * (m + 1)];
     int8_t qc = q[i - 1];
     for (int j = 1; j <= m; j++) {
       bool is_match = (qc == r[j - 1]) && qc < 4;
-      int64_t diag = Hprev[j - 1] + (is_match ? match : mismatch);
-      int64_t vh = Hprev[j] - gap_open;
-      int64_t vv = V[j] - gap_extend;
-      int64_t Vnew = vh > vv ? vh : vv;
+      int32_t diag = Hprev[j - 1] + (is_match ? match : mismatch);
+      int32_t vh = Hprev[j] - gap_open;
+      int32_t vv = V[j] - gap_extend;
+      int32_t Vnew = vh > vv ? vh : vv;
       bool v_ext = vv > vh;
       V[j] = Vnew;
-      int64_t g = diag > Vnew ? diag : Vnew;
+      int32_t g = diag > Vnew ? diag : Vnew;
       G[j] = g;
       row[j] = (Vnew > diag) ? 1 : 0;
       if (v_ext) row[j] |= 4;
     }
     // prefix max of c[j] = G[j] - open + j*ext, then Z[j] = M[j-1] - (j-1)e
     for (int j = 0; j <= m; j++) {
-      c[j] = G[j] - gap_open + int64_t(j) * gap_extend;
+      c[j] = G[j] - gap_open + j * gap_extend;
       M[j] = (j == 0) ? c[0] : (M[j - 1] > c[j] ? M[j - 1] : c[j]);
     }
     H[0] = H0i;
     for (int j = 1; j <= m; j++) {
-      int64_t Z = M[j - 1] - int64_t(j - 1) * gap_extend;
+      int32_t Z = M[j - 1] - (j - 1) * gap_extend;
       bool z_ext = (j >= 2) && (M[j - 2] > c[j - 1]);
       if (Z > G[j]) {
         row[j] = (row[j] & 4) | 2;  // came_z wins; preserve v_ext bit
