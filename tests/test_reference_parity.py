@@ -210,6 +210,62 @@ def test_indel_candidate_scan_parity(reference_indel_module, tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def reference_haploid_indel_module():
+    import pysam_shim
+
+    sys.modules["pysam"] = pysam_shim
+    sys.modules["intervaltree"] = _FakeIntervalModule
+    sys.modules["parasail"] = _FakeParasail
+    path = "/root/reference/nanocaller_src/generate_indel_pileups_haploid.py"
+    spec = importlib.util.spec_from_file_location("ref_hap_indel", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_haploid_indel_candidate_scan_parity(reference_haploid_indel_module,
+                                             tmp_path_factory):
+    """Haploid scan (single read-set windows, total-coverage gate,
+    generate_indel_pileups_haploid.py:184-244) vs our haploid=True scan."""
+    tmp = tmp_path_factory.mktemp("hapscan")
+    indels = [(2500, "del", 5, "hom"), (6000, "ins", "AACC", "hom"),
+              (9500, "del", 7, "hom")]
+    fasta_p, bam_p, ref_seq, _ = make_fixture(
+        tmp, depth=28, L=12000, read_len=1800, seed=19, snps=[],
+        indels=indels, error_rate=0.02)
+
+    mod = reference_haploid_indel_module
+    recorded = []
+    def recording_msa(seq_list, ref, v_pos, mincov, maxcov):
+        recorded.append(int(v_pos))
+        return (0, 0, None, None, None)
+    orig = mod.msa
+    mod.msa = recording_msa
+    try:
+        dct = {"seq": "ont", "fasta_path": fasta_p, "win_size": 40,
+               "small_win_size": 4, "mincov": 4, "maxcov": 160,
+               "ins_t": 0.4, "del_t": 0.6, "exclude_bed": None,
+               "supplementary": False}
+        chunk = {"chrom": "chr_t", "start": 1, "end": 12000,
+                 "sam_path": bam_p}
+        mod.get_indel_testing_candidates_haploid(dct, chunk)
+    finally:
+        mod.msa = orig
+    ref_candidates = sorted(set(recorded))
+    assert len(ref_candidates) >= len(indels)
+
+    from nanocaller_tpu.pileup.engine import decode_reads
+    from nanocaller_tpu.pileup.indel_features import scan_indel_candidates
+
+    bam = BamReader(bam_p)
+    rw = decode_reads(bam, "chr_t", 0, 12000)
+    variants, _ = scan_indel_candidates(
+        rw, np.arange(0, 12000), win_size=40, small_win_size=4, mincov=4,
+        ins_t=0.4, del_t=0.6, haploid=True)
+    assert sorted(v + 1 for v in variants) == ref_candidates
+
+
+@pytest.fixture(scope="module")
 def reference_training_module():
     import pysam_shim
 
