@@ -301,9 +301,15 @@ def get_snp_candidates(
     union_sites = np.union1d(nbr_pos, cand_pos)
     sc = SiteCodes(rw, union_sites)
     cand_site_i = np.searchsorted(union_sites, cand_pos)
-    nbr_site_of_col = np.where(
-        nbr_idx_mat >= 0, np.searchsorted(union_sites, nbr_pos[np.maximum(nbr_idx_mat, 0)]), -1
-    )
+    if len(nbr_pos):
+        nbr_site_of_col = np.where(
+            nbr_idx_mat >= 0,
+            np.searchsorted(union_sites, nbr_pos[np.maximum(nbr_idx_mat, 0)]),
+            -1)
+    else:
+        # no neighbor-band sites anywhere (e.g. hom-only contig):
+        # every non-center column stays padding
+        nbr_site_of_col = np.full_like(nbr_idx_mat, -1)
 
     B = len(cand_pos)
     Rmax = maxcov

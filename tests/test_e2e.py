@@ -305,6 +305,45 @@ class TestAllMode:
         final = VcfReader(outputs["final"])
         assert list(final.fetch("chrM"))
 
+    def test_many_small_contigs(self, tmp_path):
+        """Draft-assembly shape: 40 small scaffolds in one BAM; region
+        planning, per-contig phasing loop, and contig-ordered output must
+        hold up (and contigs with no reads must not break anything)."""
+        from fixtures import write_bam_multi
+
+        rng = np.random.default_rng(99)
+        contigs = {"scaf%02d" % i: 3000 for i in range(40)}
+        seqs = {c: random_seq(rng, L) for c, L in contigs.items()}
+        contig_reads = {}
+        for k, (contig, L) in enumerate(contigs.items()):
+            if k % 7 == 6:
+                continue  # some scaffolds have no coverage
+            snps = []
+            for pos in (800, 1600, 2400):
+                rb = seqs[contig][pos]
+                snps.append((pos, "ACGT"[("ACGT".index(rb) + 1) % 4], "hom"))
+            contig_reads[contig] = make_diploid_readset(
+                rng, seqs[contig], snps=snps, depth=24, read_len=900,
+                error_rate=0.02)
+        fasta_p = str(tmp_path / "scaf.fa")
+        write_fasta(fasta_p, seqs)
+        bam_p = str(tmp_path / "scaf.bam")
+        write_bam_multi(bam_p, contig_reads, contigs)
+        out = str(tmp_path / "outs")
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+            "--output", out, "--prefix", "sc", "--suppress_progress_bar"])
+        recs = list(VcfReader(outputs["snps"]))
+        by_contig = {}
+        for r in recs:
+            by_contig.setdefault(r.chrom, []).append(r.pos)
+        assert len(by_contig) >= 25
+        order = [r.chrom for r in recs]
+        ranks = {c: i for i, c in enumerate(contigs)}
+        assert order == sorted(order, key=lambda c: ranks[c])
+        # final concat exists and indexes fetch a middle scaffold
+        assert list(VcfReader(outputs["final"]).fetch("scaf10"))
+
     def test_sharded_hosts_match_single_run(self, tmp_path):
         """--num_shards/--shard_index region sharding: two 'host' runs +
         merge produce the same records as one unsharded run."""
