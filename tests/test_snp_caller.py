@@ -130,6 +130,72 @@ class TestDecode:
         assert "\tREF\t" in lines[1]
 
 
+class TestEdgeCases:
+    def test_maxcov_downsampling(self, tmp_path):
+        fasta_p, bam_p, ref_seq, snps = make_fixture(
+            tmp_path, depth=60, L=4000, read_len=900, seed=2)
+        from nanocaller_tpu.io.fasta import FastaFile
+
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        chunk = {"chrom": "chr_t", "start": 1, "end": 4000}
+        b = get_snp_candidates(bam, fasta, chunk, maxcov=30)
+        assert len(b) > 0
+        assert int(b.sampled_depth.max()) <= 30
+        assert (b.read_mask.sum(1) == b.sampled_depth).all()
+        # fwd/rev strand depths come from the FULL column, not the sample
+        assert int((b.fwd_dp.sum(1) + b.rev_dp.sum(1)).max()) > 30
+        # deterministic across calls
+        b2 = get_snp_candidates(bam, fasta, chunk, maxcov=30)
+        np.testing.assert_array_equal(b.codes, b2.codes)
+
+    def test_soft_clipped_reads(self, tmp_path):
+        """Soft clips shift query offsets; site codes must come from the
+        aligned segment only."""
+        from fixtures import write_bam
+        from nanocaller_tpu.io.fasta import write_fasta, FastaFile
+        from nanocaller_tpu.pileup.engine import SiteCodes, decode_reads
+
+        ref = "ACGTACGTACGTACGTACGTACGTACGTACGT"
+        # read aligns ref[8:24] with 5bp soft clips either side; plant a
+        # mismatch G at ref pos 10 (read offset 5 + 2)
+        core = list(ref[8:24])
+        core[2] = "G"
+        seq = "TTTTT" + "".join(core) + "AAAAA"
+        cigar = [("S", 5), ("M", 16), ("S", 5)]
+        reads = [("r%d" % i, 8, seq, cigar, 1) for i in range(6)]
+        fasta_p = str(tmp_path / "sc.fa")
+        write_fasta(fasta_p, {"c": ref})
+        bam_p = str(tmp_path / "sc.bam")
+        write_bam(bam_p, "c", len(ref), reads)
+        bam = BamReader(bam_p)
+        for native in (True, False):
+            rw = decode_reads(bam, "c", 0, 32, use_native=native,
+                              keep_seq=True)
+            sc = SiteCodes(rw, np.array([9, 10, 11]))
+            _, c9 = sc.at(0)
+            _, c10 = sc.at(1)
+            assert set(c10.tolist()) == {1}, native  # G
+            # neighbors match ref
+            from nanocaller_tpu.pileup.snp_features import REF_CODE_LUT
+            assert set(c9.tolist()) == {int(REF_CODE_LUT[ord(ref[9])])}
+
+    def test_disable_coverage_normalization(self, fixture_paths, state):
+        fasta_p, bam_p, ref_seq, snps = fixture_paths
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        batch = get_snp_candidates(bam, fasta,
+                                   {"chrom": "chr_t", "start": 1, "end": 12000})
+        cfg_a = Config(bam=bam_p, ref=fasta_p, batch_size=128)
+        cfg_b = Config(bam=bam_p, ref=fasta_p, batch_size=128,
+                       disable_coverage_normalization=True)
+        pa = infer_snp_batch(state, batch, cfg_a, "diploid")
+        pb = infer_snp_batch(state, batch, cfg_b, "diploid")
+        assert pa.shape == pb.shape
+        # different normalization → different probabilities somewhere
+        assert not np.allclose(pa, pb)
+
+
 class TestEndToEnd:
     def test_call_snps_recovers_planted(self, fixture_paths, state, tmp_path):
         fasta_p, bam_p, ref_seq, snps = fixture_paths
