@@ -305,6 +305,28 @@ class TestAllMode:
         final = VcfReader(outputs["final"])
         assert list(final.fetch("chrM"))
 
+    def test_no_variant_genome(self, tmp_path):
+        """A sample with zero variants (and one uncovered contig) must
+        produce valid empty-bodied, indexed outputs without crashing."""
+        rng = np.random.default_rng(1)
+        seqs = {"cA": random_seq(rng, 5000), "cEmpty": random_seq(rng, 2000)}
+        reads = make_diploid_readset(rng, seqs["cA"], snps=[], depth=20,
+                                     read_len=800)
+        from fixtures import write_bam_multi
+
+        fasta_p = str(tmp_path / "nv.fa")
+        write_fasta(fasta_p, seqs)
+        bam_p = str(tmp_path / "nv.bam")
+        write_bam_multi(bam_p, {"cA": reads}, {c: len(s) for c, s in seqs.items()})
+        out = str(tmp_path / "outn")
+        outputs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+            "--output", out, "--prefix", "n", "--suppress_progress_bar"])
+        assert outputs["snps"] and os.path.exists(outputs["snps"])
+        pass_recs = list(VcfReader(outputs["snps"]))
+        assert pass_recs == []  # nothing PASS on a variant-free genome
+        assert outputs["indels"] and list(VcfReader(outputs["indels"])) == []
+
     def test_many_small_contigs(self, tmp_path):
         """Draft-assembly shape: 40 small scaffolds in one BAM; region
         planning, per-contig phasing loop, and contig-ordered output must
