@@ -65,7 +65,8 @@ def parity_fixture(tmp_path_factory):
                         error_rate=0.06)
 
 
-@pytest.mark.parametrize("seq_type", ["ont", "ul_ont", "pacbio"])
+@pytest.mark.parametrize("seq_type", ["ont", "short_ont", "ul_ont",
+                                      "ul_ont_extreme", "pacbio"])
 @pytest.mark.parametrize("window", [(1, 20000), (4001, 9000)])
 def test_snp_candidates_and_tensors_identical(reference_module,
                                               parity_fixture, seq_type,
