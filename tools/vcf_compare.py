@@ -30,15 +30,34 @@ def norm_gt(gt):
         return None
 
 
+def normalize_allele(pos, ref, alt):
+    """Trim shared suffix then prefix (keeping ≥1 base) and shift pos —
+    so equivalent indel representations (different anchors) compare
+    equal. Not full vcfeval haplotype-equivalence, but removes the
+    common anchor-choice mismatches."""
+    while len(ref) > 1 and len(alt) > 1 and ref[-1] == alt[-1]:
+        ref, alt = ref[:-1], alt[:-1]
+    while len(ref) > 1 and len(alt) > 1 and ref[0] == alt[0]:
+        ref, alt = ref[1:], alt[1:]
+        pos += 1
+    return pos, ref, alt
+
+
 def rec_key(rec):
-    """Genotype-aware variant key: (chrom, pos, ref, sorted genotype alleles)."""
+    """Genotype-aware variant key with normalized alleles."""
     alleles = [rec.ref] + rec.alt.split(",")
     gt = norm_gt(rec.sample_field("GT")) or (1, 1)
     try:
-        called = tuple(sorted(alleles[i] for i in gt))
+        called = [alleles[i] for i in gt]
     except IndexError:
-        called = (alleles[-1], alleles[-1])
-    return (rec.chrom, rec.pos, rec.ref, called)
+        called = [alleles[-1], alleles[-1]]
+    normed = []
+    base = None
+    for a in called:
+        p, r, x = normalize_allele(rec.pos, rec.ref, a)
+        normed.append((p, r, x))
+    normed.sort()
+    return (rec.chrom, tuple(normed))
 
 
 def is_snp_rec(rec):
