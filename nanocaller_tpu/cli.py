@@ -144,7 +144,11 @@ def enable_compilation_cache():
     import jax
 
     try:
-        if jax.default_backend() == "axon":
+        backend = jax.default_backend()
+        if backend != "tpu":
+            # axon: cache-hit deserialization stalls the AOT channel;
+            # cpu: XLA AOT entries are machine-feature-pinned and can
+            # SIGILL when loaded under a different feature detection
             return
     except Exception:
         pass
