@@ -23,7 +23,7 @@ import os
 
 from .config import Config, resolve_exclude_bed
 from .indel_caller import IndelCallerState, write_indel_vcf
-from .io.bam import BamReader
+from .io.bam import open_alignment
 from .io.bed import BedIntervals
 from .io.fasta import FastaFile
 from .io.vcf import VcfReader, VcfWriter, concat
@@ -63,8 +63,8 @@ def run(cfg: Config, progress=None):
                 os.remove(p)
     manifest = RunManifest(manifest_path)
 
-    bam = BamReader(cfg.bam)
     fasta = FastaFile(cfg.ref)
+    bam = open_alignment(cfg.bam, fasta=fasta)
     exclude = None
     if cfg.exclude_bed:
         exclude = BedIntervals(resolve_exclude_bed(cfg.exclude_bed))
@@ -171,8 +171,8 @@ def run(cfg: Config, progress=None):
             if not cfg.skip_phased_bam or cfg.cpu > 1:
                 with metrics.timer("phase.haplotag_bam"):
                     write_haplotagged_bam(
-                        bam, os.path.join(phase_dir, "%s.phased.bam" % name),
-                        name, max(0, s - 1), e, tags)
+                        bam, _phased_path(phase_dir, name, bam.format),
+                        name, max(0, s - 1), e, tags, fasta=fasta)
 
         if phased_files:
             phased_out = os.path.join(cfg.output,
@@ -199,7 +199,7 @@ def run(cfg: Config, progress=None):
             # artifact; the inline path gets tags injected in memory
             if parallel and chunk.get("ploidy") != "haploid" and \
                     chunk["chrom"] in hap_tags_by_contig:
-                pbam = os.path.join(phase_dir, "%s.phased.bam" % chunk["chrom"])
+                pbam = _phased_path(phase_dir, chunk["chrom"], bam.format)
                 if os.path.exists(pbam):
                     chunk["sam_path"] = pbam
 
@@ -287,12 +287,27 @@ def _decode_with_tags(bam, fasta, chunk, cfg, tags):
     return rw
 
 
-def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags):
-    """Write the phased-BAM artifact (whatshap haplotag | samtools view
-    equivalent, indelCaller.py:243-251)."""
-    from .io.bam import BamWriter
+def _phased_path(phase_dir, contig, fmt):
+    """Per-contig haplotagged artifact path; format follows the input
+    (the reference emits phased CRAM for CRAM input, indelCaller.py:248)."""
+    ext = "cram" if fmt == "CRAM" else "bam"
+    return os.path.join(phase_dir, "%s.phased.%s" % (contig, ext))
 
-    with BamWriter(out_path, bam.references, bam.lengths) as w:
+
+def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags,
+                          fasta=None):
+    """Write the phased-BAM/CRAM artifact (whatshap haplotag | samtools
+    view equivalent, indelCaller.py:243-251); CRAM when out_path ends
+    .cram (requires fasta)."""
+    if out_path.endswith(".cram"):
+        from .io.cram import CramWriter
+
+        writer = CramWriter(out_path, bam.references, bam.lengths, fasta)
+    else:
+        from .io.bam import BamWriter
+
+        writer = BamWriter(out_path, bam.references, bam.lengths)
+    with writer as w:
         for read in bam.fetch(contig, start0, end0):
             t = tags.get(read.qname)
             if t is not None:

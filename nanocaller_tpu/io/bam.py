@@ -260,15 +260,32 @@ class BaiIndex:
         return merged
 
 
+def open_alignment(path, fasta=None, index_path=None):
+    """Open a BAM or CRAM by magic bytes with one reader interface.
+
+    Mirrors pysam.Samfile's transparent format dispatch (the reference
+    opens either format through the same call,
+    generate_SNP_pileups.py:134). CRAM decode needs the reference
+    (``fasta``: path or io.fasta.FastaFile); it is ignored for BAM.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head == b"CRAM":
+        from .cram import CramReader
+
+        return CramReader(path, fasta=fasta, index_path=index_path)
+    return BamReader(path, index_path=index_path)
+
+
 class BamReader:
     def __init__(self, path, index_path=None):
         self.path = path
         with open(path, "rb") as fh:
             head = fh.read(4)
         if head == b"CRAM":
-            raise NotImplementedError(
-                "CRAM input is not supported yet — convert to BAM first "
-                "(e.g. `samtools view -b -o out.bam in.cram`)")
+            raise ValueError(
+                "%s is a CRAM file — open it with io.bam.open_alignment() "
+                "or io.cram.CramReader (needs the reference FASTA)" % path)
         self._bgzf = BgzfReader(path)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":

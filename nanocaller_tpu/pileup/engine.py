@@ -89,7 +89,8 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
         flag_exclude = DEFAULT_FLAG_FILTER
     if sites is not None:
         sites = np.asarray(sites, dtype=np.int64)
-    if reads is None and use_native and hasattr(bam, "path"):
+    if reads is None and use_native and hasattr(bam, "path") \
+            and getattr(bam, "format", "BAM") == "BAM":
         try:
             from ..io.native import decode_window_native
 

@@ -14,24 +14,24 @@ _G = {}
 
 def init_worker(bam_path, fasta_path, cfg_kwargs, exclude_path):
     """Pool initializer: open per-process file handles."""
-    from ..io.bam import BamReader
+    from ..io.bam import open_alignment
     from ..io.bed import BedIntervals
     from ..io.fasta import FastaFile
 
-    _G["bam"] = BamReader(bam_path)
+    _G["fasta"] = FastaFile(fasta_path)
+    _G["bam"] = open_alignment(bam_path, fasta=_G["fasta"])
     _G["bam_path"] = bam_path
     _G["bam_cache"] = {bam_path: _G["bam"]}
-    _G["fasta"] = FastaFile(fasta_path)
     _G["cfg"] = cfg_kwargs
     _G["exclude"] = BedIntervals(exclude_path) if exclude_path else None
 
 
 def _bam_for(path):
-    from ..io.bam import BamReader
+    from ..io.bam import open_alignment
 
     cache = _G["bam_cache"]
     if path not in cache:
-        cache[path] = BamReader(path)
+        cache[path] = open_alignment(path, fasta=_G["fasta"])
     return cache[path]
 
 

@@ -118,10 +118,12 @@ class TestCoverage:
         cov_hi = get_coverage(rd, "chr_t", 1, 4000, mincov=1000)
         assert cov_hi == 0
 
-    def test_cram_rejected(self, tmp_path):
+    def test_bam_reader_redirects_cram(self, tmp_path):
+        # BamReader itself stays BAM-only; CRAM goes through
+        # open_alignment/CramReader (tests/test_cram.py)
         p = tmp_path / "x.cram"
         p.write_bytes(b"CRAM\x03\x00" + b"\x00" * 64)
-        with pytest.raises(NotImplementedError, match="CRAM"):
+        with pytest.raises(ValueError, match="open_alignment"):
             BamReader(str(p))
 
 
