@@ -1090,10 +1090,18 @@ class CramReader:
         if self.version[0] not in (2, 3):
             raise ValueError("unsupported CRAM version %d.%d" % self.version)
         self.file_id = self._fh.read(20)
-        ch = ContainerHeader.parse(self._fh)
-        data = self._fh.read(ch.length)
-        blk, _ = Block.parse(data, 0)
-        (l_text,) = struct.unpack_from("<i", blk.data, 0)
+        try:
+            ch = ContainerHeader.parse(self._fh)
+            if ch is None:
+                raise ValueError("missing header container")
+            data = self._read_container_body(ch)
+            blk, _ = Block.parse(data, 0)
+            if blk.content_type != CT_FILE_HEADER:
+                raise ValueError("first block is not a SAM-header block")
+            (l_text,) = struct.unpack_from("<i", blk.data, 0)
+        except (ValueError, IndexError, struct.error) as e:
+            raise ValueError(
+                "corrupt or truncated CRAM header in %s: %s" % (path, e))
         self.header_text = blk.data[4 : 4 + l_text].decode(errors="replace")
         self.references = []
         self.lengths = []
@@ -1135,6 +1143,14 @@ class CramReader:
         name = self.references[ref_id]
         lo = max(0, lo)
         return self._fasta.fetch(name, lo, hi)
+
+    def _read_container_body(self, ch):
+        data = self._fh.read(ch.length)
+        if len(data) < ch.length:
+            raise ValueError(
+                "truncated CRAM container in %s (wanted %d bytes, got %d)"
+                % (self.path, ch.length, len(data)))
+        return data
 
     def _container_offsets_for(self, rid, start, end):
         """Byte offsets of containers that may hold overlapping reads."""
@@ -1182,7 +1198,7 @@ class CramReader:
                 ch = ContainerHeader.parse(self._fh)
                 if ch is None or _is_eof_container(ch):
                     continue
-                yield ch, self._fh.read(ch.length)
+                yield ch, self._read_container_body(ch)
             return
         self._fh.seek(self._data_start)
         while True:
@@ -1194,7 +1210,7 @@ class CramReader:
                 overlaps = (ch.ref_id == rid and ch.start - 1 < end
                             and ch.start - 1 + ch.span > start)
             if overlaps:
-                yield ch, self._fh.read(ch.length)
+                yield ch, self._read_container_body(ch)
             else:
                 self._fh.seek(ch.length, os.SEEK_CUR)
 
