@@ -147,7 +147,8 @@ def run(cfg: Config, progress=None):
                 rw = decode_reads(bam, name, max(0, s - 1), e,
                                   keep_seq=False, sites=het_sites)
             with metrics.timer("phase.mec"):
-                result, phase_map = phase_contig(hiq, rw)
+                result, phase_map = phase_contig(
+                    hiq, rw, distrust=cfg.enable_whatshap)
             tags = haplotag_reads(rw, result)
             hap_tags_by_contig[name] = tags
 

@@ -9,10 +9,15 @@ alternating read-assignment / site-flip passes (MEC descent). Phase-set
 IDs follow the WhatsHap convention: PS = position (1-based) of the
 block's first variant.
 
-The reference's `--distrust-genotypes --include-homozygous` regenotyping
-mode is intentionally NOT reproduced (we never change genotypes); the
-flag is accepted and ignored with a note, matching its documented
-"negligible effect" for ONT (NanoCaller:156).
+`--enable_whatshap` (whatshap's `--distrust-genotypes
+--include-homozygous`, indelCaller.py:228) is reproduced as a
+post-phasing regenotyping pass: with the MEC read partition fixed,
+each site's genotype is re-scored against the per-haplotype allele
+support — hets may collapse to hom (0/0 results are dropped from the
+phased VCF, matching the reference's `bcftools view -e 'GT="0\\0"'`,
+indelCaller.py:241) and hom-alt calls may open up to phased hets.
+A conservative margin (hom/het must win by ≥2 observations) plays the
+role of whatshap's genotype-change cost.
 """
 
 from __future__ import annotations
@@ -173,42 +178,129 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
                        n_blocks=len(ps_of_comp), mec_cost=mec)
 
 
-def phase_contig(records, rw):
-    """Phase the biallelic het SNPs of one contig.
+_REGENOTYPE_MARGIN = 2  # observations a flip must win by (whatshap's
+# genotype-change cost analog — keeps noise from toggling genotypes)
 
-    records: list of VcfRecord (the high-QUAL SNP calls). Returns
-    (PhaseResult, phase_map {pos1: (gt_string, ps)}) where gt_string is
-    '0|1' (hap1 carries ref) or '1|0' (hap1 carries alt).
-    """
-    het_pos, het_ref, het_alt = [], [], []
+
+def _hap_support(rw, result: PhaseResult, pos, refc, altc):
+    """Per-site ref/alt observation counts split by read haplotype.
+
+    Returns (c1r, c1a, c2r, c2a) int32 arrays over the given sites,
+    counting only reads the phaser assigned to haplotype 1 or 2."""
+    S = len(pos)
+    rids, sidx, alleles = build_allele_matrix(rw, pos, refc, altc)
+    hp = result.read_hp[rids]
+    out = []
+    for hsel in (1, 2):
+        for asel in (0, 1):
+            c = np.zeros(S, np.int32)
+            np.add.at(c, sidx[(hp == hsel) & (alleles == asel)], 1)
+            out.append(c)
+    return out[0], out[1], out[2], out[3]  # c1r, c1a, c2r, c2a
+
+
+def regenotype(rw, result: PhaseResult, het_pos, het_ref, het_alt,
+               hom_pos, hom_ref, hom_alt, margin=_REGENOTYPE_MARGIN):
+    """Distrust-genotypes pass: re-score genotypes under the fixed read
+    partition (whatshap --distrust-genotypes --include-homozygous
+    equivalent, indelCaller.py:228).
+
+    Returns {pos1: new_entry} only for CHANGED sites, where new_entry is
+    "0/0" / "1/1" (het collapsed to hom, unphased) or ("0|1"/"1|0", ps)
+    (hom-alt opened to a phased het)."""
+    changes = {}
+    if len(het_pos):
+        c1r, c1a, c2r, c2a = _hap_support(rw, result, het_pos, het_ref,
+                                          het_alt)
+        cost_het = np.minimum(c1r + c2a, c1a + c2r)
+        cost_hr = c1a + c2a
+        cost_ha = c1r + c2r
+        for j in range(len(het_pos)):
+            best_hom = min(cost_hr[j], cost_ha[j])
+            if best_hom + margin <= cost_het[j]:
+                changes[int(het_pos[j]) + 1] = (
+                    "0/0" if cost_hr[j] <= cost_ha[j] else "1/1")
+    if len(hom_pos):
+        c1r, c1a, c2r, c2a = _hap_support(rw, result, hom_pos, hom_ref,
+                                          hom_alt)
+        # orientation 1 = hap1 carries alt
+        cost_o1 = c1r + c2a
+        cost_o0 = c1a + c2r
+        cost_het = np.minimum(cost_o1, cost_o0)
+        cost_hom = c1r + c2r  # current genotype 1/1
+        for j in range(len(hom_pos)):
+            if cost_het[j] + margin > cost_hom[j]:
+                continue
+            # PS of the supporting reads' block
+            ps = _majority_ps(rw, result, int(hom_pos[j]))
+            if ps < 0:
+                continue
+            gt = "1|0" if cost_o1[j] <= cost_o0[j] else "0|1"
+            changes[int(hom_pos[j]) + 1] = (gt, ps)
+    return changes
+
+
+def _majority_ps(rw, result: PhaseResult, pos0):
+    """Most common phase set among haplotagged reads covering pos0."""
+    cover = (rw.read_start <= pos0) & (rw.read_end > pos0) & \
+            (result.read_hp != 0)
+    ps_vals = result.read_ps[cover]
+    ps_vals = ps_vals[ps_vals >= 0]
+    if len(ps_vals) == 0:
+        return -1
+    vals, counts = np.unique(ps_vals, return_counts=True)
+    return int(vals[np.argmax(counts)])
+
+
+def _collect_biallelic(records, want_gts):
+    pos, refc, altc = [], [], []
     for rec in records:
         gt = rec.sample_field("GT")
-        if gt not in ("0/1", "0|1", "1/0", "1|0"):
+        if gt not in want_gts:
             continue
         if len(rec.ref) != 1 or "," in rec.alt or len(rec.alt) != 1:
             continue
         if rec.ref not in _BASE_CODE or rec.alt not in _BASE_CODE:
             continue
-        het_pos.append(rec.pos - 1)
-        het_ref.append(_BASE_CODE[rec.ref])
-        het_alt.append(_BASE_CODE[rec.alt])
-    if not het_pos:
+        pos.append(rec.pos - 1)
+        refc.append(_BASE_CODE[rec.ref])
+        altc.append(_BASE_CODE[rec.alt])
+    if not pos:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int8),
+                np.zeros(0, np.int8))
+    order = np.argsort(pos)
+    return (np.asarray(pos, np.int64)[order],
+            np.asarray(refc, np.int8)[order],
+            np.asarray(altc, np.int8)[order])
+
+
+def phase_contig(records, rw, distrust=False):
+    """Phase the biallelic het SNPs of one contig.
+
+    records: list of VcfRecord (the high-QUAL SNP calls). Returns
+    (PhaseResult, phase_map {pos1: entry}) where entry is (gt, ps) for
+    phased sites — '0|1' (hap1 carries ref) or '1|0' — or, when
+    distrust=True changed a genotype, the bare string "0/0"/"1/1".
+    """
+    pos, refc, altc = _collect_biallelic(
+        records, ("0/1", "0|1", "1/0", "1|0"))
+    if not len(pos):
         empty = PhaseResult(
             site_pos=np.zeros(0, np.int64), hap_allele=np.zeros(0, np.int8),
             block_ps=np.zeros(0, np.int64),
             read_hp=np.zeros(rw.n_reads, np.int8),
             read_ps=np.full(rw.n_reads, -1, np.int64))
         return empty, {}
-    order = np.argsort(het_pos)
-    pos = np.asarray(het_pos, np.int64)[order]
-    refc = np.asarray(het_ref, np.int8)[order]
-    altc = np.asarray(het_alt, np.int8)[order]
     result = phase_sites(rw, pos, refc, altc)
     phase_map = {}
     for j in range(len(pos)):
         if result.block_ps[j] >= 0:
             gt = "1|0" if result.hap_allele[j] == 1 else "0|1"
             phase_map[int(pos[j]) + 1] = (gt, int(result.block_ps[j]))
+    if distrust:
+        hpos, href, halt = _collect_biallelic(records, ("1/1", "1|1"))
+        changes = regenotype(rw, result, pos, refc, altc, hpos, href, halt)
+        phase_map.update(changes)
     return result, phase_map
 
 
@@ -223,7 +315,10 @@ def haplotag_reads(rw, result: PhaseResult):
 
 def write_phased_vcf(src_reader, dst_path, phase_map):
     """Copy a SNP VCF, rewriting phased het GTs and adding PS
-    (whatshap phase output contract)."""
+    (whatshap phase output contract). Entries that are bare GT strings
+    come from the distrust-genotypes pass: the GT is replaced without a
+    PS, and genotypes collapsed to 0/0 are dropped entirely (matching
+    the reference's bcftools view -e 'GT="0\\0"', indelCaller.py:241)."""
     from ..io.vcf import VcfWriter
 
     headers = list(src_reader.header_lines)
@@ -234,12 +329,18 @@ def write_phased_vcf(src_reader, dst_path, phase_map):
         for rec in src_reader:
             entry = phase_map.get(rec.pos)
             if entry is not None:
-                gt, ps = entry
+                if isinstance(entry, str):
+                    gt, ps = entry, None
+                else:
+                    gt, ps = entry
+                if gt == "0/0":
+                    continue
                 keys = rec.format.split(":")
                 vals = rec.samples[0].split(":")
                 vals[keys.index("GT")] = gt
-                keys.append("PS")
-                vals.append(str(ps))
+                if ps is not None:
+                    keys.append("PS")
+                    vals.append(str(ps))
                 rec.format = ":".join(keys)
                 rec.samples = [":".join(vals)]
             w.write(rec)

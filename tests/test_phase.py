@@ -119,3 +119,80 @@ class TestPhasing:
         # reads (600bp) cannot span 2500bp gaps → all sites unphased singletons
         assert res.n_blocks == 0
         assert (res.block_ps == -1).all()
+
+
+class TestDistrustGenotypes:
+    """--enable_whatshap equivalent: whatshap --distrust-genotypes
+    --include-homozygous (indelCaller.py:228) as a post-MEC regenotyping
+    pass."""
+
+    def _setup(self, tmp_path):
+        fasta_p, bam_p, ref_seq, snps, truth, reads = make_het_fixture(
+            tmp_path, error_rate=0.01, seed=9)
+        bam = BamReader(bam_p)
+        rw = decode_reads(bam, "chr_t", 0, 8000)
+        return ref_seq, snps, rw
+
+    def _recs(self, ref_seq, snps, gts):
+        return [VcfRecord("chr_t", p + 1, ref_seq[p], a, "50.0", "PASS",
+                          format_="GT:DP", samples=["%s:30" % gts.get(p, "0/1")])
+                for p, a, g in snps]
+
+    def test_hom_alt_opened_to_phased_het(self, tmp_path):
+        # one true het miscalled as 1/1 → distrust pass restores a
+        # phased het with the block's PS
+        ref_seq, snps, rw = self._setup(tmp_path)
+        wrong = snps[4][0]
+        recs = self._recs(ref_seq, snps, {wrong: "1/1"})
+        _, plain = phase_contig(recs, rw)
+        assert wrong + 1 not in plain  # homs are not phased by default
+        _, fixed = phase_contig(recs, rw, distrust=True)
+        gt, ps = fixed[wrong + 1]
+        assert gt in ("0|1", "1|0")
+        assert ps == snps[0][0] + 1
+
+    def test_false_het_collapsed_to_hom(self, tmp_path):
+        # a position where every read carries alt (true hom) but the
+        # record claims het → collapsed to 1/1 (unphased)
+        ref_seq, snps, rw = self._setup(tmp_path)
+        # plant: treat an existing hom-like site by making a record for a
+        # position with no alt support at all → collapses to 0/0
+        quiet = snps[2][0] + 150  # ref-only position
+        alt = "ACGT"[("ACGT".index(ref_seq[quiet]) + 1) % 4]
+        recs = self._recs(ref_seq, snps, {})
+        recs.append(VcfRecord("chr_t", quiet + 1, ref_seq[quiet], alt,
+                              "50.0", "PASS", format_="GT:DP",
+                              samples=["0/1:30"]))
+        _, fixed = phase_contig(recs, rw, distrust=True)
+        assert fixed[quiet + 1] == "0/0"
+        # true hets stay phased
+        for p, a, g in snps:
+            gt, ps = fixed[p + 1]
+            assert gt in ("0|1", "1|0")
+
+    def test_write_phased_vcf_drops_homref(self, tmp_path):
+        # GT collapsed to 0/0 must vanish from the phased VCF
+        # (bcftools view -e 'GT="0\0"' equivalent, indelCaller.py:241)
+        from nanocaller_tpu.io.vcf import VcfReader
+        from nanocaller_tpu.phase.mec import write_phased_vcf
+
+        ref_seq, snps, rw = self._setup(tmp_path)
+        recs = self._recs(ref_seq, snps, {})
+        phase_map = {snps[0][0] + 1: "0/0", snps[1][0] + 1: "1/1",
+                     snps[2][0] + 1: ("1|0", 123)}
+
+        class _Src:
+            header_lines = ["##fileformat=VCFv4.2",
+                            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                            "\tFORMAT\tS"]
+
+            def __iter__(self):
+                return iter(recs)
+
+        out = str(tmp_path / "p.vcf.gz")
+        write_phased_vcf(_Src(), out, phase_map)
+        got = {r.pos: r.sample_field("GT") for r in VcfReader(out)}
+        assert snps[0][0] + 1 not in got          # 0/0 dropped
+        assert got[snps[1][0] + 1] == "1/1"       # regenotyped hom kept
+        assert got[snps[2][0] + 1] == "1|0"       # phased het rewritten
+        assert len(got) == len(snps) - 1
