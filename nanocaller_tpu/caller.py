@@ -41,7 +41,21 @@ def run(cfg: Config, progress=None):
     from .runtime.scheduler import RunManifest
 
     os.makedirs(cfg.output, exist_ok=True)
-    cfg.dump(os.path.join(cfg.output, "args"))
+    # true multi-host mode: join the jax.distributed mesh and derive the
+    # region shard from the process index (one command per host)
+    dist_active = cfg.num_processes > 1
+    base_prefix = cfg.prefix
+    if dist_active:
+        from .runtime.distributed import initialize
+
+        pid, pcount = initialize(cfg.coordinator or None,
+                                 cfg.num_processes, cfg.process_id)
+        cfg.num_shards = pcount
+        cfg.shard_index = pid
+    # concurrent same-directory host runs keep all their mutable state
+    # host-suffixed so they never clobber each other
+    host_tag = (".host%03d" % cfg.shard_index) if cfg.num_shards > 1 else ""
+    cfg.dump(os.path.join(cfg.output, "args" + host_tag))
     metrics = Metrics()
     owns_progress = False
     if progress is None and not cfg.suppress_progress:
@@ -51,23 +65,39 @@ def run(cfg: Config, progress=None):
         progress = bar.update
         owns_progress = True
 
-    manifest_path = os.path.join(cfg.output, "run_manifest.json")
+    manifest_path = os.path.join(cfg.output,
+                                 "run_manifest%s.json" % host_tag)
+    shard_dir = os.path.join(cfg.output, "intermediate_shards" + host_tag)
     if not cfg.resume:
         # fresh run: wipe stale state (the reference always restarts from
         # scratch, snpCaller.py:228-229; --resume opts into reuse)
-        for p in (manifest_path,
-                  os.path.join(cfg.output, "intermediate_shards")):
+        for p in (manifest_path, shard_dir):
             if os.path.isdir(p):
                 shutil.rmtree(p)
             elif os.path.exists(p):
                 os.remove(p)
-    manifest = RunManifest(manifest_path)
+    manifest = RunManifest(manifest_path, shard_dir=shard_dir)
 
     fasta = FastaFile(cfg.ref)
     bam = open_alignment(cfg.bam, fasta=fasta)
     exclude = None
     if cfg.exclude_bed:
         exclude = BedIntervals(resolve_exclude_bed(cfg.exclude_bed))
+
+    def _finish_distributed(outputs):
+        """psum counters over the global mesh (doubles as the end-of-run
+        barrier), then merge host shards on process 0."""
+        if not dist_active:
+            return outputs
+        from .runtime.distributed import allreduce_counts, merge_host_outputs
+
+        metrics.extra["global_counts"] = allreduce_counts(
+            dict(metrics.counts))
+        metrics.extra["hosts"] = cfg.num_shards
+        if cfg.shard_index == 0:
+            outputs.update(merge_host_outputs(cfg.output, base_prefix,
+                                              cfg.num_shards))
+        return outputs
 
     regions_list = get_regions_list(cfg, bam)
     outputs = {"snps": None, "phased_snps": None, "indels": None, "final": None}
@@ -82,7 +112,7 @@ def run(cfg: Config, progress=None):
                                     cfg.num_shards)
         cfg.prefix = "%s.host%03d" % (cfg.prefix, cfg.shard_index)
         if not regions_list:
-            return outputs
+            return _finish_distributed(outputs)
 
     exclude_path = resolve_exclude_bed(cfg.exclude_bed) if cfg.exclude_bed else None
     snp_vcf = None
@@ -101,6 +131,8 @@ def run(cfg: Config, progress=None):
     want_phase = cfg.mode == "all" or (cfg.mode == "snps" and cfg.phase)
     want_indels = cfg.mode in ("indels", "all")
     if not (want_phase or want_indels):
+        outputs = _finish_distributed(outputs)
+        metrics.dump(os.path.join(cfg.output, "metrics%s.json" % host_tag))
         return outputs
 
     phase_dir = os.path.join(cfg.output, "intermediate_phase_files")
@@ -270,7 +302,8 @@ def run(cfg: Config, progress=None):
         outputs["final"] = final
     if owns_progress:
         bar.close()
-    metrics.dump(os.path.join(cfg.output, "metrics.json"))
+    outputs = _finish_distributed(outputs)
+    metrics.dump(os.path.join(cfg.output, "metrics%s.json" % host_tag))
     return outputs
 
 

@@ -49,6 +49,14 @@ def build_parser():
     cfgg.add_argument("--merge_shards", action="store_true",
                       help="Instead of calling, merge existing host-shard "
                            "outputs for --prefix/--num_shards in --output.")
+    cfgg.add_argument("--coordinator", type=str, default="",
+                      help="jax.distributed coordinator host:port. With "
+                           "--num_processes/--process_id, one command per "
+                           "host shards the genome automatically, psum-"
+                           "reduces run counters over the device mesh and "
+                           "process 0 merges the final VCFs.")
+    cfgg.add_argument("--num_processes", type=int, default=1)
+    cfgg.add_argument("--process_id", type=int, default=0)
     cfgg.add_argument("--profile", action="store_true",
                       help="Capture a jax.profiler trace of the SNP stage "
                            "into OUTPUT/trace (view with XProf).")
@@ -125,7 +133,9 @@ def config_from_args(argv=None):
         enable_whatshap=args.enable_whatshap,
         suppress_progress=args.suppress_progress_bar, verbose=args.verbose,
         resume=args.resume, num_shards=args.num_shards,
-        shard_index=args.shard_index, profile=args.profile)
+        shard_index=args.shard_index, coordinator=args.coordinator,
+        num_processes=args.num_processes, process_id=args.process_id,
+        profile=args.profile)
     cfg._merge_shards = args.merge_shards
     if args.preset:
         apply_preset(cfg, args.preset, explicitly_set)
@@ -174,6 +184,12 @@ def main(argv=None):
                                      cfg.num_shards)
         print("merged shards:", outputs, flush=True)
         return outputs
+    if cfg.num_processes > 1:
+        # must precede any XLA backend touch (incl. the cache probe)
+        from .runtime.distributed import initialize
+
+        initialize(cfg.coordinator or None, cfg.num_processes,
+                   cfg.process_id)
     enable_compilation_cache()
     from .caller import run
 

@@ -67,6 +67,12 @@ class Config:
     # once all host outputs exist)
     num_shards: int = 1
     shard_index: int = 0
+    # true jax.distributed mode: with a coordinator + num_processes > 1,
+    # run() initializes the global mesh, derives the shard from
+    # jax.process_index(), psum-reduces counters and merges on process 0
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = 0
     profile: bool = False  # capture a jax.profiler trace into output/trace
 
     @property

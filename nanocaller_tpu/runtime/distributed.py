@@ -6,35 +6,92 @@ round-robin by process index (each host's feature workers + chip handle
 its share), per-host VCF shards are written independently, and process 0
 k-way merges them — preserving the reference's shard-files-then-merge
 contract (snpCaller.py:278-285) without any cross-host data-plane
-traffic. Collectives are used only for small control data (call-count
-reductions via psum on a global mesh).
+traffic. Collectives are used only for small control data: per-stage
+call counts are psum-reduced over a global 1-D device mesh, which
+doubles as the end-of-run barrier before process 0 merges.
 
-Not exercisable on real multi-host hardware in this environment; the
-logic is unit-tested via process-count parametrization and the driver's
-virtual-device dry run covers the in-host mesh path.
+With `--coordinator host:port --num_processes N --process_id i` a single
+command per host runs its region shard AND produces the merged final
+VCFs on process 0 — no separate --merge_shards invocation. Tested with
+real multi-process loopback collectives (Gloo CPU backend) in
+tests/test_distributed.py; the same code path drives ICI/DCN
+collectives on real multi-host TPU slices.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
+
+
+_initialized = False
+
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """jax.distributed.initialize wrapper (env-var fallback)."""
+    """jax.distributed.initialize wrapper (env-var fallback, idempotent).
+
+    Must run before anything touches the XLA backend — the CLI calls it
+    ahead of the compilation-cache setup; run() calls it again (no-op)
+    for programmatic users.
+    """
+    global _initialized
     import jax
 
     if num_processes is None:
         num_processes = int(os.environ.get("NANOCALLER_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return 0, 1
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address
-        or os.environ.get("NANOCALLER_COORDINATOR", "localhost:12321"),
-        num_processes=num_processes,
-        process_id=process_id
-        if process_id is not None
-        else int(os.environ.get("NANOCALLER_PROCESS_ID", "0")))
+    if not _initialized:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address
+            or os.environ.get("NANOCALLER_COORDINATOR", "localhost:12321"),
+            num_processes=num_processes,
+            process_id=process_id
+            if process_id is not None
+            else int(os.environ.get("NANOCALLER_PROCESS_ID", "0")))
+        _initialized = True
     return jax.process_index(), jax.process_count()
+
+
+def allreduce_counts(counts: dict) -> dict:
+    """psum small per-host counters over a global 1-D device mesh.
+
+    Each process contributes its values once (placed on its first local
+    device; zeros elsewhere) so the psum over the mesh equals the sum
+    over processes. Serves as a barrier: every process blocks until all
+    have contributed. Single-process: returns counts unchanged.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return dict(counts)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    keys = sorted(counts)
+    width = max(1, len(keys))
+    vals = [float(counts[k]) for k in keys] or [0.0]
+    shards = []
+    for d_i, dev in enumerate(jax.local_devices()):
+        row = np.array([vals if d_i == 0 else [0.0] * width], np.float64)
+        shards.append(jax.device_put(row, dev))
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    garr = jax.make_array_from_single_device_arrays(
+        (jax.device_count(), width), NamedSharding(mesh, P("dp")), shards)
+    f = jax.shard_map(lambda v: jax.lax.psum(v, "dp"), mesh=mesh,
+                      in_specs=P("dp"), out_specs=P())
+    out = np.asarray(f(garr).addressable_data(0))[0]
+    return {k: int(v) if float(v).is_integer() else float(v)
+            for k, v in zip(keys, out)}
+
+
+def barrier(name="nanocaller"):
+    """Block until every process reaches this point."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    allreduce_counts({"_barrier": 1})
 
 
 def shard_chunks(chunks, process_id, process_count):

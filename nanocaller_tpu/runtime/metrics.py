@@ -19,6 +19,7 @@ class Metrics:
     def __init__(self):
         self.timers = defaultdict(float)
         self.counts = defaultdict(int)
+        self.extra = {}  # e.g. psum-reduced global counts in multi-host runs
 
     @contextlib.contextmanager
     def timer(self, name):
@@ -32,8 +33,10 @@ class Metrics:
         self.counts[name] += k
 
     def as_dict(self):
-        return {"timers_s": {k: round(v, 4) for k, v in self.timers.items()},
-                "counts": dict(self.counts)}
+        d = {"timers_s": {k: round(v, 4) for k, v in self.timers.items()},
+             "counts": dict(self.counts)}
+        d.update(self.extra)
+        return d
 
     def dump(self, path):
         with open(path, "w") as fh:

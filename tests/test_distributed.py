@@ -1,0 +1,131 @@
+"""True jax.distributed multi-host integration, exercised with real
+multi-process loopback collectives (Gloo CPU backend).
+
+Two OS processes each run the full CLI with --coordinator/--num_processes/
+--process_id: run() joins the global mesh, derives its region shard from
+jax.process_index(), psum-reduces run counters over the mesh (the
+end-of-run barrier) and process 0 merges the host shards into the
+standard output set — one command per host, no separate --merge_shards
+step (SURVEY.md §2.4 distributed-backend row).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nanocaller_tpu.io.vcf import VcfReader
+
+from fixtures import make_diploid_readset, random_seq
+from nanocaller_tpu.io.fasta import write_fasta
+from nanocaller_tpu.sim import write_bam_multi
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def two_contig_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist")
+    rng = np.random.default_rng(21)
+    L = 6000
+    contig_reads = {}
+    contig_refs = {}
+    for name, seed in (("cA", 1), (u"cB", 2)):
+        r = np.random.default_rng(seed)
+        ref_seq = random_seq(r, L)
+        snps = []
+        for i, pos in enumerate(range(500, L - 500, 450)):
+            rb = ref_seq[pos]
+            alt = "ACGT"[("ACGT".index(rb) + 1) % 4]
+            snps.append((pos, alt, "het1" if i % 2 == 0 else "het2"))
+        reads = make_diploid_readset(r, ref_seq, snps=snps, depth=30,
+                                     read_len=1000, error_rate=0.02)
+        contig_reads[name] = reads
+        contig_refs[name] = ref_seq
+    fasta_p = str(tmp / "ref.fa")
+    write_fasta(fasta_p, contig_refs)
+    bam_p = str(tmp / "reads.bam")
+    write_bam_multi(bam_p, contig_reads, {n: L for n in contig_reads})
+    return fasta_p, bam_p
+
+
+def _cli_args(bam, fasta, out, extra=()):
+    return ["--bam", bam, "--ref", fasta, "--mode", "snps",
+            "--output", out, "--prefix", "d", "--sample", "S",
+            "--suppress_progress_bar", "--cpu", "1"] + list(extra)
+
+
+def _spawn(args):
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from nanocaller_tpu.cli import main; import sys; "
+            "main(sys.argv[1:])")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.Popen([sys.executable, "-c", code] + args, env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+
+def test_two_process_distributed_run_matches_single(two_contig_fixture,
+                                                    tmp_path):
+    fasta_p, bam_p = two_contig_fixture
+    # single-process reference run (in-process, conftest already on CPU)
+    from nanocaller_tpu.cli import main
+
+    single_out = str(tmp_path / "single")
+    single = main(_cli_args(bam_p, fasta_p, single_out))
+
+    dist_out = str(tmp_path / "dist")
+    port = _free_port()
+    procs = [
+        _spawn(_cli_args(bam_p, fasta_p, dist_out,
+                         ["--coordinator", "localhost:%d" % port,
+                          "--num_processes", "2", "--process_id", str(i)]))
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode(errors="replace"))
+        assert p.returncode == 0, outs[-1][-3000:]
+
+    # process 0 merged the standard output set
+    merged = os.path.join(dist_out, "d.snps.vcf.gz")
+    assert os.path.exists(merged), "\n".join(outs)[-3000:]
+    a = [(r.chrom, r.pos, r.ref, r.alt, tuple(r.samples))
+         for r in VcfReader(single["snps"])]
+    b = [(r.chrom, r.pos, r.ref, r.alt, tuple(r.samples))
+         for r in VcfReader(merged)]
+    assert len(b) > 10
+    assert a == b
+
+    # per-host shards exist (round-robin contig assignment: one each)
+    host_files = [os.path.join(dist_out, "d.host%03d.snps.vcf.gz" % i)
+                  for i in range(2)]
+    per_host_contigs = []
+    for hf in host_files:
+        assert os.path.exists(hf)
+        per_host_contigs.append({r.chrom for r in VcfReader(hf)})
+    assert per_host_contigs[0] and per_host_contigs[1]
+    assert per_host_contigs[0].isdisjoint(per_host_contigs[1])
+
+    # psum-reduced global counters recorded by both hosts
+    with open(os.path.join(dist_out, "metrics.host000.json")) as fh:
+        metrics = json.load(fh)
+    assert metrics["hosts"] == 2
+    single_metrics = json.load(
+        open(os.path.join(single_out, "metrics.json")))
+    assert metrics["global_counts"]["snp_chunks"] == \
+        single_metrics["counts"]["snp_chunks"]
