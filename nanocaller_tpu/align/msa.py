@@ -52,10 +52,25 @@ def msa_sample(seq_list, v_pos, maxcov):
     return sample
 
 
-def star_msa_from_cigars(seqs, cigars, ref, mincov):
-    """Column projection + tensor given precomputed read-vs-ref cigars."""
+def star_msa_from_cigars(seqs, cigars, ref, mincov, use_native=True):
+    """Column projection + tensor given precomputed read-vs-ref cigars.
+
+    The C++ kernel (io/native ncio_msa_project) is the default fast
+    path; the numpy implementation below is its bit-identical oracle.
+    """
     if len(seqs) < mincov:
         return (0, 0, None, None, None)
+    if use_native:
+        try:
+            from ..io.native import msa_project_native
+        except Exception:
+            msa_project_native = None
+        if msa_project_native is not None:
+            out = msa_project_native([_row_codes(s) for s in seqs], cigars,
+                                     _row_codes(ref), width=MSA_WIDTH)
+            if out is not None:
+                tensor, cns = out
+                return (1, 1, tensor, cns, ref)
     rows, ref_row = project_alignments(seqs, cigars, ref)
     tensor, cns, ref_degapped = msa_tensor(rows, ref_row)
     return (1, 1, tensor, cns, ref_degapped)

@@ -69,6 +69,18 @@ def get_lib():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.ncio_nw_free.argtypes = [ctypes.c_void_p]
+        lib.ncio_msa_project.restype = ctypes.c_void_p
+        lib.ncio_msa_project.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_int32, ctypes.c_int32]
+        lib.ncio_msa_sizes.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_msa_fill.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_char_p]
+        lib.ncio_msa_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure → python fallback
         _build_error = e
@@ -213,3 +225,53 @@ def decode_window_native(bam_reader, contig, start, end, flag_exclude,
         return out
     finally:
         lib.ncio_free(ctypes.c_void_p(handle))
+
+
+def msa_project_native(read_codes_list, cigars, ref_codes, width=128):
+    """Star-MSA column projection + indel tensor via the C++ kernel.
+
+    read_codes_list: list of int8 arrays in the MSA alphabet (A0 G1 T2
+    C3 other/gap 4); cigars: list of [(op, len)] global-alignment runs
+    vs ref; ref_codes: int8 array. Returns (tensor (5,width,2) float32,
+    consensus str) — bit-identical to align/msa.project_alignments +
+    msa_tensor — or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(read_codes_list)
+    read_off = np.zeros(n + 1, np.int64)
+    cig_off = np.zeros(n + 1, np.int64)
+    for k in range(n):
+        read_off[k + 1] = read_off[k] + len(read_codes_list[k])
+        cig_off[k + 1] = cig_off[k] + len(cigars[k])
+    codes_cat = (np.concatenate(read_codes_list).astype(np.int8)
+                 if n and read_off[-1] else np.zeros(1, np.int8))
+    runs = np.zeros(max(1, int(cig_off[-1])), np.uint32)
+    p = 0
+    for cg in cigars:
+        for op, ln in cg:
+            runs[p] = (ln << 4) | op
+            p += 1
+    ref_arr = np.ascontiguousarray(ref_codes, dtype=np.int8)
+    if len(ref_arr) == 0:
+        ref_arr = np.zeros(1, np.int8)
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    handle = lib.ncio_msa_project(
+        ptr(codes_cat, ctypes.c_int8), ptr(read_off, ctypes.c_int64), n,
+        ptr(runs, ctypes.c_uint32), ptr(cig_off, ctypes.c_int64),
+        ptr(ref_arr, ctypes.c_int8), len(ref_codes), width)
+    try:
+        sizes = np.zeros(1, np.int64)
+        lib.ncio_msa_sizes(ctypes.c_void_p(handle),
+                           ptr(sizes, ctypes.c_int64))
+        tensor = np.zeros((5, width, 2), np.float32)
+        cns_buf = ctypes.create_string_buffer(max(1, int(sizes[0])))
+        lib.ncio_msa_fill(ctypes.c_void_p(handle),
+                          ptr(tensor.reshape(-1), ctypes.c_float), cns_buf)
+        return tensor, cns_buf.raw[: int(sizes[0])].decode()
+    finally:
+        lib.ncio_msa_free(ctypes.c_void_p(handle))

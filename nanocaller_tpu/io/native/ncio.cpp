@@ -604,3 +604,148 @@ void ncio_nw_fill(void* handle, uint32_t* cigars, int64_t* offsets,
 void ncio_nw_free(void* handle) { delete static_cast<NwBatch*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Star-MSA column projection + indel tensor (align/msa.py fast path).
+//
+// Bit-identical port of project_alignments + msa_tensor (align/msa.py:83-160
+// here; formula source: reference generate_indel_pileups.py:53-73): given
+// per-read global-alignment cigars vs the reference window, lay out MSA
+// columns (per-anchor insertion blocks before each ref column, insertions
+// left-aligned), accumulate per-column base counts, and emit the
+// (5,width,2) float32 tensor (ch0 = col frequency - ref one-hot,
+// ch1 = ref one-hot) plus the -0.01-nudged argmax consensus (gaps removed).
+// Codes use the MSA alphabet A0 G1 T2 C3 gap/other 4.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MsaOut {
+  std::vector<float> tensor;  // 5*width*2
+  std::string cns;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ncio_msa_project(const int8_t* read_codes, const int64_t* read_off,
+                       int32_t n_reads, const uint32_t* cigar_runs,
+                       const int64_t* cigar_off, const int8_t* ref_codes,
+                       int32_t ref_len, int32_t width) {
+  const int m = ref_len;
+  // pass 1: max insertion length per anchor (0..m)
+  std::vector<int32_t> ins_len(m + 1, 0);
+  for (int rd = 0; rd < n_reads; rd++) {
+    int ri = 0;
+    for (int64_t k = cigar_off[rd]; k < cigar_off[rd + 1]; k++) {
+      uint32_t run = cigar_runs[k];
+      int op = int(run & 0xF), l = int(run >> 4);
+      if (op == 0 || op == 7 || op == 8) {
+        ri += l;
+      } else if (op == 1) {
+        if (l > ins_len[ri]) ins_len[ri] = l;
+      } else if (op == 2 || op == 3) {
+        ri += l;
+      }
+    }
+  }
+  // column index of each ref position
+  std::vector<int64_t> col_of_ref(m);
+  int64_t off = 0;
+  for (int j = 0; j < m; j++) {
+    off += ins_len[j];
+    col_of_ref[j] = off++;
+  }
+  const int64_t total_cols = off + ins_len[m];
+
+  // per-column counts; every row starts as all-gap
+  std::vector<int32_t> counts(size_t(total_cols) * 5, 0);
+  for (int64_t c = 0; c < total_cols; c++) counts[c * 5 + 4] = n_reads;
+  auto put = [&](int64_t col, int8_t code) {
+    int b = (code >= 0 && code < 5) ? code : 4;
+    counts[col * 5 + 4]--;
+    counts[col * 5 + b]++;
+  };
+  for (int rd = 0; rd < n_reads; rd++) {
+    const int8_t* q = read_codes + read_off[rd];
+    int qi = 0, ri = 0;
+    for (int64_t k = cigar_off[rd]; k < cigar_off[rd + 1]; k++) {
+      uint32_t run = cigar_runs[k];
+      int op = int(run & 0xF), l = int(run >> 4);
+      if (op == 0 || op == 7 || op == 8) {
+        for (int t = 0; t < l; t++) put(col_of_ref[ri + t], q[qi + t]);
+        qi += l;
+        ri += l;
+      } else if (op == 1) {
+        int64_t start = (ri < m) ? col_of_ref[ri] - ins_len[ri]
+                                 : total_cols - ins_len[m];
+        for (int t = 0; t < l; t++) put(start + t, q[qi + t]);
+        qi += l;
+      } else if (op == 2 || op == 3) {
+        ri += l;
+      } else if (op == 4) {
+        qi += l;
+      }
+    }
+  }
+
+  auto* out = new MsaOut();
+  out->tensor.assign(size_t(5) * width * 2, 0.0f);
+  out->cns.reserve(total_cols);
+  static const char REV[] = "AGTC-";
+  for (int64_t c = 0; c < total_cols; c++) {
+    const int32_t* cc = &counts[c * 5];
+    int32_t total = 0;
+    for (int b = 0; b < 5; b++) total += cc[b];
+    float freq[5];
+    for (int b = 0; b < 5; b++)
+      freq[b] = float(cc[b]) / float(total);  // matches numpy f32 divide
+    // consensus: argmax with -0.01 nudge against '-', first max wins
+    // (numpy tmp[:,4] -= 0.01 then argmax, align/msa.py:151-153)
+    float best = freq[0];
+    int best_b = 0;
+    for (int b = 1; b < 5; b++) {
+      float v = (b == 4) ? freq[4] - 0.01f : freq[b];
+      if (v > best) {
+        best = v;
+        best_b = b;
+      }
+    }
+    if (best_b != 4) out->cns.push_back(REV[best_b]);
+  }
+  // ref one-hot per column: '-' except at col_of_ref[j]
+  std::vector<int8_t> ref_col(total_cols, 4);
+  for (int j = 0; j < m; j++) {
+    int8_t rb = ref_codes[j];
+    ref_col[col_of_ref[j]] = (rb >= 0 && rb < 5) ? rb : 4;
+  }
+  const int64_t ncols_t = total_cols < width ? total_cols : width;
+  for (int64_t c = 0; c < ncols_t; c++) {
+    const int32_t* cc = &counts[c * 5];
+    int32_t total = 0;
+    for (int b = 0; b < 5; b++) total += cc[b];
+    for (int b = 0; b < 5; b++) {
+      float freq = float(cc[b]) / float(total);
+      float ref_oh = (ref_col[c] == b) ? 1.0f : 0.0f;
+      out->tensor[(size_t(b) * width + c) * 2 + 0] = freq - ref_oh;
+      out->tensor[(size_t(b) * width + c) * 2 + 1] = ref_oh;
+    }
+  }
+  return out;
+}
+
+void ncio_msa_sizes(void* handle, int64_t* out) {
+  auto* o = static_cast<MsaOut*>(handle);
+  out[0] = int64_t(o->cns.size());
+}
+
+void ncio_msa_fill(void* handle, float* tensor, char* cns) {
+  auto* o = static_cast<MsaOut*>(handle);
+  memcpy(tensor, o->tensor.data(), o->tensor.size() * sizeof(float));
+  if (!o->cns.empty()) memcpy(cns, o->cns.data(), o->cns.size());
+}
+
+void ncio_msa_free(void* handle) { delete static_cast<MsaOut*>(handle); }
+
+}  // extern "C"

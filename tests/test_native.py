@@ -147,3 +147,53 @@ class TestNativeDecode:
         nat = decode_reads(bam, "chr_t", 0, 5000, keep_seq=False)
         assert nat.seqs == []
         assert nat.n_reads > 0
+
+
+class TestNativeMsaProject:
+    """C++ star-MSA column projection vs the numpy oracle (bit-identical:
+    float32 division order replicated, first-max argmax consensus)."""
+
+    def test_differential_random(self):
+        import numpy as np
+
+        from nanocaller_tpu.align.msa import (MSA_GAP_EXTEND, MSA_GAP_OPEN,
+                                              MSA_MATCH, MSA_MISMATCH,
+                                              star_msa_from_cigars)
+        from nanocaller_tpu.align.nw import nw_align
+        from nanocaller_tpu.io.native import native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+
+        def mutate(ref, sub=0.06, ind=0.05):
+            out = []
+            for ch in ref:
+                r = rng.random()
+                if r < sub:
+                    out.append("ACGT"[rng.integers(4)])
+                elif r < sub + ind / 2:
+                    pass
+                elif r < sub + ind:
+                    out.append(ch)
+                    out.append("ACGT"[rng.integers(4)])
+                else:
+                    out.append(ch)
+            return "".join(out)
+
+        for trial in range(25):
+            L = int(rng.integers(40, 200))  # spans >128-column truncation
+            ref = "".join(rng.choice(list("ACGT"), L))
+            seqs = [mutate(ref) for _ in range(int(rng.integers(2, 30)))]
+            if trial % 5 == 0:
+                seqs[0] = seqs[0][:8] + "N" * 3 + seqs[0][11:]
+            cigars = [nw_align(s, ref, match=MSA_MATCH,
+                               mismatch=MSA_MISMATCH, gap_open=MSA_GAP_OPEN,
+                               gap_extend=MSA_GAP_EXTEND)[1] for s in seqs]
+            a = star_msa_from_cigars(seqs, cigars, ref, 2, use_native=True)
+            b = star_msa_from_cigars(seqs, cigars, ref, 2, use_native=False)
+            assert np.array_equal(a[2], b[2]), trial
+            assert a[3] == b[3], trial  # consensus
+            assert a[4] == b[4], trial  # de-gapped ref
