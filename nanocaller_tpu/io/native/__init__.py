@@ -81,6 +81,11 @@ def get_lib():
                                       ctypes.POINTER(ctypes.c_float),
                                       ctypes.c_char_p]
         lib.ncio_msa_free.argtypes = [ctypes.c_void_p]
+        lib.ncio_rans_uncompress.restype = ctypes.c_int32
+        lib.ncio_rans_uncompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure → python fallback
         _build_error = e
@@ -275,3 +280,20 @@ def msa_project_native(read_codes_list, cigars, ref_codes, width=128):
         return tensor, cns_buf.raw[: int(sizes[0])].decode()
     finally:
         lib.ncio_msa_free(ctypes.c_void_p(handle))
+
+
+def rans_uncompress_native(stream, raw_size):
+    """C++ rANS4x8 decode; None if unavailable, raises on corrupt input."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(stream), dtype=np.uint8)
+    out = np.zeros(max(1, raw_size), dtype=np.uint8)
+    out_len = np.zeros(1, np.int64)
+    rc = lib.ncio_rans_uncompress(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
+        out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError("malformed rANS stream (native rc=%d)" % rc)
+    return out[: int(out_len[0])].tobytes()

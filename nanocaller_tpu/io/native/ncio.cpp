@@ -749,3 +749,158 @@ void ncio_msa_fill(void* handle, float* tensor, char* cns) {
 void ncio_msa_free(void* handle) { delete static_cast<MsaOut*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 decoder (CRAM 3.0 block method 4) — C++ fast path for
+// io/rans.py (same stream format; that module is the oracle + encoder).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t RANS_L = 1u << 23;
+constexpr int TF_SHIFT = 12;
+constexpr uint32_t TOTFREQ = 1u << TF_SHIFT;
+
+struct FreqTable {
+  uint16_t freq[256] = {0};
+  uint16_t cum[257] = {0};
+  uint8_t lut[TOTFREQ];  // f -> symbol
+  void finalize() {
+    uint32_t x = 0;
+    for (int s = 0; s < 256; s++) {
+      cum[s] = uint16_t(x);
+      if (freq[s]) {
+        memset(lut + x, s, freq[s]);
+        x += freq[s];
+      }
+    }
+    cum[256] = uint16_t(x);
+  }
+};
+
+// read one (sym -> payload) keyed table with the CRAM run-collapsing
+// scheme; calls payload(sym) which must advance *pos
+template <typename F>
+bool read_keyed(const uint8_t* d, int64_t len, int64_t* pos, F payload) {
+  if (*pos >= len) return false;
+  int rle = 0;
+  int key = d[(*pos)++];
+  while (true) {
+    if (!payload(key)) return false;
+    if (rle) {
+      rle--;
+      key++;
+      continue;
+    }
+    if (*pos >= len) return false;
+    int nxt = d[(*pos)++];
+    if (nxt == key + 1) {
+      if (*pos >= len) return false;
+      rle = d[(*pos)++];
+    }
+    key = nxt;
+    if (key == 0 && rle == 0) return true;
+  }
+}
+
+bool read_freq(const uint8_t* d, int64_t len, int64_t* pos, uint16_t* out) {
+  if (*pos >= len) return false;
+  uint32_t f = d[(*pos)++];
+  if (f >= 128) {
+    if (*pos >= len) return false;
+    f = ((f & 0x7F) << 8) | d[(*pos)++];
+  }
+  *out = uint16_t(f);
+  return true;
+}
+
+bool read_freq_table(const uint8_t* d, int64_t len, int64_t* pos,
+                     FreqTable* t) {
+  bool ok = read_keyed(d, len, pos, [&](int sym) {
+    return read_freq(d, len, pos, &t->freq[sym]);
+  });
+  if (ok) t->finalize();
+  return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a full rANS4x8 stream (9-byte header included) into out.
+// Returns 0 on success, nonzero on malformed input.
+int32_t ncio_rans_uncompress(const uint8_t* in, int64_t in_len,
+                             uint8_t* out, int64_t out_capacity,
+                             int64_t* out_len) {
+  if (in_len < 9) return 1;
+  int order = in[0];
+  uint32_t raw_sz;
+  memcpy(&raw_sz, in + 5, 4);
+  *out_len = raw_sz;
+  if (raw_sz == 0) return 0;
+  if (int64_t(raw_sz) > out_capacity) return 2;
+  int64_t pos = 9;
+
+  auto renorm = [&](uint32_t& x) {
+    while (x < RANS_L && pos < in_len) x = (x << 8) | in[pos++];
+  };
+
+  if (order == 0) {
+    FreqTable t;
+    if (!read_freq_table(in, in_len, &pos, &t)) return 3;
+    if (pos + 16 > in_len) return 3;
+    uint32_t R[4];
+    memcpy(R, in + pos, 16);
+    pos += 16;
+    for (int64_t i = 0; i < int64_t(raw_sz); i++) {
+      uint32_t& x = R[i & 3];
+      uint32_t f = x & (TOTFREQ - 1);
+      uint8_t s = t.lut[f];
+      out[i] = s;
+      x = t.freq[s] * (x >> TF_SHIFT) + f - t.cum[s];
+      renorm(x);
+    }
+    return 0;
+  }
+  if (order == 1) {
+    std::vector<FreqTable> tables(256);
+    std::vector<bool> have(256, false);
+    bool ok = read_keyed(in, in_len, &pos, [&](int ctx) {
+      have[ctx] = true;
+      return read_freq_table(in, in_len, &pos, &tables[ctx]);
+    });
+    if (!ok) return 3;
+    if (pos + 16 > in_len) return 3;
+    uint32_t R[4];
+    memcpy(R, in + pos, 16);
+    pos += 16;
+    const int64_t isz4 = int64_t(raw_sz) >> 2;
+    uint8_t last[4] = {0, 0, 0, 0};
+    for (int64_t i = 0; i < isz4; i++) {
+      for (int j = 0; j < 4; j++) {
+        uint32_t& x = R[j];
+        const FreqTable& t = tables[last[j]];
+        uint32_t f = x & (TOTFREQ - 1);
+        uint8_t s = t.lut[f];
+        out[j * isz4 + i] = s;
+        x = t.freq[s] * (x >> TF_SHIFT) + f - t.cum[s];
+        renorm(x);
+        last[j] = s;
+      }
+    }
+    for (int64_t p = 4 * isz4; p < int64_t(raw_sz); p++) {
+      uint32_t& x = R[3];
+      const FreqTable& t = tables[last[3]];
+      uint32_t f = x & (TOTFREQ - 1);
+      uint8_t s = t.lut[f];
+      out[p] = s;
+      x = t.freq[s] * (x >> TF_SHIFT) + f - t.cum[s];
+      renorm(x);
+      last[3] = s;
+    }
+    return 0;
+  }
+  return 4;
+}
+
+}  // extern "C"

@@ -364,14 +364,26 @@ def compress(data: bytes, order: int = 0) -> bytes:
     return struct.pack("<BII", order, len(body), len(data)) + body
 
 
-def uncompress(stream: bytes, expected_size=None) -> bytes:
-    """Decompress a CRAM rANS4x8 stream (with its 9-byte header)."""
+def uncompress(stream: bytes, expected_size=None, use_native=True) -> bytes:
+    """Decompress a CRAM rANS4x8 stream (with its 9-byte header).
+
+    Routes through the C++ decoder (io/native ncio_rans_uncompress) when
+    available; the Python path below is its differential oracle.
+    """
     order, comp_sz, raw_sz = struct.unpack_from("<BII", stream, 0)
     if expected_size is not None and raw_sz != expected_size:
         raise ValueError(
             "rANS raw size %d != expected %d" % (raw_sz, expected_size))
     if raw_sz == 0:
         return b""
+    if use_native and order in (0, 1):
+        try:
+            from .native import rans_uncompress_native
+            out = rans_uncompress_native(stream, raw_sz)
+        except ImportError:
+            out = None
+        if out is not None:
+            return out
     pos = 9
     if order == 0:
         return _uncompress_o0(stream, pos, raw_sz)

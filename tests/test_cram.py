@@ -277,3 +277,31 @@ class TestCramPipeline:
                   if "HP" in r.tags]
         assert len(tagged) > 10
         assert all("PS" in r.tags for r in tagged)
+
+
+class TestNativeRans:
+    def test_native_matches_python_oracle(self):
+        from nanocaller_tpu.io.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        rng = random.Random(17)
+        cases = [b"", b"A", bytes(range(256)) * 3,
+                 bytes(rng.getrandbits(8) for _ in range(30011)),
+                 bytes(rng.choice(b"ACGT") for _ in range(70003)),
+                 b"\x07" * 9999]
+        for order in (0, 1):
+            for data in cases:
+                stream = rans.compress(data, order)
+                assert rans.uncompress(stream, use_native=True) == data
+                assert rans.uncompress(stream, use_native=False) == data
+
+    def test_native_rejects_corrupt(self):
+        from nanocaller_tpu.io.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        stream = bytearray(rans.compress(b"ACGTACGTAA" * 50, 0))
+        stream = stream[:14]  # truncate inside the tables/states
+        with pytest.raises(ValueError):
+            rans.uncompress(bytes(stream) )
