@@ -1319,12 +1319,16 @@ def _features_from_read(read: AlignedRead, refseg: str, ref_off0: int,
     for op, ln in read.cigar:
         if op in (0, 7, 8):  # M/=/X
             ref_chunk = refseg[rpos - ref_off0 : rpos - ref_off0 + ln].upper()
+            if len(ref_chunk) < ln:
+                ref_chunk = ref_chunk + "N" * (ln - len(ref_chunk))
             q_chunk = seq[qpos : qpos + ln].upper()
-            for k in range(ln):
-                rb = ref_chunk[k] if k < len(ref_chunk) else "N"
+            # vectorized mismatch scan; only differing positions loop
+            ra = np.frombuffer(ref_chunk.encode(), np.uint8)
+            qa = np.frombuffer(q_chunk.encode(), np.uint8)
+            for k in np.nonzero(ra != qa)[0]:
+                k = int(k)
+                rb = ref_chunk[k]
                 qb = q_chunk[k]
-                if qb == rb:
-                    continue
                 code = _sub_code(sub_matrix, rb, qb)
                 if code is not None and rb in BASES5:
                     feats.append(("X", qpos + k + 1, code))

@@ -86,6 +86,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_rans_compress.restype = ctypes.c_int32
+        lib.ncio_rans_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure → python fallback
         _build_error = e
@@ -296,4 +301,25 @@ def rans_uncompress_native(stream, raw_size):
         out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if rc != 0:
         raise ValueError("malformed rANS stream (native rc=%d)" % rc)
+    return out[: int(out_len[0])].tobytes()
+
+
+def rans_compress_native(data, order):
+    """C++ rANS4x8 encode (byte-identical to io/rans.compress); None if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if len(buf) == 0:
+        buf = np.zeros(1, np.uint8)
+    cap = len(data) + 300_000
+    out = np.zeros(cap, dtype=np.uint8)
+    out_len = np.zeros(1, np.int64)
+    rc = lib.ncio_rans_compress(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        order, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
     return out[: int(out_len[0])].tobytes()

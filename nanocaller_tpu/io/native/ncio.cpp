@@ -904,3 +904,185 @@ int32_t ncio_rans_uncompress(const uint8_t* in, int64_t in_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 encoder — byte-identical to io/rans.py compress() (same
+// normalization and table serialization), so either side can verify the
+// other. Caller provides a sufficiently large output buffer.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+void normalize_freqs(const int64_t* counts, uint16_t* freqs) {
+  int64_t total = 0;
+  for (int s = 0; s < 256; s++) total += counts[s];
+  memset(freqs, 0, 256 * sizeof(uint16_t));
+  if (total == 0) return;
+  int64_t assigned = 0;
+  int max_sym = 0;
+  for (int s = 0; s < 256; s++) {
+    if (!counts[s]) continue;
+    int64_t f = counts[s] * TOTFREQ / total;
+    if (f == 0) f = 1;
+    freqs[s] = uint16_t(f);
+    assigned += f;
+    if (freqs[s] > freqs[max_sym] || freqs[max_sym] == 0) max_sym = s;
+  }
+  freqs[max_sym] = uint16_t(freqs[max_sym] + (int64_t(TOTFREQ) - assigned));
+}
+
+void write_freq(std::vector<uint8_t>& out, uint32_t f) {
+  if (f < 128) {
+    out.push_back(uint8_t(f));
+  } else {
+    out.push_back(uint8_t(0x80 | (f >> 8)));
+    out.push_back(uint8_t(f & 0xFF));
+  }
+}
+
+// serialize ascending keys with the CRAM run-collapsing scheme
+// (mirrors rans.py _write_keyed_table)
+template <typename F>
+void write_keyed(std::vector<uint8_t>& out, const std::vector<int>& keys,
+                 F payload) {
+  size_t i = 0, n = keys.size();
+  out.push_back(uint8_t(keys[0]));
+  int run_left = 0;
+  while (true) {
+    payload(keys[i]);
+    i++;
+    if (run_left) {
+      run_left--;
+      continue;
+    }
+    if (i < n) {
+      out.push_back(uint8_t(keys[i]));
+      if (keys[i] == keys[i - 1] + 1) {
+        size_t j = i;
+        while (j + 1 < n && keys[j + 1] == keys[j] + 1) j++;
+        run_left = int(j - i);
+        out.push_back(uint8_t(run_left));
+      }
+    } else {
+      out.push_back(0);
+      return;
+    }
+  }
+}
+
+void write_freq_table(std::vector<uint8_t>& out, const uint16_t* freqs) {
+  std::vector<int> syms;
+  for (int s = 0; s < 256; s++)
+    if (freqs[s]) syms.push_back(s);
+  write_keyed(out, syms, [&](int s) { write_freq(out, freqs[s]); });
+}
+
+struct EncState {
+  uint32_t R[4] = {RANS_L, RANS_L, RANS_L, RANS_L};
+  std::vector<uint8_t> rev;  // renorm bytes, reversed at the end
+
+  inline void put(int j, uint32_t f, uint32_t c) {
+    uint32_t x = R[j];
+    const uint32_t x_max = ((RANS_L >> TF_SHIFT) << 8) * f;
+    while (x >= x_max) {
+      rev.push_back(uint8_t(x & 0xFF));
+      x >>= 8;
+    }
+    R[j] = ((x / f) << TF_SHIFT) + c + (x % f);
+  }
+
+  void flush(std::vector<uint8_t>& out) {
+    for (int j = 0; j < 4; j++) {
+      uint32_t v = R[j];
+      out.push_back(uint8_t(v));
+      out.push_back(uint8_t(v >> 8));
+      out.push_back(uint8_t(v >> 16));
+      out.push_back(uint8_t(v >> 24));
+    }
+    out.insert(out.end(), rev.rbegin(), rev.rend());
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; out buffer must hold the worst case
+// (in_len + tables + 9; 260k covers order-1 tables).
+int32_t ncio_rans_compress(const uint8_t* in, int64_t in_len, int32_t order,
+                           uint8_t* out, int64_t out_capacity,
+                           int64_t* out_len) {
+  if (order == 1 && in_len < 4) order = 0;
+  std::vector<uint8_t> body;
+  if (in_len > 0 && order == 0) {
+    int64_t counts[256] = {0};
+    for (int64_t i = 0; i < in_len; i++) counts[in[i]]++;
+    uint16_t freqs[256];
+    normalize_freqs(counts, freqs);
+    uint16_t cum[257] = {0};
+    for (int s = 0; s < 256; s++) cum[s + 1] = cum[s] + freqs[s];
+    write_freq_table(body, freqs);
+    EncState st;
+    for (int64_t i = in_len - 1; i >= 0; i--) {
+      uint8_t s = in[i];
+      st.put(int(i & 3), freqs[s], cum[s]);
+    }
+    st.flush(body);
+  } else if (in_len > 0) {  // order 1
+    const int64_t isz4 = in_len >> 2;
+    std::vector<std::vector<int64_t>> counts(256);
+    auto bump = [&](int ctx, uint8_t s) {
+      if (counts[ctx].empty()) counts[ctx].assign(256, 0);
+      counts[ctx][s]++;
+    };
+    for (int j = 0; j < 4; j++) {
+      int64_t seg_start = j * isz4;
+      int64_t seg_end = (j < 3) ? (j + 1) * isz4 : in_len;
+      int ctx = 0;
+      for (int64_t p = seg_start; p < seg_end; p++) {
+        bump(ctx, in[p]);
+        ctx = in[p];
+      }
+    }
+    std::vector<std::vector<uint16_t>> freqs(256);
+    std::vector<std::vector<uint16_t>> cums(256);
+    std::vector<int> ctxs;
+    for (int c = 0; c < 256; c++) {
+      if (counts[c].empty()) continue;
+      ctxs.push_back(c);
+      freqs[c].resize(256);
+      normalize_freqs(counts[c].data(), freqs[c].data());
+      cums[c].assign(257, 0);
+      for (int s = 0; s < 256; s++)
+        cums[c][s + 1] = cums[c][s] + freqs[c][s];
+    }
+    write_keyed(body, ctxs,
+                [&](int c) { write_freq_table(body, freqs[c].data()); });
+    EncState st;
+    for (int64_t p = in_len - 1; p >= 4 * isz4 - 1 + 1; p--) {
+      int ctx = (p > 3 * isz4) ? in[p - 1] : 0;
+      uint8_t s = in[p];
+      st.put(3, freqs[ctx][s], cums[ctx][s]);
+    }
+    for (int64_t i = isz4 - 1; i >= 0; i--) {
+      for (int j = 3; j >= 0; j--) {
+        int64_t p = j * isz4 + i;
+        int ctx = (p > j * isz4) ? in[p - 1] : 0;
+        uint8_t s = in[p];
+        st.put(j, freqs[ctx][s], cums[ctx][s]);
+      }
+    }
+    st.flush(body);
+  }
+  int64_t total = 9 + int64_t(body.size());
+  if (total > out_capacity) return 2;
+  out[0] = uint8_t(order);
+  uint32_t csz = uint32_t(body.size()), rsz = uint32_t(in_len);
+  memcpy(out + 1, &csz, 4);
+  memcpy(out + 5, &rsz, 4);
+  if (!body.empty()) memcpy(out + 9, body.data(), body.size());
+  *out_len = total;
+  return 0;
+}
+
+}  // extern "C"

@@ -350,11 +350,22 @@ def _uncompress_o1(data, pos, out_sz):
 # public API
 # ---------------------------------------------------------------------------
 
-def compress(data: bytes, order: int = 0) -> bytes:
-    """Compress ``data`` into a CRAM rANS4x8 stream (header included)."""
+def compress(data: bytes, order: int = 0, use_native=True) -> bytes:
+    """Compress ``data`` into a CRAM rANS4x8 stream (header included).
+
+    Routes through the C++ encoder when available (byte-identical
+    streams); the Python path below is its differential oracle."""
     data = bytes(data)
     if order == 1 and len(data) < 4:
         order = 0  # order-1 needs the 4-way split; tiny inputs go order-0
+    if use_native:
+        try:
+            from .native import rans_compress_native
+            out = rans_compress_native(data, order)
+        except ImportError:
+            out = None
+        if out is not None:
+            return out
     if len(data) == 0:
         body = b""
     elif order == 0:
