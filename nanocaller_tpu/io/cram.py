@@ -1580,3 +1580,141 @@ class CramWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# ---------------------------------------------------------------------------
+# native (C++) window decode: CRAM analog of io.native.decode_window_native
+# ---------------------------------------------------------------------------
+
+_SERIES_ENUM = {k: i for i, k in enumerate([
+    "BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP", "TS",
+    "NF", "TL", "FN", "FC", "FP", "DL", "BB", "QQ", "BS", "IN", "SC",
+    "HC", "PD", "RS", "BA", "QS", "MQ"])}
+
+
+def _spec_encoding(enc) -> bytes:
+    """Serialize an encoding for the C++ decoder (ncio_cram_feed spec
+    grammar); raises ValueError on codecs it does not implement."""
+    codec, params = enc
+    out = bytearray([codec])
+    if codec == E_NULL:
+        pass
+    elif codec == E_EXTERNAL:
+        out += struct.pack("<i", params)
+    elif codec == E_HUFFMAN:
+        if params[0] == "const":
+            out += struct.pack("<i", 1)
+            out += struct.pack("<i", params[1])
+            out += struct.pack("<i", 0)
+        else:
+            _, codes, _maxlen = params
+            # codes: {(len, code): symbol}; rebuild alphabet/lens
+            items = sorted(codes.items())
+            out += struct.pack("<i", len(items))
+            for (_ln, _code), sym in items:
+                out += struct.pack("<i", sym)
+            for (ln, _code), _sym in items:
+                out += struct.pack("<i", ln)
+    elif codec == E_BYTE_ARRAY_LEN:
+        out += _spec_encoding(params[0])
+        out += _spec_encoding(params[1])
+    elif codec == E_BYTE_ARRAY_STOP:
+        stop, cid = params
+        out += bytes([stop]) + struct.pack("<i", cid)
+    elif codec == E_BETA:
+        out += struct.pack("<ii", params[0], params[1])
+    elif codec == E_GAMMA:
+        out += struct.pack("<i", params)
+    else:
+        raise ValueError("codec %d unsupported by native decoder" % codec)
+    return bytes(out)
+
+
+def _native_spec(comp: CompressionHeader):
+    """CompressionHeader → native spec bytes, or None when it uses a
+    layout the C++ decoder cannot handle (Python path takes over)."""
+    try:
+        out = bytearray()
+        out.append(1 if comp.ap_delta else 0)
+        out.append(1 if comp.rn_preserved else 0)
+        out += comp.sub_matrix
+        present = [(k, e) for k, e in comp.series.items()
+                   if k in _SERIES_ENUM]
+        out.append(len(present))
+        for key, enc in present:
+            out.append(_SERIES_ENUM[key])
+            out += _spec_encoding(enc)
+        out += struct.pack("<H", len(comp.td))
+        for line in comp.td:
+            out += struct.pack("<H", len(line))
+            for tag, typ in line:
+                out += tag.encode() + typ.encode()
+                out += _spec_encoding(comp.tags[(tag, typ)])
+        return bytes(out)
+    except (ValueError, KeyError):
+        return None
+
+
+def _cram_decode_window(reader: "CramReader", contig, start, end,
+                        flag_exclude, keep_seq=False, sites=None):
+    """Native window decode over a CramReader → Window-dict (same layout
+    as io.native.decode_window_native) or None → python fallback."""
+    from .native import (cram_window_begin, cram_window_feed,
+                         cram_window_finish, cram_window_free)
+
+    if contig not in reader._ref_to_id or reader._fasta is None:
+        return None
+    rid = reader._ref_to_id[contig]
+    n_sites = 0 if sites is None else len(sites)
+    lib, handle = cram_window_begin(start, end, n_sites)
+    if lib is None:
+        return None
+    ok = True
+    try:
+        for ch, data in reader._iter_containers(rid, start, end):
+            comp_blk, _ = Block.parse(data, 0)
+            comp = CompressionHeader.parse(comp_blk.data)
+            spec = _native_spec(comp)
+            if spec is None:
+                ok = False
+                break
+            for lm in ch.landmarks:
+                sh_blk, p = Block.parse(data, lm)
+                sh = SliceHeader.parse(sh_blk.data)
+                if sh.ref_id == -2:  # multi-ref slice → python path
+                    ok = False
+                    break
+                ext = []
+                core = b""
+                for _ in range(sh.n_blocks):
+                    blk, p = Block.parse(data, p)
+                    if blk.content_type == CT_CORE:
+                        core = blk.data
+                    else:
+                        ext.append((blk.content_id, blk.data))
+                if sh.embedded_ref_id >= 0:
+                    refseg = dict(ext)[sh.embedded_ref_id].decode().upper()
+                    ref_off0 = sh.start - 1
+                else:
+                    ref_off0 = max(0, sh.start - 1)
+                    refseg = reader._ref_lookup(
+                        rid, ref_off0, sh.start - 1 + max(sh.span, 0)).upper()
+                if not cram_window_feed(
+                        lib, handle, spec, ext, core, refseg, ref_off0,
+                        sh.ref_id, sh.start, sh.n_records,
+                        sh.record_counter, rid, start, end, flag_exclude,
+                        keep_seq, sites):
+                    ok = False
+                    break
+            if not ok:
+                break
+    except Exception:
+        ok = False
+    if not ok:
+        cram_window_free(lib, handle)
+        return None
+    return cram_window_finish(lib, handle)
+
+
+# exposed on the reader so pileup/engine can dispatch uniformly
+CramReader.decode_window = _cram_decode_window

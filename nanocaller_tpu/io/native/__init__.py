@@ -91,6 +91,19 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_cram_begin.restype = ctypes.c_void_p
+        lib.ncio_cram_begin.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int32]
+        lib.ncio_cram_feed.restype = ctypes.c_int32
+        lib.ncio_cram_feed.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure → python fallback
         _build_error = e
@@ -183,58 +196,124 @@ def decode_window_native(bam_reader, contig, start, end, flag_exclude,
         len(chunks) // 2, flag_exclude, 1 if keep_seq else 0,
         sites_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_sites)
     try:
-        sizes = np.zeros(7, dtype=np.int64)
-        lib.ncio_sizes(handle, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        n_reads, n_ev, n_del, n_ins, qn_bytes, seq_bytes, err = sizes
-        if err:
-            return None
-        out = {
-            "flags": np.zeros(n_reads, np.int32),
-            "strand": np.zeros(n_reads, np.int8),
-            "read_start": np.zeros(n_reads, np.int64),
-            "read_end": np.zeros(n_reads, np.int64),
-            "hp": np.zeros(n_reads, np.int8),
-            "ps": np.zeros(n_reads, np.int64),
-            "qnames_raw": np.zeros(max(1, qn_bytes), np.uint8),
-            "qname_off": np.zeros(n_reads + 1, np.int64),
-            "seqs_raw": np.zeros(max(1, seq_bytes), np.uint8),
-            "seq_off": np.zeros(n_reads + 1, np.int64),
-            "ev_rid": np.zeros(n_ev, np.int32),
-            "ev_pos": np.zeros(n_ev, np.int32),
-            "ev_code": np.zeros(n_ev, np.int8),
-            "ev_qpos": np.zeros(n_ev, np.int32),
-            "del_rid": np.zeros(n_del, np.int32),
-            "del_start": np.zeros(n_del, np.int32),
-            "del_len": np.zeros(n_del, np.int32),
-            "ins_rid": np.zeros(n_ins, np.int32),
-            "ins_pos": np.zeros(n_ins, np.int32),
-            "ins_len": np.zeros(n_ins, np.int32),
-        }
-
-        def p(a, ct):
-            return a.ctypes.data_as(ctypes.POINTER(ct))
-
-        lib.ncio_fill(
-            ctypes.c_void_p(handle),
-            p(out["flags"], ctypes.c_int32), p(out["strand"], ctypes.c_int8),
-            p(out["read_start"], ctypes.c_int64), p(out["read_end"], ctypes.c_int64),
-            p(out["hp"], ctypes.c_int8), p(out["ps"], ctypes.c_int64),
-            p(out["qnames_raw"], ctypes.c_char), p(out["qname_off"], ctypes.c_int64),
-            p(out["seqs_raw"], ctypes.c_char), p(out["seq_off"], ctypes.c_int64),
-            p(out["ev_rid"], ctypes.c_int32), p(out["ev_pos"], ctypes.c_int32),
-            p(out["ev_code"], ctypes.c_int8), p(out["ev_qpos"], ctypes.c_int32),
-            p(out["del_rid"], ctypes.c_int32), p(out["del_start"], ctypes.c_int32),
-            p(out["del_len"], ctypes.c_int32), p(out["ins_rid"], ctypes.c_int32),
-            p(out["ins_pos"], ctypes.c_int32), p(out["ins_len"], ctypes.c_int32))
-        cw = lib.ncio_counts_width(ctypes.c_void_p(handle))
-        if cw > 0:
-            counts = np.zeros((cw, 6), np.int32)
-            lib.ncio_counts_fill(ctypes.c_void_p(handle),
-                                 p(counts, ctypes.c_int32))
-            out["counts"] = counts
-        return out
+        return fill_window(lib, handle)
     finally:
         lib.ncio_free(ctypes.c_void_p(handle))
+
+
+def fill_window(lib, handle):
+    """Copy a native Window handle's arrays into a numpy dict (shared by
+    the BAM and CRAM decode paths)."""
+    sizes = np.zeros(7, dtype=np.int64)
+    lib.ncio_sizes(handle, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    n_reads, n_ev, n_del, n_ins, qn_bytes, seq_bytes, err = sizes
+    if err:
+        return None
+    out = {
+        "flags": np.zeros(n_reads, np.int32),
+        "strand": np.zeros(n_reads, np.int8),
+        "read_start": np.zeros(n_reads, np.int64),
+        "read_end": np.zeros(n_reads, np.int64),
+        "hp": np.zeros(n_reads, np.int8),
+        "ps": np.zeros(n_reads, np.int64),
+        "qnames_raw": np.zeros(max(1, qn_bytes), np.uint8),
+        "qname_off": np.zeros(n_reads + 1, np.int64),
+        "seqs_raw": np.zeros(max(1, seq_bytes), np.uint8),
+        "seq_off": np.zeros(n_reads + 1, np.int64),
+        "ev_rid": np.zeros(n_ev, np.int32),
+        "ev_pos": np.zeros(n_ev, np.int32),
+        "ev_code": np.zeros(n_ev, np.int8),
+        "ev_qpos": np.zeros(n_ev, np.int32),
+        "del_rid": np.zeros(n_del, np.int32),
+        "del_start": np.zeros(n_del, np.int32),
+        "del_len": np.zeros(n_del, np.int32),
+        "ins_rid": np.zeros(n_ins, np.int32),
+        "ins_pos": np.zeros(n_ins, np.int32),
+        "ins_len": np.zeros(n_ins, np.int32),
+    }
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    lib.ncio_fill(
+        ctypes.c_void_p(handle),
+        p(out["flags"], ctypes.c_int32), p(out["strand"], ctypes.c_int8),
+        p(out["read_start"], ctypes.c_int64), p(out["read_end"], ctypes.c_int64),
+        p(out["hp"], ctypes.c_int8), p(out["ps"], ctypes.c_int64),
+        p(out["qnames_raw"], ctypes.c_char), p(out["qname_off"], ctypes.c_int64),
+        p(out["seqs_raw"], ctypes.c_char), p(out["seq_off"], ctypes.c_int64),
+        p(out["ev_rid"], ctypes.c_int32), p(out["ev_pos"], ctypes.c_int32),
+        p(out["ev_code"], ctypes.c_int8), p(out["ev_qpos"], ctypes.c_int32),
+        p(out["del_rid"], ctypes.c_int32), p(out["del_start"], ctypes.c_int32),
+        p(out["del_len"], ctypes.c_int32), p(out["ins_rid"], ctypes.c_int32),
+        p(out["ins_pos"], ctypes.c_int32), p(out["ins_len"], ctypes.c_int32))
+    cw = lib.ncio_counts_width(ctypes.c_void_p(handle))
+    if cw > 0:
+        counts = np.zeros((cw, 6), np.int32)
+        lib.ncio_counts_fill(ctypes.c_void_p(handle),
+                             p(counts, ctypes.c_int32))
+        out["counts"] = counts
+    return out
+
+
+def cram_window_begin(start, end, n_sites):
+    """Create a native Window handle for CRAM slice feeding; None when
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None, None
+    return lib, lib.ncio_cram_begin(start, end, n_sites)
+
+
+def cram_window_feed(lib, handle, spec, ext_blocks, core, refseg, ref_off0,
+                     slice_ref_id, slice_start, n_records, record_counter,
+                     want_rid, start, end, flag_exclude, keep_seq, sites):
+    """Feed one slice into a CRAM window handle. ext_blocks: list of
+    (content_id, bytes). Returns True on success; False → caller must
+    free the handle and fall back to the Python decoder."""
+    n_ext = len(ext_blocks)
+    off = np.zeros(n_ext + 1, np.int64)
+    cids = np.zeros(max(1, n_ext), np.int32)
+    for i, (cid, data) in enumerate(ext_blocks):
+        off[i + 1] = off[i] + len(data)
+        cids[i] = cid
+    cat = (b"".join(d for _, d in ext_blocks) or b"\x00")
+    cat_arr = np.frombuffer(cat, np.uint8)
+    core_arr = np.frombuffer(core or b"\x00", np.uint8)
+    ref_arr = np.frombuffer(refseg.encode() if refseg else b"\x00", np.uint8)
+    spec_arr = np.frombuffer(spec, np.uint8)
+    if sites is None:
+        sites_arr = np.zeros(1, np.int64)
+        n_sites = 0
+    else:
+        sites_arr = np.ascontiguousarray(sites, dtype=np.int64)
+        n_sites = len(sites_arr)
+        if n_sites == 0:
+            sites_arr = np.zeros(1, np.int64)
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rc = lib.ncio_cram_feed(
+        ctypes.c_void_p(handle), p(spec_arr, ctypes.c_uint8), len(spec_arr),
+        p(cat_arr, ctypes.c_uint8), p(off, ctypes.c_int64),
+        p(cids, ctypes.c_int32), n_ext, p(core_arr, ctypes.c_uint8),
+        len(core or b""), p(ref_arr, ctypes.c_char), ref_off0,
+        len(refseg or ""), slice_ref_id, slice_start, n_records,
+        record_counter, want_rid, start, end, flag_exclude,
+        1 if keep_seq else 0, p(sites_arr, ctypes.c_int64), n_sites)
+    return rc == 0
+
+
+def cram_window_finish(lib, handle):
+    try:
+        return fill_window(lib, handle)
+    finally:
+        lib.ncio_free(ctypes.c_void_p(handle))
+
+
+def cram_window_free(lib, handle):
+    lib.ncio_free(ctypes.c_void_p(handle))
 
 
 def msa_project_native(read_codes_list, cigars, ref_codes, width=128):

@@ -1086,3 +1086,807 @@ int32_t ncio_rans_compress(const uint8_t* in, int64_t in_len, int32_t order,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CRAM slice decoder → Window arrays (the CRAM analog of ncio_decode).
+//
+// Python (io/cram.py) parses the cheap container/compression/slice
+// headers, decompresses blocks (gzip via zlib, rANS via this library)
+// and hands this function the encoding spec + external/core streams +
+// reference segment; the record walk — the Python-loop hot spot — runs
+// here and emits the exact event-array structure of the BAM decoder
+// above, so pileup/engine consumes both formats identically.
+//
+// Spec byte layout (produced by cram.py _native_spec):
+//   u8 ap_delta, u8 rn_preserved, u8 sub_matrix[5]
+//   u8 n_series; each: u8 series_enum, <enc>
+//   u16 n_td_lines; each: u16 n_tags; each: u8 c1, u8 c2, u8 typ, <enc>
+//   <enc> := u8 codec, params (int32 LE ints):
+//     EXTERNAL: i32 cid | HUFFMAN: i32 n, i32 alphabet[n], i32 lens[n]
+//     BYTE_ARRAY_LEN: <enc> <enc> | BYTE_ARRAY_STOP: u8 stop, i32 cid
+//     BETA: i32 offset, i32 nbits | GAMMA: i32 offset | NULL: -
+// ---------------------------------------------------------------------------
+
+namespace cramdec {
+
+enum Series {
+  S_BF = 0, S_CF, S_RI, S_RL, S_AP, S_RG, S_RN, S_MF, S_NS, S_NP, S_TS,
+  S_NF, S_TL, S_FN, S_FC, S_FP, S_DL, S_BB, S_QQ, S_BS, S_IN, S_SC,
+  S_HC, S_PD, S_RS, S_BA, S_QS, S_MQ, S_COUNT
+};
+
+struct Enc {
+  int codec = -1;  // matches cram.py E_* ids
+  int32_t cid = 0;
+  uint8_t stop = 0;
+  int32_t beta_offset = 0, beta_bits = 0, gamma_offset = 0;
+  // huffman canonical
+  std::vector<int32_t> alphabet;
+  std::vector<int32_t> lens;
+  int sub_len = -1, sub_val = -1;  // BYTE_ARRAY_LEN children (index)
+};
+
+struct ExtStream {
+  const uint8_t* d = nullptr;
+  int64_t len = 0, pos = 0;
+};
+
+struct CoreBits {
+  const uint8_t* d = nullptr;
+  int64_t len = 0, pos = 0;
+  int bit = 0;
+  int read1() {
+    if (pos >= len) return -1;
+    int v = (d[pos] >> (7 - bit)) & 1;
+    if (++bit == 8) {
+      bit = 0;
+      pos++;
+    }
+    return v;
+  }
+  int64_t read(int n) {
+    int64_t v = 0;
+    for (int i = 0; i < n; i++) {
+      int b = read1();
+      if (b < 0) return -1;
+      v = (v << 1) | b;
+    }
+    return v;
+  }
+};
+
+struct Ctx {
+  std::vector<Enc> encs;            // flat pool (children by index)
+  int series[S_COUNT];              // -1 when absent
+  struct Tag { char c1, c2, typ; int enc; };
+  std::vector<std::vector<Tag>> td;
+  bool ap_delta = true, rn_preserved = true;
+  uint8_t sub_matrix[5];
+  std::vector<ExtStream> ext;       // indexed by slot
+  std::vector<int32_t> ext_cids;
+  CoreBits core;
+  bool fail = false;
+
+  ExtStream* stream(int32_t cid) {
+    for (size_t i = 0; i < ext_cids.size(); i++)
+      if (ext_cids[i] == cid) return &ext[i];
+    fail = true;
+    return nullptr;
+  }
+};
+
+int parse_enc(const uint8_t* spec, int64_t len, int64_t* pos, Ctx* c);
+
+int32_t rd_i32(const uint8_t* spec, int64_t len, int64_t* pos, Ctx* c) {
+  if (*pos + 4 > len) {
+    c->fail = true;
+    return 0;
+  }
+  int32_t v;
+  memcpy(&v, spec + *pos, 4);
+  *pos += 4;
+  return v;
+}
+
+int parse_enc(const uint8_t* spec, int64_t len, int64_t* pos, Ctx* c) {
+  if (*pos >= len) {
+    c->fail = true;
+    return -1;
+  }
+  int idx = int(c->encs.size());
+  c->encs.emplace_back();
+  int codec = spec[(*pos)++];
+  c->encs[idx].codec = codec;
+  switch (codec) {
+    case 0:  // NULL
+      break;
+    case 1:  // EXTERNAL
+      c->encs[idx].cid = rd_i32(spec, len, pos, c);
+      break;
+    case 3: {  // HUFFMAN
+      int32_t n = rd_i32(spec, len, pos, c);
+      if (n < 0 || n > 1 << 20) {
+        c->fail = true;
+        return -1;
+      }
+      auto& e = c->encs[idx];
+      e.alphabet.resize(n);
+      e.lens.resize(n);
+      for (int i = 0; i < n; i++) e.alphabet[i] = rd_i32(spec, len, pos, c);
+      for (int i = 0; i < n; i++) e.lens[i] = rd_i32(spec, len, pos, c);
+      break;
+    }
+    case 4: {  // BYTE_ARRAY_LEN
+      int l = parse_enc(spec, len, pos, c);
+      int v = parse_enc(spec, len, pos, c);
+      c->encs[idx].sub_len = l;
+      c->encs[idx].sub_val = v;
+      break;
+    }
+    case 5:  // BYTE_ARRAY_STOP
+      if (*pos >= len) {
+        c->fail = true;
+        return -1;
+      }
+      c->encs[idx].stop = spec[(*pos)++];
+      c->encs[idx].cid = rd_i32(spec, len, pos, c);
+      break;
+    case 6:  // BETA
+      c->encs[idx].beta_offset = rd_i32(spec, len, pos, c);
+      c->encs[idx].beta_bits = rd_i32(spec, len, pos, c);
+      break;
+    case 9:  // GAMMA
+      c->encs[idx].gamma_offset = rd_i32(spec, len, pos, c);
+      break;
+    default:
+      c->fail = true;  // unsupported codec → python fallback
+      return -1;
+  }
+  return idx;
+}
+
+int64_t ext_itf8(ExtStream* s, Ctx* c) {
+  if (!s || s->pos >= s->len) {
+    c->fail = true;
+    return 0;
+  }
+  uint8_t b0 = s->d[s->pos++];
+  int n_extra = b0 < 0x80 ? 0 : b0 < 0xC0 ? 1 : b0 < 0xE0 ? 2
+                : b0 < 0xF0 ? 3 : 4;
+  if (s->pos + n_extra > s->len) {
+    c->fail = true;
+    return 0;
+  }
+  int64_t v;
+  switch (n_extra) {
+    case 0: v = b0; break;
+    case 1: v = (int64_t(b0 & 0x3F) << 8) | s->d[s->pos]; break;
+    case 2:
+      v = (int64_t(b0 & 0x1F) << 16) | (int64_t(s->d[s->pos]) << 8) |
+          s->d[s->pos + 1];
+      break;
+    case 3:
+      v = (int64_t(b0 & 0x0F) << 24) | (int64_t(s->d[s->pos]) << 16) |
+          (int64_t(s->d[s->pos + 1]) << 8) | s->d[s->pos + 2];
+      break;
+    default:
+      v = (int64_t(b0 & 0x0F) << 28) | (int64_t(s->d[s->pos]) << 20) |
+          (int64_t(s->d[s->pos + 1]) << 12) |
+          (int64_t(s->d[s->pos + 2]) << 4) | (s->d[s->pos + 3] & 0x0F);
+      break;
+  }
+  s->pos += n_extra;
+  if (v >= 0x80000000LL) v -= 0x100000000LL;
+  return v;
+}
+
+int64_t decode_int(int enc_idx, Ctx* c);
+
+int64_t huffman_decode(const Enc& e, Ctx* c) {
+  // single zero-length symbol = constant
+  if (e.alphabet.size() == 1 && e.lens[0] == 0) return e.alphabet[0];
+  // canonical codes: sorted by (len, order); walk bit by bit
+  struct P { int32_t len, idx; };
+  std::vector<std::pair<int32_t, int32_t>> pairs;
+  pairs.reserve(e.alphabet.size());
+  for (size_t i = 0; i < e.alphabet.size(); i++)
+    pairs.push_back({e.lens[i], int32_t(i)});
+  std::sort(pairs.begin(), pairs.end());
+  int64_t code = 0;
+  int32_t prev_len = pairs[0].first;
+  // rebuild codes and compare incrementally with the bit stream
+  int64_t have = 0;
+  int have_bits = 0;
+  size_t pi = 0;
+  while (pi < pairs.size()) {
+    int32_t ln = pairs[pi].first;
+    code <<= (ln - prev_len);
+    prev_len = ln;
+    while (have_bits < ln) {
+      int b = c->core.read1();
+      if (b < 0) {
+        c->fail = true;
+        return 0;
+      }
+      have = (have << 1) | b;
+      have_bits++;
+    }
+    if (have == code && have_bits == ln) return e.alphabet[pairs[pi].second];
+    code++;
+    pi++;
+    // keep reading when next pair has longer code
+  }
+  c->fail = true;
+  return 0;
+}
+
+int64_t decode_int(int enc_idx, Ctx* c) {
+  if (enc_idx < 0) {
+    c->fail = true;
+    return 0;
+  }
+  const Enc& e = c->encs[enc_idx];
+  switch (e.codec) {
+    case 1:
+      return ext_itf8(c->stream(e.cid), c);
+    case 3:
+      return huffman_decode(e, c);
+    case 6: {
+      int64_t v = c->core.read(e.beta_bits);
+      if (v < 0) {
+        c->fail = true;
+        return 0;
+      }
+      return v - e.beta_offset;
+    }
+    case 9: {
+      int n = 0;
+      int b;
+      while ((b = c->core.read1()) == 0) n++;
+      if (b < 0) {
+        c->fail = true;
+        return 0;
+      }
+      int64_t v = 1;
+      for (int i = 0; i < n; i++) {
+        int bb = c->core.read1();
+        if (bb < 0) {
+          c->fail = true;
+          return 0;
+        }
+        v = (v << 1) | bb;
+      }
+      return v - e.gamma_offset;
+    }
+    default:
+      c->fail = true;
+      return 0;
+  }
+}
+
+uint8_t decode_byte(int enc_idx, Ctx* c) {
+  if (enc_idx < 0) {
+    c->fail = true;
+    return 0;
+  }
+  const Enc& e = c->encs[enc_idx];
+  if (e.codec == 1) {
+    ExtStream* s = c->stream(e.cid);
+    if (!s || s->pos >= s->len) {
+      c->fail = true;
+      return 0;
+    }
+    return s->d[s->pos++];
+  }
+  return uint8_t(decode_int(enc_idx, c));
+}
+
+// returns pointer+length into an external stream when possible; else
+// copies into scratch
+bool decode_bytes(int enc_idx, Ctx* c, const uint8_t** out, int64_t* out_len,
+                  std::vector<uint8_t>* scratch) {
+  if (enc_idx < 0) {
+    c->fail = true;
+    return false;
+  }
+  const Enc& e = c->encs[enc_idx];
+  if (e.codec == 5) {  // BYTE_ARRAY_STOP
+    ExtStream* s = c->stream(e.cid);
+    if (!s) return false;
+    int64_t p = s->pos;
+    while (p < s->len && s->d[p] != e.stop) p++;
+    if (p >= s->len) {
+      c->fail = true;
+      return false;
+    }
+    *out = s->d + s->pos;
+    *out_len = p - s->pos;
+    s->pos = p + 1;
+    return true;
+  }
+  if (e.codec == 4) {  // BYTE_ARRAY_LEN
+    int64_t ln = decode_int(e.sub_len, c);
+    if (c->fail || ln < 0 || e.sub_val < 0) {
+      c->fail = true;
+      return false;
+    }
+    const Enc& v = c->encs[e.sub_val];
+    if (v.codec == 1) {
+      ExtStream* s = c->stream(v.cid);
+      if (!s || s->pos + ln > s->len) {
+        c->fail = true;
+        return false;
+      }
+      *out = s->d + s->pos;
+      *out_len = ln;
+      s->pos += ln;
+      return true;
+    }
+    scratch->resize(size_t(ln));
+    for (int64_t i = 0; i < ln; i++)
+      (*scratch)[size_t(i)] = decode_byte(e.sub_val, c);
+    *out = scratch->data();
+    *out_len = ln;
+    return !c->fail;
+  }
+  c->fail = true;
+  return false;
+}
+
+// ASCII base → engine code (A0 G1 T2 C3 other 4)
+inline int8_t base_code(uint8_t ch) {
+  switch (ch) {
+    case 'A': case 'a': return 0;
+    case 'G': case 'g': return 1;
+    case 'T': case 't': return 2;
+    case 'C': case 'c': return 3;
+    default: return 4;
+  }
+}
+
+// substitution matrix lookup (cram.py _sub_base): ref base + 2-bit code
+// → read base char; alts iterate "ACGTN" minus ref
+inline char sub_base(const uint8_t* sm, char ref_b, int code) {
+  static const char* B5 = "ACGTN";
+  int r = 4;
+  for (int i = 0; i < 5; i++)
+    if (B5[i] == ref_b) r = i;
+  uint8_t row = sm[r];
+  int slot = 0;
+  for (int i = 0; i < 5; i++) {
+    if (i == r) continue;
+    if (((row >> (6 - 2 * slot)) & 3) == code) return B5[i];
+    slot++;
+  }
+  return 'N';
+}
+
+struct Feature {
+  char code;
+  int64_t fpos;  // 1-based query pos (cumulative)
+  int64_t ival = 0;
+  const uint8_t* bytes = nullptr;
+  int64_t nbytes = 0;
+  uint8_t b = 0;
+  std::vector<uint8_t> own;  // backing when payload must outlive scratch
+};
+
+}  // namespace cramdec
+
+extern "C" {
+
+// Begin a CRAM window decode; returns a Window* handle compatible with
+// ncio_sizes/ncio_fill/ncio_counts_*/ncio_free.
+void* ncio_cram_begin(int64_t start, int64_t end, int32_t n_sites) {
+  auto* w = new Window();
+  w->qname_off.push_back(0);
+  w->seq_off.push_back(0);
+  w->count_start = start;
+  if (n_sites == 0 && end > start && end - start < (int64_t(1) << 31))
+    w->counts.assign(size_t(end - start) * 6, 0);
+  return w;
+}
+
+// Decode one slice's records into the window. Returns 0 on success,
+// nonzero for unsupported/corrupt layouts (caller falls back to the
+// Python decoder and discards the handle).
+int32_t ncio_cram_feed(
+    void* handle, const uint8_t* spec, int64_t spec_len,
+    const uint8_t* ext_cat, const int64_t* ext_off, const int32_t* ext_cids,
+    int32_t n_ext, const uint8_t* core, int64_t core_len,
+    const char* refseg, int64_t ref_off0, int64_t ref_seg_len,
+    int64_t slice_ref_id, int64_t slice_start, int64_t n_records,
+    int64_t record_counter, int32_t want_rid, int64_t start, int64_t end,
+    int32_t flag_exclude, int32_t keep_seq, const int64_t* sites,
+    int32_t n_sites) {
+  using namespace cramdec;
+  auto* w = static_cast<Window*>(handle);
+  Ctx c;
+  int64_t pos = 0;
+  if (spec_len < 8) return 1;
+  c.ap_delta = spec[pos++] != 0;
+  c.rn_preserved = spec[pos++] != 0;
+  memcpy(c.sub_matrix, spec + pos, 5);
+  pos += 5;
+  for (int i = 0; i < S_COUNT; i++) c.series[i] = -1;
+  int n_series = spec[pos++];
+  for (int i = 0; i < n_series; i++) {
+    if (pos >= spec_len) return 1;
+    int key = spec[pos++];
+    int idx = parse_enc(spec, spec_len, &pos, &c);
+    if (c.fail) return 1;
+    if (key >= 0 && key < S_COUNT) c.series[key] = idx;
+  }
+  if (pos + 2 > spec_len) return 1;
+  uint16_t n_lines;
+  memcpy(&n_lines, spec + pos, 2);
+  pos += 2;
+  c.td.resize(n_lines);
+  for (int li = 0; li < n_lines; li++) {
+    uint16_t n_tags;
+    if (pos + 2 > spec_len) return 1;
+    memcpy(&n_tags, spec + pos, 2);
+    pos += 2;
+    for (int t = 0; t < n_tags; t++) {
+      if (pos + 3 > spec_len) return 1;
+      Ctx::Tag tag;
+      tag.c1 = char(spec[pos]);
+      tag.c2 = char(spec[pos + 1]);
+      tag.typ = char(spec[pos + 2]);
+      pos += 3;
+      tag.enc = parse_enc(spec, spec_len, &pos, &c);
+      if (c.fail) return 1;
+      c.td[li].push_back(tag);
+    }
+  }
+  c.ext.resize(n_ext);
+  c.ext_cids.assign(ext_cids, ext_cids + n_ext);
+  for (int i = 0; i < n_ext; i++) {
+    c.ext[i].d = ext_cat + ext_off[i];
+    c.ext[i].len = ext_off[i + 1] - ext_off[i];
+  }
+  c.core.d = core;
+  c.core.len = core_len;
+
+  std::vector<uint8_t> scratch1, scratch2;
+  std::vector<Feature> feats;
+  std::string seqbuf;
+  int64_t last_ap = slice_start;
+  int64_t counter = record_counter;
+  char namebuf[32];
+
+  for (int64_t rec = 0; rec < n_records; rec++) {
+    int64_t bf = decode_int(c.series[S_BF], &c);
+    int64_t cf = decode_int(c.series[S_CF], &c);
+    int64_t ref_id = slice_ref_id;
+    if (slice_ref_id == -2) ref_id = decode_int(c.series[S_RI], &c);
+    int64_t rl = decode_int(c.series[S_RL], &c);
+    if (c.fail || rl < 0 || rl > (1 << 28)) return 2;
+    int64_t ap;
+    if (c.ap_delta) {
+      last_ap += decode_int(c.series[S_AP], &c);
+      ap = last_ap;
+    } else {
+      ap = decode_int(c.series[S_AP], &c);
+    }
+    decode_int(c.series[S_RG], &c);
+    const uint8_t* rn = nullptr;
+    int64_t rn_len = 0;
+    std::vector<uint8_t> rn_own;
+    if (c.rn_preserved) {
+      decode_bytes(c.series[S_RN], &c, &rn, &rn_len, &scratch1);
+      if (rn) rn_own.assign(rn, rn + rn_len);
+      rn = rn_own.data();
+    }
+    int64_t mate_bits = 0;
+    if (cf & 0x2) {  // detached
+      int64_t mf = decode_int(c.series[S_MF], &c);
+      if (!c.rn_preserved) {
+        decode_bytes(c.series[S_RN], &c, &rn, &rn_len, &scratch1);
+        if (rn) {
+          rn_own.assign(rn, rn + rn_len);
+          rn = rn_own.data();
+        }
+      }
+      decode_int(c.series[S_NS], &c);
+      decode_int(c.series[S_NP], &c);
+      decode_int(c.series[S_TS], &c);
+      if (mf & 1) mate_bits |= 0x20;
+      if (mf & 2) mate_bits |= 0x8;
+    } else if (cf & 0x4) {
+      decode_int(c.series[S_NF], &c);
+    }
+    int64_t tl = decode_int(c.series[S_TL], &c);
+    int8_t hp = 0;
+    int64_t ps_tag = -1;
+    if (tl < 0 || (size_t(tl) >= c.td.size() && !(tl == 0 && c.td.empty())))
+      return 2;
+    if (size_t(tl) < c.td.size()) {
+      for (const auto& tag : c.td[size_t(tl)]) {
+        const uint8_t* blob = nullptr;
+        int64_t blen = 0;
+        decode_bytes(tag.enc, &c, &blob, &blen, &scratch2);
+        if (c.fail) return 2;
+        bool is_hp = tag.c1 == 'H' && tag.c2 == 'P';
+        bool is_ps = tag.c1 == 'P' && tag.c2 == 'S';
+        if ((is_hp || is_ps) && blob && blen > 0) {
+          int64_t v = 0;
+          switch (tag.typ) {
+            case 'c': v = *reinterpret_cast<const int8_t*>(blob); break;
+            case 'C': v = blob[0]; break;
+            case 's': if (blen >= 2) { int16_t x; memcpy(&x, blob, 2); v = x; } break;
+            case 'S': if (blen >= 2) { uint16_t x; memcpy(&x, blob, 2); v = x; } break;
+            case 'i': if (blen >= 4) { int32_t x; memcpy(&x, blob, 4); v = x; } break;
+            case 'I': if (blen >= 4) { uint32_t x; memcpy(&x, blob, 4); v = x; } break;
+            default: v = 0;
+          }
+          if (is_hp) hp = int8_t(v);
+          if (is_ps) ps_tag = v;
+        }
+      }
+    }
+    int64_t flags = bf | mate_bits;
+    bool mapped = !(bf & 0x4);
+    int64_t this_counter = counter++;
+
+    if (!mapped) {
+      // consume bases (+quals), never emitted (pileups skip unmapped)
+      bool no_seq = (cf & 0x8) != 0;
+      if (!no_seq) {
+        const Enc& be = c.encs[c.series[S_BA]];
+        if (be.codec == 1) {
+          ExtStream* s = c.stream(be.cid);
+          if (!s || s->pos + rl > s->len) return 2;
+          s->pos += rl;
+        } else {
+          for (int64_t i = 0; i < rl; i++) decode_byte(c.series[S_BA], &c);
+        }
+      }
+      if (cf & 0x1) {
+        const Enc& qe = c.encs[c.series[S_QS]];
+        if (qe.codec == 1) {
+          ExtStream* s = c.stream(qe.cid);
+          if (!s || s->pos + rl > s->len) return 2;
+          s->pos += rl;
+        } else {
+          for (int64_t i = 0; i < rl; i++) decode_byte(c.series[S_QS], &c);
+        }
+      }
+      if (c.fail) return 2;
+      continue;
+    }
+
+    int64_t fn = decode_int(c.series[S_FN], &c);
+    if (c.fail || fn < 0 || fn > (1 << 22)) return 2;
+    feats.clear();
+    int64_t fpos = 0;
+    int64_t ref_span = rl;
+    for (int64_t f = 0; f < fn; f++) {
+      Feature ft;
+      ft.code = char(decode_byte(c.series[S_FC], &c));
+      fpos += decode_int(c.series[S_FP], &c);
+      ft.fpos = fpos;
+      const uint8_t* b = nullptr;
+      int64_t bl = 0;
+      switch (ft.code) {
+        case 'X': ft.b = decode_byte(c.series[S_BS], &c); break;
+        case 'B':
+          ft.b = decode_byte(c.series[S_BA], &c);
+          decode_byte(c.series[S_QS], &c);
+          break;
+        case 'I':
+          decode_bytes(c.series[S_IN], &c, &b, &bl, &scratch1);
+          if (b) ft.own.assign(b, b + bl);
+          ft.nbytes = bl;
+          ref_span -= bl;
+          break;
+        case 'i':
+          ft.b = decode_byte(c.series[S_BA], &c);
+          ref_span -= 1;
+          break;
+        case 'S':
+          decode_bytes(c.series[S_SC], &c, &b, &bl, &scratch1);
+          if (b) ft.own.assign(b, b + bl);
+          ft.nbytes = bl;
+          ref_span -= bl;
+          break;
+        case 'D':
+          ft.ival = decode_int(c.series[S_DL], &c);
+          ref_span += ft.ival;
+          break;
+        case 'N':
+          ft.ival = decode_int(c.series[S_RS], &c);
+          ref_span += ft.ival;
+          break;
+        case 'H':
+          ft.ival = decode_int(c.series[S_HC], &c);
+          break;
+        case 'P':
+          ft.ival = decode_int(c.series[S_PD], &c);
+          break;
+        case 'Q':
+          decode_byte(c.series[S_QS], &c);
+          break;
+        case 'b':
+          decode_bytes(c.series[S_BB], &c, &b, &bl, &scratch1);
+          if (b) ft.own.assign(b, b + bl);
+          ft.nbytes = bl;
+          break;
+        case 'q':
+          decode_bytes(c.series[S_QQ], &c, &b, &bl, &scratch1);
+          break;
+        default:
+          return 2;
+      }
+      if (c.fail) return 2;
+      ft.bytes = ft.own.empty() ? nullptr : ft.own.data();
+      feats.push_back(std::move(ft));
+    }
+    decode_int(c.series[S_MQ], &c);  // mapq unused by the pileup engine
+    if (cf & 0x1) {
+      const Enc& qe = c.encs[c.series[S_QS]];
+      if (qe.codec == 1) {
+        ExtStream* s = c.stream(qe.cid);
+        if (!s || s->pos + rl > s->len) return 2;
+        s->pos += rl;
+      } else {
+        for (int64_t i = 0; i < rl; i++) decode_byte(c.series[S_QS], &c);
+      }
+    }
+    if (c.fail) return 2;
+
+    int64_t pos0 = ap - 1;
+    bool no_seq = (cf & 0x8) != 0;
+    if (ref_id != want_rid || pos0 >= end || pos0 + ref_span <= start ||
+        (flags & (FUNMAP | flag_exclude)))
+      continue;
+
+    int32_t rid32 = int32_t(w->flags.size());
+    w->flags.push_back(int32_t(flags));
+    w->strand.push_back((flags & 0x10) ? 1 : 0);
+    w->read_start.push_back(pos0);
+    w->hp.push_back(hp);
+    w->ps.push_back(ps_tag);
+    if (c.rn_preserved && rn) {
+      w->qnames.append(reinterpret_cast<const char*>(rn), size_t(rn_len));
+    } else {
+      int n = snprintf(namebuf, sizeof(namebuf), "nc.%lld",
+                       (long long)this_counter);
+      w->qnames.append(namebuf, size_t(n));
+    }
+    w->qname_off.push_back(int64_t(w->qnames.size()));
+
+    seqbuf.assign(size_t(rl), 'N');
+    int64_t qpos = 0, rpos = pos0;
+    bool bad = false;
+    auto emit_aligned = [&](int64_t gpos, int64_t gq, char ch) {
+      int8_t code = base_code(uint8_t(ch));
+      if (n_sites > 0) {
+        const int64_t* lo = std::lower_bound(sites, sites + n_sites, gpos);
+        if (lo == sites + n_sites || *lo != gpos) return;
+      }
+      w->ev_rid.push_back(rid32);
+      w->ev_pos.push_back(int32_t(gpos));
+      w->ev_code.push_back(code);
+      w->ev_qpos.push_back(int32_t(gq));
+      if (!w->counts.empty()) {
+        int64_t col = gpos - w->count_start;
+        if (col >= 0 && size_t(col * 6) < w->counts.size())
+          w->counts[size_t(col * 6 + code)]++;
+      }
+    };
+    auto copy_ref = [&](int64_t n) {
+      if (qpos + n > rl) {
+        bad = true;
+        return;
+      }
+      for (int64_t i = 0; i < n; i++) {
+        int64_t roff = rpos + i - ref_off0;
+        char ch;
+        if (no_seq) {
+          ch = 'N';
+        } else if (roff >= 0 && roff < ref_seg_len) {
+          ch = char(toupper(refseg[roff]));
+        } else {
+          bad = true;  // ref segment too small → python fallback
+          return;
+        }
+        seqbuf[size_t(qpos + i)] = ch;
+        emit_aligned(rpos + i, qpos + i, ch);
+      }
+      qpos += n;
+      rpos += n;
+    };
+    for (const auto& ft : feats) {
+      int64_t gap = ft.fpos - 1 - qpos;
+      if (gap < 0) {
+        bad = true;
+        break;
+      }
+      copy_ref(gap);
+      if (bad) break;
+      switch (ft.code) {
+        case 'X': {
+          if (qpos >= rl) { bad = true; break; }
+          int64_t roff = rpos - ref_off0;
+          if (roff < 0 || roff >= ref_seg_len) { bad = true; break; }
+          char rb = char(toupper(refseg[roff]));
+          char qb = sub_base(c.sub_matrix, rb, ft.b);
+          seqbuf[size_t(qpos)] = qb;
+          emit_aligned(rpos, qpos, qb);
+          qpos++;
+          rpos++;
+          break;
+        }
+        case 'B':
+          if (qpos >= rl) { bad = true; break; }
+          seqbuf[size_t(qpos)] = char(ft.b);
+          emit_aligned(rpos, qpos, char(ft.b));
+          qpos++;
+          rpos++;
+          break;
+        case 'I':
+          if (qpos + ft.nbytes > rl) { bad = true; break; }
+          if (ft.bytes)
+            memcpy(&seqbuf[size_t(qpos)], ft.bytes, size_t(ft.nbytes));
+          w->ins_rid.push_back(rid32);
+          w->ins_pos.push_back(int32_t(rpos - 1));
+          w->ins_len.push_back(int32_t(ft.nbytes));
+          qpos += ft.nbytes;
+          break;
+        case 'i':
+          if (qpos >= rl) { bad = true; break; }
+          seqbuf[size_t(qpos)] = char(ft.b);
+          w->ins_rid.push_back(rid32);
+          w->ins_pos.push_back(int32_t(rpos - 1));
+          w->ins_len.push_back(1);
+          qpos++;
+          break;
+        case 'S':
+          if (qpos + ft.nbytes > rl) { bad = true; break; }
+          if (ft.bytes)
+            memcpy(&seqbuf[size_t(qpos)], ft.bytes, size_t(ft.nbytes));
+          qpos += ft.nbytes;
+          break;
+        case 'D':
+          w->del_rid.push_back(rid32);
+          w->del_start.push_back(int32_t(rpos));
+          w->del_len.push_back(int32_t(ft.ival));
+          if (!w->counts.empty()) {
+            for (int64_t i = 0; i < ft.ival; i++) {
+              int64_t col = rpos + i - w->count_start;
+              if (col >= 0 && size_t(col * 6) < w->counts.size())
+                w->counts[size_t(col * 6 + 5)]++;
+            }
+          }
+          rpos += ft.ival;
+          break;
+        case 'N':
+          rpos += ft.ival;
+          break;
+        case 'b':
+          if (qpos + ft.nbytes > rl) { bad = true; break; }
+          for (int64_t i = 0; i < ft.nbytes; i++) {
+            char ch = char(ft.bytes ? ft.bytes[i] : 'N');
+            seqbuf[size_t(qpos + i)] = ch;
+            emit_aligned(rpos + i, qpos + i, ch);
+          }
+          qpos += ft.nbytes;
+          rpos += ft.nbytes;
+          break;
+        default:
+          break;  // H/P/Q/q: no seq/event effect
+      }
+      if (bad) break;
+    }
+    if (bad) return 2;
+    copy_ref(rl - qpos);
+    if (bad) return 2;
+    w->read_end.push_back(rpos);
+    if (keep_seq) w->seqs += seqbuf;
+    w->seq_off.push_back(int64_t(w->seqs.size()));
+  }
+  return c.fail ? 2 : 0;
+}
+
+}  // extern "C"

@@ -89,6 +89,15 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
         flag_exclude = DEFAULT_FLAG_FILTER
     if sites is not None:
         sites = np.asarray(sites, dtype=np.int64)
+    if reads is None and use_native \
+            and getattr(bam, "format", "BAM") == "CRAM":
+        try:
+            raw = bam.decode_window(contig, start, end, flag_exclude,
+                                    keep_seq, sites)
+        except Exception:
+            raw = None
+        if raw is not None:
+            return _window_from_native(raw, contig, start, end)
     if reads is None and use_native and hasattr(bam, "path") \
             and getattr(bam, "format", "BAM") == "BAM":
         try:

@@ -305,3 +305,68 @@ class TestNativeRans:
         stream = stream[:14]  # truncate inside the tables/states
         with pytest.raises(ValueError):
             rans.uncompress(bytes(stream) )
+
+
+class TestNativeCramDecode:
+    """C++ CRAM slice→event decoder vs the Python oracle and the BAM
+    decoder: identical ReadWindows from all three paths."""
+
+    @pytest.fixture(scope="class")
+    def cram_fixture(self, tmp_path_factory):
+        from nanocaller_tpu.io.cram import CramWriter
+
+        tmp = tmp_path_factory.mktemp("ncram")
+        fa, bam_p, ref_seq, truth = make_fixture(tmp, seed=6, L=30000,
+                                                 depth=30, read_len=2500)
+        br = BamReader(bam_p)
+        cram_p = str(tmp / "r.cram")
+        with CramWriter(cram_p, br.references, br.lengths, fa,
+                        compression="rans", records_per_slice=100) as w:
+            for r in br.fetch("chr_t"):
+                w.write(r)
+        return fa, bam_p, cram_p
+
+    @staticmethod
+    def _compare(a, b, label):
+        assert a.n_reads == b.n_reads, label
+        assert a.qnames == b.qnames, label
+        for f in ("flags", "strand", "read_start", "read_end", "hp", "ps",
+                  "ev_rid", "ev_pos", "ev_code", "ev_qpos", "del_rid",
+                  "del_start", "del_len", "ins_rid", "ins_pos", "ins_len"):
+            assert np.array_equal(getattr(a, f), getattr(b, f)), (label, f)
+        assert a.seqs == b.seqs, label
+
+    def test_native_equals_oracle_and_bam(self, cram_fixture):
+        from nanocaller_tpu.io.cram import CramReader
+        from nanocaller_tpu.io.native import native_available
+        from nanocaller_tpu.pileup.engine import decode_reads
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        fa, bam_p, cram_p = cram_fixture
+        cr = CramReader(cram_p, fasta=fa)
+        br = BamReader(bam_p)
+        for s, e in [(0, 30000), (12_000, 13_000), (29_000, 30_000)]:
+            nat = decode_reads(cr, "chr_t", s, e, keep_seq=True)
+            ora = decode_reads(cr, "chr_t", s, e, keep_seq=True,
+                               use_native=False)
+            self._compare(nat, ora, (s, e))
+            bam_rw = decode_reads(br, "chr_t", s, e, keep_seq=True)
+            self._compare(nat, bam_rw, ("bam", s, e))
+
+    def test_native_site_filtered(self, cram_fixture):
+        from nanocaller_tpu.io.cram import CramReader
+        from nanocaller_tpu.io.native import native_available
+        from nanocaller_tpu.pileup.engine import decode_reads
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        fa, bam_p, cram_p = cram_fixture
+        cr = CramReader(cram_p, fasta=fa)
+        sites = np.arange(5000, 25000, 997)
+        nat = decode_reads(cr, "chr_t", 0, 30000, sites=sites)
+        ora = decode_reads(cr, "chr_t", 0, 30000, sites=sites,
+                           use_native=False)
+        self._compare(nat, ora, "sites")
+        assert len(nat.ev_pos) > 0
+        assert set(np.unique(nat.ev_pos)) <= set(sites.tolist())
