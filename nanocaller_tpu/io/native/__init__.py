@@ -52,6 +52,12 @@ def get_lib():
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         lib.ncio_sizes.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_int64)]
+        lib.ncio_decode_defer.restype = ctypes.c_void_p
+        lib.ncio_decode_defer.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32, ctypes.c_int32]
+        lib.ncio_emit_sites.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         lib.ncio_counts_width.restype = ctypes.c_int64
         lib.ncio_counts_width.argtypes = [ctypes.c_void_p]
         lib.ncio_counts_fill.argtypes = [ctypes.c_void_p,
@@ -162,6 +168,17 @@ def nw_batch_native(qcodes_list, rcodes_list, match, mismatch, gap_open,
         lib.ncio_nw_free(ctypes.c_void_p(handle))
 
 
+def _region_chunks(bam_reader, contig, start, end):
+    """BAI virtual-offset chunk list for a region (flat uint64 pairs)."""
+    if contig not in bam_reader._ref_to_id:
+        return np.zeros(0, dtype=np.uint64)
+    rid = bam_reader._ref_to_id[contig]
+    if bam_reader._index is not None:
+        chunk_list = bam_reader._index.chunks_for_region(rid, start, end)
+        return np.array(chunk_list, dtype=np.uint64).reshape(-1)
+    return np.array([bam_reader._data_start, 0], dtype=np.uint64)
+
+
 def decode_window_native(bam_reader, contig, start, end, flag_exclude,
                          keep_seq=False, sites=None):
     """Native decode → dict of arrays (same content as ReadWindow fields).
@@ -172,15 +189,7 @@ def decode_window_native(bam_reader, contig, start, end, flag_exclude,
     lib = get_lib()
     if lib is None:
         return None
-    if contig not in bam_reader._ref_to_id:
-        chunks = np.zeros(0, dtype=np.uint64)
-    else:
-        rid = bam_reader._ref_to_id[contig]
-        if bam_reader._index is not None:
-            chunk_list = bam_reader._index.chunks_for_region(rid, start, end)
-            chunks = np.array(chunk_list, dtype=np.uint64).reshape(-1)
-        else:
-            chunks = np.array([bam_reader._data_start, 0], dtype=np.uint64)
+    chunks = _region_chunks(bam_reader, contig, start, end)
     rid = bam_reader._ref_to_id.get(contig, -1)
     if sites is None:
         sites_arr = np.zeros(1, np.int64)
@@ -254,6 +263,72 @@ def fill_window(lib, handle):
                              p(counts, ctypes.c_int32))
         out["counts"] = counts
     return out
+
+
+class DeferredDecode:
+    """Two-phase native decode for the SNP path.
+
+    Phase 1 (constructor, via decode_window_deferred): per-column counts +
+    read metadata, record bytes stashed in the C++ handle — no per-base
+    event arrays (22M events per 500 kb @45× would dominate decode time,
+    RESULTS.md). Phase 2 (finish): emit events only at the
+    candidate/neighbor site list and copy everything out.
+    """
+
+    def __init__(self, lib, handle, start, end):
+        self._lib = lib
+        self._handle = handle
+        self.start, self.end = start, end
+        cw = lib.ncio_counts_width(ctypes.c_void_p(handle))
+        counts = np.zeros((max(0, cw), 6), np.int32)
+        if cw > 0:
+            lib.ncio_counts_fill(
+                ctypes.c_void_p(handle),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        self.counts = counts
+
+    def finish(self, sites):
+        """Emit site-filtered events and return the raw window dict."""
+        sites_arr = np.ascontiguousarray(sites, dtype=np.int64)
+        n = len(sites_arr)
+        if n == 0:
+            sites_arr = np.zeros(1, np.int64)
+        self._lib.ncio_emit_sites(
+            ctypes.c_void_p(self._handle),
+            sites_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+        try:
+            return fill_window(self._lib, self._handle)
+        finally:
+            self._lib.ncio_free(ctypes.c_void_p(self._handle))
+            self._handle = None
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.ncio_free(ctypes.c_void_p(self._handle))
+            self._handle = None
+
+    def __del__(self):
+        self.close()
+
+
+def decode_window_deferred(bam_reader, contig, start, end, flag_exclude):
+    """Start a two-phase deferred decode; None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    chunks = _region_chunks(bam_reader, contig, start, end)
+    rid = bam_reader._ref_to_id.get(contig, -1)
+    handle = lib.ncio_decode_defer(
+        bam_reader.path.encode(), rid, start, end,
+        chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(chunks) // 2, flag_exclude)
+    sizes = np.zeros(7, dtype=np.int64)
+    lib.ncio_sizes(ctypes.c_void_p(handle),
+                   sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if sizes[6]:  # decode error → let caller fall back
+        lib.ncio_free(ctypes.c_void_p(handle))
+        return None
+    return DeferredDecode(lib, handle, start, end)
 
 
 def cram_window_begin(start, end, n_sites):

@@ -52,6 +52,13 @@ struct Window {
   // never touches per-base event arrays for counting
   std::vector<int32_t> counts;
   int64_t count_start = 0;
+  // deferred-event mode (ncio_decode_defer): accepted record bytes are
+  // stashed here so ncio_emit_sites can emit M-op events at a site list
+  // computed later (SNP path: counts → candidate/neighbor sites → events)
+  // without a second BGZF inflate + record parse.
+  std::vector<uint8_t> rec_store;
+  std::vector<int64_t> rec_off;
+  bool defer_events = false;
   std::string error;
 };
 
@@ -274,6 +281,11 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
   }
   w->seq_off.push_back(int64_t(w->seqs.size()));
 
+  if (w->defer_events) {
+    w->rec_off.push_back(int64_t(w->rec_store.size()));
+    w->rec_store.insert(w->rec_store.end(), data, data + len);
+  }
+
   // CIGAR expansion
   int64_t rpos = pos;
   int32_t qpos = 0;
@@ -284,7 +296,19 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
     int64_t l = v >> 4;
     switch (op) {
       case 0: case 7: case 8: {  // M/=/X
-        if (n_sites > 0) {
+        if (w->defer_events) {
+          // counts only; per-base events are emitted later by
+          // ncio_emit_sites once the site list is known
+          for (int64_t i = 0; i < l; i++) {
+            int64_t col = rpos + i - w->count_start;
+            if (col >= 0 && size_t(col * 6) < w->counts.size()) {
+              int32_t q = qpos + int32_t(i);
+              uint8_t nib =
+                  (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+              w->counts[col * 6 + NIBBLE_CODE[nib]]++;
+            }
+          }
+        } else if (n_sites > 0) {
           // site-filtered mode: emit events only at the given sorted
           // positions (memory stays O(reads × sites), not O(bases))
           const int64_t* lo =
@@ -347,22 +371,17 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
   w->read_end.push_back(rpos);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode reads in [start, end) of reference `rid` from the given virtual
-// offset chunk ranges (pairs of beg,end; n_chunks pairs). A single pair
-// (data_start, 0) means "scan until past the region" (no index).
-void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
-                  const uint64_t* chunks, int32_t n_chunks,
-                  int32_t flag_exclude, int32_t keep_seq,
-                  const int64_t* sites, int32_t n_sites) {
+Window* decode_impl(const char* path, int32_t rid, int64_t start, int64_t end,
+                    const uint64_t* chunks, int32_t n_chunks,
+                    int32_t flag_exclude, int32_t keep_seq,
+                    const int64_t* sites, int32_t n_sites, bool defer) {
   auto* w = new Window();
+  w->defer_events = defer;
   w->qname_off.push_back(0);
   w->seq_off.push_back(0);
   w->count_start = start;
-  if (n_sites == 0 && end > start && end - start < (int64_t(1) << 31))
+  if ((defer || n_sites == 0) && end > start &&
+      end - start < (int64_t(1) << 31))
     w->counts.assign(size_t(end - start) * 6, 0);
   BgzfFile f(path);
   if (!f.ok()) {
@@ -393,6 +412,84 @@ void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
   }
 done:
   return w;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode reads in [start, end) of reference `rid` from the given virtual
+// offset chunk ranges (pairs of beg,end; n_chunks pairs). A single pair
+// (data_start, 0) means "scan until past the region" (no index).
+void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
+                  const uint64_t* chunks, int32_t n_chunks,
+                  int32_t flag_exclude, int32_t keep_seq,
+                  const int64_t* sites, int32_t n_sites) {
+  return decode_impl(path, rid, start, end, chunks, n_chunks, flag_exclude,
+                     keep_seq, sites, n_sites, /*defer=*/false);
+}
+
+// Two-phase decode for the SNP path: this pass fills per-column counts +
+// read metadata only (no per-base events) and stashes accepted record
+// bytes in the handle; call ncio_emit_sites with the candidate/neighbor
+// site list afterwards, then ncio_sizes/ncio_fill as usual.
+void* ncio_decode_defer(const char* path, int32_t rid, int64_t start,
+                        int64_t end, const uint64_t* chunks, int32_t n_chunks,
+                        int32_t flag_exclude) {
+  return decode_impl(path, rid, start, end, chunks, n_chunks, flag_exclude,
+                     /*keep_seq=*/0, nullptr, 0, /*defer=*/true);
+}
+
+// Emit M-op events at the given sorted sites by re-walking the stashed
+// records of a deferred handle (identical output to the site-filtered
+// branch of decode_record). Frees the record store.
+void ncio_emit_sites(void* handle, const int64_t* sites, int32_t n_sites) {
+  auto* w = static_cast<Window*>(handle);
+  const size_t n = w->rec_off.size();
+  for (size_t rid = 0; rid < n; rid++) {
+    const uint8_t* data = w->rec_store.data() + w->rec_off[rid];
+    int32_t pos;
+    memcpy(&pos, data + 4, 4);
+    uint8_t l_read_name = data[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, data + 12, 2);
+    const uint8_t* cigar_p = data + 32 + l_read_name;
+    const uint8_t* seq_p = cigar_p + size_t(n_cigar) * 4;
+    int64_t rpos = pos;
+    int32_t qpos = 0;
+    for (int k = 0; k < n_cigar; k++) {
+      uint32_t v;
+      memcpy(&v, cigar_p + 4 * k, 4);
+      uint32_t op = v & 0xf;
+      int64_t l = v >> 4;
+      switch (op) {
+        case 0: case 7: case 8: {  // M/=/X
+          const int64_t* lo = std::lower_bound(sites, sites + n_sites, rpos);
+          for (const int64_t* s = lo; s < sites + n_sites && *s < rpos + l;
+               s++) {
+            int64_t i = *s - rpos;
+            int32_t q = qpos + int32_t(i);
+            uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+            w->ev_rid.push_back(int32_t(rid));
+            w->ev_pos.push_back(int32_t(rpos + i));
+            w->ev_code.push_back(NIBBLE_CODE[nib]);
+            w->ev_qpos.push_back(q);
+          }
+          rpos += l;
+          qpos += int32_t(l);
+          break;
+        }
+        case 1: qpos += int32_t(l); break;   // I
+        case 2: case 3: rpos += l; break;    // D/N
+        case 4: qpos += int32_t(l); break;   // S
+        default: break;                      // H/P
+      }
+    }
+  }
+  w->rec_store.clear();
+  w->rec_store.shrink_to_fit();
+  w->rec_off.clear();
+  w->rec_off.shrink_to_fit();
 }
 
 void ncio_sizes(void* handle, int64_t* out) {

@@ -197,6 +197,51 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
     return rw_out
 
 
+class DeferredReadWindow:
+    """Two-phase decode handle: counts now, site-filtered events later.
+
+    Used by the SNP path (pileup/snp_features.py): the candidate scan only
+    needs per-column counts; per-read codes are needed only at the
+    (much sparser) candidate ∪ neighbor site set, which isn't known until
+    after the scan. Backed by the native decoder's deferred mode.
+    """
+
+    def __init__(self, native_dd, contig, start, end):
+        self._dd = native_dd
+        self.contig, self.start, self.end = contig, start, end
+
+    def counts(self, start, end):
+        """Per-column counts over [start, end) — column_counts contract."""
+        return self._dd.counts[start - self.start : end - self.start]
+
+    def finish(self, sites) -> "ReadWindow":
+        raw = self._dd.finish(sites)
+        return _window_from_native(raw, self.contig, self.start, self.end)
+
+    def close(self):
+        self._dd.close()
+
+
+def deferred_decode(bam, contig, start, end, flag_exclude=None):
+    """Start a deferred (counts-first) decode; None → caller must use
+    decode_reads. Only the indexed-BAM native path supports deferral."""
+    if flag_exclude is None:
+        flag_exclude = DEFAULT_FLAG_FILTER
+    if getattr(bam, "format", "BAM") != "BAM" or not hasattr(bam, "path"):
+        return None
+    try:
+        from ..io.native import decode_window_deferred
+
+        dd = decode_window_deferred(bam, contig, start, end, flag_exclude)
+    except Exception:
+        return None
+    if dd is None or dd.counts.shape[0] != end - start:
+        if dd is not None:
+            dd.close()
+        return None
+    return DeferredReadWindow(dd, contig, start, end)
+
+
 def _window_from_native(raw, contig, start, end):
     """Assemble a ReadWindow from the native decoder's flat arrays."""
     qn = raw["qnames_raw"].tobytes()

@@ -24,7 +24,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .engine import ReadWindow, SiteCodes, column_counts, decode_reads
+from .engine import (ReadWindow, SiteCodes, column_counts, decode_reads,
+                     deferred_decode)
 
 NBR_SIZE = 20
 WIDTH = 2 * NBR_SIZE + 1  # 41
@@ -254,13 +255,19 @@ def get_snp_candidates(
     scan_end = chunk["end"] + SNP_HALO
     cand_lo, cand_hi = chunk["start"] - 1, chunk["end"] - 1  # 0-based incl.
 
-    if rw is None:
+    # two-phase decode when available: counts now, per-read codes only at
+    # the candidate ∪ neighbor sites later (skips materializing the
+    # O(bases) event arrays the scan never looks at)
+    dd = deferred_decode(bam, contig, scan_start, scan_end) if rw is None \
+        else None
+    if rw is None and dd is None:
         rw = decode_reads(bam, contig, scan_start, scan_end)
     ref_str = fasta.fetch(contig, scan_start, scan_end)
     scan_end = min(scan_end, scan_start + len(ref_str))
     ref_codes = REF_CODE_LUT[np.frombuffer(ref_str.encode(), dtype=np.uint8)]
 
-    counts = column_counts(rw, scan_start, scan_end)
+    counts = dd.counts(scan_start, scan_end) if dd is not None \
+        else column_counts(rw, scan_start, scan_end)
     n_aligned = counts[:, :5].sum(axis=1)
     base_counts = counts[:, :4].astype(np.float32)
     ref_valid = ref_codes < 4
@@ -286,12 +293,16 @@ def get_snp_candidates(
     cand_pos = pos_all[cand_mask]
     empty = _empty_batch(contig)
     if len(cand_pos) == 0:
+        if dd is not None:
+            dd.close()
         return empty
 
     nbr_idx_mat, n_left, n_right = select_neighbors(cand_pos, nbr_pos, seq_type)
     nbr_counts = (1 + n_left + n_right).astype(np.int32)
     keep = nbr_counts >= min_nbr_sites
     if not keep.any():
+        if dd is not None:
+            dd.close()
         return empty
     cand_pos = cand_pos[keep]
     nbr_idx_mat = nbr_idx_mat[keep]
@@ -299,6 +310,8 @@ def get_snp_candidates(
 
     # per-site read codes over the union of nbr + candidate sites
     union_sites = np.union1d(nbr_pos, cand_pos)
+    if dd is not None:
+        rw = dd.finish(union_sites)
     sc = SiteCodes(rw, union_sites)
     cand_site_i = np.searchsorted(union_sites, cand_pos)
     if len(nbr_pos):

@@ -89,6 +89,37 @@ class TestNativeDecode:
         np.testing.assert_array_equal(nat.ev_qpos, full.ev_qpos[keep])
         assert len(nat.ev_pos) < len(full.ev_pos) / 10
 
+    def test_deferred_decode_matches_site_filtered(self, bam_fixture):
+        """Two-phase deferred decode (SNP path): counts must match the
+        inline-counts decode and finish(sites) must equal the one-shot
+        site-filtered decode field for field."""
+        from nanocaller_tpu.pileup.engine import column_counts, deferred_decode
+
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        sites = np.array([500, 1000, 1500, 2999, 3001, 4800], np.int64)
+        dd = deferred_decode(bam, "chr_t", 0, 5000)
+        assert dd is not None
+        py = decode_reads(bam, "chr_t", 0, 5000, use_native=False)
+        np.testing.assert_array_equal(dd.counts(0, 5000),
+                                      column_counts(py, 0, 5000))
+        got = dd.finish(sites)
+        want = decode_reads(bam, "chr_t", 0, 5000, sites=sites,
+                            use_native=False)
+        assert_windows_equal(got, want)
+
+    def test_deferred_decode_empty_sites_and_close(self, bam_fixture):
+        from nanocaller_tpu.pileup.engine import deferred_decode
+
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        dd = deferred_decode(bam, "chr_t", 0, 5000)
+        got = dd.finish(np.zeros(0, np.int64))
+        assert len(got.ev_pos) == 0 and got.n_reads > 0
+        dd2 = deferred_decode(bam, "chr_t", 0, 5000)
+        dd2.close()  # early abandon (no candidates) must not leak/crash
+        dd2.close()
+
     def test_phasing_same_result_with_site_decode(self, bam_fixture):
         from nanocaller_tpu.phase.mec import phase_sites
 
