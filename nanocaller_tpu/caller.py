@@ -338,6 +338,16 @@ def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags,
 
         writer = CramWriter(out_path, bam.references, bam.lengths, fasta)
     else:
+        from .io.native import haplotag_native
+
+        # single-pass C++ retagger (record bytes pass through; HP/PS
+        # spliced; BGZF + BAI written natively) — Python writer below is
+        # the fallback/oracle
+        try:
+            if haplotag_native(bam, out_path, contig, start0, end0, tags):
+                return out_path
+        except Exception:
+            pass
         from .io.bam import BamWriter
 
         writer = BamWriter(out_path, bam.references, bam.lengths)

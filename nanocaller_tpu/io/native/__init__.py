@@ -24,13 +24,13 @@ _build_error = None
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
-           "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp", "-lz"]
+           "-shared", "-fPIC", "-pthread", _SRC, "-o", _SO + ".tmp", "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except subprocess.CalledProcessError:
         # portable fallback (some toolchains reject -march=native)
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-               "-o", _SO + ".tmp", "-lz"]
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-pthread", _SRC, "-o", _SO + ".tmp", "-lz"]
         subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
 
@@ -58,6 +58,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32, ctypes.c_int32]
         lib.ncio_emit_sites.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+        lib.ncio_haplotag.restype = ctypes.c_int32
+        lib.ncio_haplotag.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32]
         lib.ncio_counts_width.restype = ctypes.c_int64
         lib.ncio_counts_width.argtypes = [ctypes.c_void_p]
         lib.ncio_counts_fill.argtypes = [ctypes.c_void_p,
@@ -329,6 +337,55 @@ def decode_window_deferred(bam_reader, contig, start, end, flag_exclude):
         lib.ncio_free(ctypes.c_void_p(handle))
         return None
     return DeferredDecode(lib, handle, start, end)
+
+
+def haplotag_native(bam_reader, out_path, contig, start, end, tags, level=6):
+    """Write the haplotagged-BAM artifact in one C++ pass (stream region
+    records, splice HP/PS tags, BGZF-write + BAI). tags: {qname: (hp, ps)}.
+    Returns True on success; False → caller uses the Python writer."""
+    import struct
+
+    lib = get_lib()
+    if lib is None or getattr(bam_reader, "format", None) != "BAM":
+        return False
+    if contig not in bam_reader._ref_to_id:
+        return False
+    rid = bam_reader._ref_to_id[contig]
+    chunks = _region_chunks(bam_reader, contig, start, end)
+
+    # raw uncompressed BAM header, same default text as io/bam.BamWriter
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        "@SQ\tSN:%s\tLN:%d\n" % (n, l)
+        for n, l in zip(bam_reader.references, bam_reader.lengths))
+    text = header_text.encode()
+    hdr = bytearray(b"BAM\x01")
+    hdr += struct.pack("<i", len(text)) + text
+    hdr += struct.pack("<i", len(bam_reader.references))
+    for n, l in zip(bam_reader.references, bam_reader.lengths):
+        nb = n.encode() + b"\x00"
+        hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
+    hdr_arr = np.frombuffer(bytes(hdr), np.uint8)
+
+    names = [qn.encode() for qn in tags]
+    n_tags = len(names)
+    off = np.zeros(n_tags + 1, np.int64)
+    hp = np.zeros(max(1, n_tags), np.int8)
+    ps = np.zeros(max(1, n_tags), np.int64)
+    for i, (qn, t) in enumerate(tags.items()):
+        off[i + 1] = off[i] + len(names[i])
+        hp[i], ps[i] = int(t[0]), int(t[1])
+    qcat = b"".join(names) or b"\x00"
+
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rc = lib.ncio_haplotag(
+        bam_reader.path.encode(), out_path.encode(), rid, start, end,
+        p(chunks, ctypes.c_uint64), len(chunks) // 2,
+        p(hdr_arr, ctypes.c_uint8), len(hdr_arr),
+        len(bam_reader.references), qcat, p(off, ctypes.c_int64),
+        p(hp, ctypes.c_int8), p(ps, ctypes.c_int64), n_tags, level)
+    return rc == 0
 
 
 def cram_window_begin(start, end, n_sites):

@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -1984,6 +1985,350 @@ int32_t ncio_cram_feed(
     w->seq_off.push_back(int64_t(w->seqs.size()));
   }
   return c.fail ? 2 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Haplotag re-tagger: stream a region's BAM records, splice HP/PS tags,
+// BGZF-write the phased-BAM artifact + BAI index in one C++ pass
+// (whatshap haplotag | samtools view equivalent, reference
+// indelCaller.py:243-251; replaces the Python fetch→re-encode→bgzf path
+// in caller.write_haplotagged_bam, which dominated phasing wall time).
+// Record bytes pass through verbatim except the bin field (recomputed,
+// like io/bam.py BamWriter.write) and the HP/PS tags.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Batch BGZF writer: the whole payload stream is accumulated in memory,
+// cut into ≤65280-byte blocks (forced boundaries at flush() points),
+// deflated by a small thread pool, and written sequentially. Virtual
+// offsets are resolved AFTER compression via payload_voff(); with a
+// 65280-byte payload the worst-case deflate output (+26 B BGZF wrapper)
+// always fits the 65536-byte block limit, so block boundaries are final.
+class BgzfBatchOut {
+ public:
+  explicit BgzfBatchOut(int level) : level_(level) { bounds_.push_back(0); }
+
+  void write(const uint8_t* data, size_t n) {
+    payload_.insert(payload_.end(), data, data + n);
+  }
+
+  // force a block boundary here (BamWriter header flush semantics)
+  void flush() {
+    if (payload_.size() > bounds_.back()) bounds_.push_back(payload_.size());
+  }
+
+  size_t offset() const { return payload_.size(); }
+
+  bool finish(const char* path, int n_threads) {
+    flush();
+    // block starts: within each [bounds_[i], bounds_[i+1]) segment,
+    // chunks of kPayload
+    for (size_t i = 0; i + 1 < bounds_.size(); i++)
+      for (size_t off = bounds_[i]; off < bounds_[i + 1]; off += kPayload)
+        starts_.push_back(off);
+    starts_.push_back(payload_.size());
+    size_t n_blocks = starts_.size() - 1;
+    std::vector<std::vector<uint8_t>> blocks(n_blocks);
+    std::vector<int> bad(n_threads, 0);
+    auto work = [&](int t) {
+      for (size_t b = t; b < n_blocks; b += n_threads) {
+        size_t n = starts_[b + 1] - starts_[b];
+        const uint8_t* p = payload_.data() + starts_[b];
+        std::vector<uint8_t>& out = blocks[b];
+        out.resize(26 + n + n / 16 + 128);
+        z_stream zs{};
+        deflateInit2(&zs, level_, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+        zs.next_in = const_cast<uint8_t*>(p);
+        zs.avail_in = uInt(n);
+        zs.next_out = out.data() + 18;
+        zs.avail_out = uInt(out.size() - 26);
+        deflate(&zs, Z_FINISH);
+        size_t clen = out.size() - 26 - zs.avail_out;
+        deflateEnd(&zs);
+        size_t bsize = clen + 26;
+        if (bsize > 65536) { bad[t] = 1; return; }
+        uint8_t hdr[18] = {0x1f, 0x8b, 0x08, 0x04, 0,    0, 0, 0, 0,
+                           0xff, 0x06, 0,    0x42, 0x43, 0x02, 0, 0, 0};
+        hdr[16] = uint8_t((bsize - 1) & 0xff);
+        hdr[17] = uint8_t((bsize - 1) >> 8);
+        memcpy(out.data(), hdr, 18);
+        uint32_t crc = crc32(0, p, uInt(n));
+        uint32_t isize = uint32_t(n);
+        uint8_t* foot = out.data() + 18 + clen;
+        foot[0] = uint8_t(crc); foot[1] = uint8_t(crc >> 8);
+        foot[2] = uint8_t(crc >> 16); foot[3] = uint8_t(crc >> 24);
+        foot[4] = uint8_t(isize); foot[5] = uint8_t(isize >> 8);
+        foot[6] = uint8_t(isize >> 16); foot[7] = uint8_t(isize >> 24);
+        out.resize(bsize);
+      }
+    };
+    std::vector<std::thread> ths;
+    for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
+    work(0);
+    for (auto& th : ths) th.join();
+    for (int t = 0; t < n_threads; t++)
+      if (bad[t]) return false;
+
+    FILE* fp = fopen(path, "wb");
+    if (!fp) return false;
+    coffs_.resize(n_blocks + 1);
+    uint64_t coff = 0;
+    for (size_t b = 0; b < n_blocks; b++) {
+      coffs_[b] = coff;
+      fwrite(blocks[b].data(), 1, blocks[b].size(), fp);
+      coff += blocks[b].size();
+    }
+    coffs_[n_blocks] = coff;
+    static const uint8_t kEof[28] = {
+        0x1f, 0x8b, 0x08, 0x04, 0,    0, 0, 0, 0, 0xff, 0x06, 0, 0x42, 0x43,
+        0x02, 0,    0x1b, 0,    0x03, 0, 0, 0, 0, 0,    0,    0, 0,    0};
+    fwrite(kEof, 1, 28, fp);
+    fclose(fp);
+    return true;
+  }
+
+  // payload offset → BGZF virtual offset (call after finish()).
+  // starts_ has a final sentinel (= payload size) and coffs_ has a
+  // matching final entry (= file size before the EOF block), so an
+  // offset at any boundary — including stream end — resolves to the
+  // next block with within-offset 0, matching BgzfWriter.tell().
+  uint64_t payload_voff(size_t off) const {
+    size_t b = size_t(std::upper_bound(starts_.begin(), starts_.end(), off) -
+                      starts_.begin()) - 1;
+    return (coffs_[b] << 16) | uint64_t(off - starts_[b]);
+  }
+
+ private:
+  static constexpr size_t kPayload = 65280;
+  int level_;
+  std::vector<uint8_t> payload_;
+  std::vector<size_t> bounds_;
+  std::vector<size_t> starts_;
+  std::vector<uint64_t> coffs_;
+};
+
+int32_t hbin(int64_t beg, int64_t end) {  // reg2bin (io/bam.py:183)
+  end -= 1;
+  if (beg >> 14 == end >> 14) return int32_t(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17) return int32_t(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20) return int32_t(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23) return int32_t(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26) return int32_t(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+void put_i32(std::vector<uint8_t>* v, int32_t x) {
+  v->push_back(uint8_t(x)); v->push_back(uint8_t(x >> 8));
+  v->push_back(uint8_t(x >> 16)); v->push_back(uint8_t(x >> 24));
+}
+void put_u64(std::vector<uint8_t>* v, uint64_t x) {
+  for (int i = 0; i < 8; i++) v->push_back(uint8_t(x >> (8 * i)));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. hdr: raw uncompressed BAM header bytes
+// ("BAM\1"…refs). Tags: n_tags qnames (concatenated, offsets) with hp/ps
+// values; existing HP/PS tags on a matched read are removed and replaced
+// with HP:c and PS:{c,s,i} encodings matching io/bam._encode_tag.
+int32_t ncio_haplotag(const char* in_path, const char* out_path,
+                      int32_t want_rid, int64_t start, int64_t end,
+                      const uint64_t* chunks, int32_t n_chunks,
+                      const uint8_t* hdr, int64_t hdr_len, int32_t n_ref,
+                      const char* tag_qnames, const int64_t* tag_off,
+                      const int8_t* tag_hp, const int64_t* tag_ps,
+                      int32_t n_tags, int32_t level) {
+  BgzfFile in(in_path);
+  if (!in.ok()) return 1;
+  BgzfBatchOut out(level);
+  out.write(hdr, size_t(hdr_len));
+  out.flush();  // block boundary after header (BamWriter.__init__)
+
+  // qname → tag index
+  struct TagKey { const char* p; size_t n; };
+  auto key_of = [&](int i) {
+    return std::string(tag_qnames + tag_off[i],
+                       size_t(tag_off[i + 1] - tag_off[i]));
+  };
+  std::vector<std::pair<std::string, int>> tag_list;
+  tag_list.reserve(n_tags);
+  for (int i = 0; i < n_tags; i++) tag_list.push_back({key_of(i), i});
+  std::sort(tag_list.begin(), tag_list.end());
+
+  // per-record BAI raw data; payload offsets are mapped to virtual
+  // offsets after parallel compression fixes the block layout
+  struct RecMeta { int32_t bin; int64_t pos, ref_end; size_t beg, end; };
+  std::vector<RecMeta> recs_meta;
+
+  std::vector<uint8_t> rec, edited;
+  bool done = false;
+  for (int c = 0; c < n_chunks && !done; c++) {
+    uint64_t cbeg = chunks[2 * c], cend = chunks[2 * c + 1];
+    if (!in.vseek(cbeg)) continue;
+    while (true) {
+      if (cend != 0 && in.vtell() >= cend) break;
+      int32_t bs;
+      if (!in.read(&bs, 4)) { done = true; break; }
+      if (bs <= 0 || bs > (1 << 27)) { done = true; break; }
+      rec.resize(bs);
+      if (!in.read(rec.data(), bs)) { done = true; break; }
+      int32_t r_rid, r_pos;
+      memcpy(&r_rid, rec.data(), 4);
+      memcpy(&r_pos, rec.data() + 4, 4);
+      if (r_rid != want_rid) {
+        if (cend == 0 && r_rid > want_rid) { done = true; break; }
+        continue;
+      }
+      if (r_pos >= end) {
+        if (cend == 0) { done = true; break; }
+        break;
+      }
+      uint16_t flag;
+      memcpy(&flag, rec.data() + 14, 2);
+      if (flag & FUNMAP) continue;
+      uint8_t l_read_name = rec[8];
+      uint16_t n_cigar;
+      memcpy(&n_cigar, rec.data() + 12, 2);
+      int32_t l_seq;
+      memcpy(&l_seq, rec.data() + 16, 4);
+      // reference end from cigar
+      int64_t ref_len = 0;
+      const uint8_t* cig = rec.data() + 32 + l_read_name;
+      for (int k = 0; k < n_cigar; k++) {
+        uint32_t v;
+        memcpy(&v, cig + 4 * k, 4);
+        uint32_t op = v & 0xf;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+          ref_len += v >> 4;
+      }
+      int64_t ref_end = r_pos + ref_len;
+      if (ref_end <= start) continue;
+      if (ref_end == r_pos) ref_end = r_pos + 1;
+
+      // tag lookup by qname
+      std::string qn(reinterpret_cast<const char*>(rec.data() + 32),
+                     size_t(l_read_name) - 1);
+      auto it = std::lower_bound(
+          tag_list.begin(), tag_list.end(), qn,
+          [](const std::pair<std::string, int>& a, const std::string& b) {
+            return a.first < b;
+          });
+      int ti = (it != tag_list.end() && it->first == qn) ? it->second : -1;
+
+      size_t tag_start = 32 + size_t(l_read_name) + size_t(n_cigar) * 4 +
+                         size_t((l_seq + 1) / 2) + size_t(l_seq);
+      if (tag_start > rec.size()) continue;  // malformed
+
+      edited.assign(rec.begin(), rec.begin() + tag_start);
+      // recomputed bin, like BamWriter.write (io/bam.py:426)
+      int32_t bin = hbin(r_pos, ref_end);
+      edited[10] = uint8_t(bin);
+      edited[11] = uint8_t(bin >> 8);
+      // copy tags, dropping HP/PS when we are retagging this read
+      const uint8_t* p = rec.data() + tag_start;
+      const uint8_t* tend = rec.data() + rec.size();
+      while (p + 3 <= tend) {
+        char t0 = char(p[0]), t1 = char(p[1]), typ = char(p[2]);
+        size_t vsz = tag_value_size(typ, p + 3, tend);
+        size_t total = 3 + vsz;
+        if (p + total > tend) total = tend - p;
+        bool drop = ti >= 0 && ((t0 == 'H' && t1 == 'P') ||
+                                (t0 == 'P' && t1 == 'S'));
+        if (!drop) edited.insert(edited.end(), p, p + total);
+        p += total;
+      }
+      if (ti >= 0) {
+        int8_t hp = tag_hp[ti];
+        edited.push_back('H'); edited.push_back('P');
+        edited.push_back('c'); edited.push_back(uint8_t(hp));
+        int64_t ps = tag_ps[ti];
+        edited.push_back('P'); edited.push_back('S');
+        if (ps >= -128 && ps < 128) {
+          edited.push_back('c'); edited.push_back(uint8_t(ps));
+        } else if (ps >= -32768 && ps < 32768) {
+          edited.push_back('s');
+          edited.push_back(uint8_t(ps)); edited.push_back(uint8_t(ps >> 8));
+        } else {
+          edited.push_back('i');
+          put_i32(&edited, int32_t(ps));
+        }
+      }
+
+      size_t off_beg = out.offset();
+      int32_t new_size = int32_t(edited.size());
+      out.write(reinterpret_cast<uint8_t*>(&new_size), 4);
+      out.write(edited.data(), edited.size());
+      recs_meta.push_back({bin, r_pos, ref_end, off_beg, out.offset()});
+    }
+  }
+  int n_threads = int(std::thread::hardware_concurrency());
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 4) n_threads = 4;
+  if (!out.finish(out_path, n_threads)) return 1;
+
+  // BAI (same layout as io/bam.py BamWriter._write_bai)
+  std::vector<std::pair<int32_t, std::pair<uint64_t, uint64_t>>> bin_chunks;
+  std::vector<uint64_t> linear;  // 16kb windows → min voff
+  bin_chunks.reserve(recs_meta.size());
+  for (const auto& m : recs_meta) {
+    uint64_t voff_beg = out.payload_voff(m.beg);
+    uint64_t voff_end = out.payload_voff(m.end);
+    bin_chunks.push_back({m.bin, {voff_beg, voff_end}});
+    for (int64_t win = m.pos >> 14; win <= (m.ref_end - 1) >> 14; win++) {
+      if (size_t(win) >= linear.size()) linear.resize(win + 1, UINT64_MAX);
+      if (voff_beg < linear[win]) linear[win] = voff_beg;
+    }
+  }
+  std::sort(bin_chunks.begin(), bin_chunks.end());
+  std::vector<uint8_t> bai;
+  bai.push_back('B'); bai.push_back('A'); bai.push_back('I'); bai.push_back(1);
+  put_i32(&bai, n_ref);
+  for (int32_t r = 0; r < n_ref; r++) {
+    if (r != want_rid || bin_chunks.empty()) {
+      put_i32(&bai, 0);  // n_bin
+      put_i32(&bai, 0);  // n_intv
+      continue;
+    }
+    // group by bin, merging overlapping/adjacent chunks
+    std::vector<std::pair<int32_t, std::vector<std::pair<uint64_t, uint64_t>>>>
+        bins;
+    for (auto& bc : bin_chunks) {
+      if (bins.empty() || bins.back().first != bc.first)
+        bins.push_back({bc.first, {}});
+      auto& lst = bins.back().second;
+      if (!lst.empty() && bc.second.first <= lst.back().second)
+        lst.back().second = std::max(lst.back().second, bc.second.second);
+      else
+        lst.push_back(bc.second);
+    }
+    put_i32(&bai, int32_t(bins.size()));
+    for (auto& b : bins) {
+      put_i32(&bai, b.first);
+      put_i32(&bai, int32_t(b.second.size()));
+      for (auto& ch : b.second) {
+        put_u64(&bai, ch.first);
+        put_u64(&bai, ch.second);
+      }
+    }
+    put_i32(&bai, int32_t(linear.size()));
+    uint64_t prev = 0;
+    for (uint64_t v : linear) {
+      if (v == UINT64_MAX) v = prev;
+      prev = v;
+      put_u64(&bai, v);
+    }
+  }
+  std::string bai_path = std::string(out_path) + ".bai";
+  FILE* bf = fopen(bai_path.c_str(), "wb");
+  if (!bf) return 1;
+  fwrite(bai.data(), 1, bai.size(), bf);
+  fclose(bf);
+  return 0;
 }
 
 }  // extern "C"

@@ -120,6 +120,45 @@ class TestNativeDecode:
         dd2.close()  # early abandon (no candidates) must not leak/crash
         dd2.close()
 
+    def test_haplotag_native_matches_python_writer(self, bam_fixture,
+                                                    tmp_path):
+        """C++ haplotag artifact must carry the same records (qname, pos,
+        flag, cigar, seq, HP/PS) as the Python BamWriter path and be
+        region-fetchable through its BAI."""
+        from nanocaller_tpu.caller import write_haplotagged_bam
+        from nanocaller_tpu.io.native import haplotag_native
+
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        reads = list(bam.fetch("chr_t", 0, 5000))
+        tags = {}
+        for i, r in enumerate(reads[::2]):
+            tags[r.qname] = (1 + (i % 2), 100 + 70000 * (i % 3))  # c/s/i PS
+        nat_p = str(tmp_path / "nat.phased.bam")
+        py_p = str(tmp_path / "py.phased.bam")
+        assert haplotag_native(bam, nat_p, "chr_t", 0, 5000, tags)
+        write_haplotagged_bam(BamReader(bam_p), py_p, "chr_t", 0, 5000, tags)
+
+        nat = list(BamReader(nat_p).fetch("chr_t", 0, 5000))
+        py = list(BamReader(py_p).fetch("chr_t", 0, 5000))
+        assert len(nat) == len(py) == len(reads)
+        for a, b in zip(nat, py):
+            assert (a.qname, a.pos, a.flag, a.cigar, a.seq) == \
+                (b.qname, b.pos, b.flag, b.cigar, b.seq)
+            assert a.tags.get("HP") == b.tags.get("HP")
+            assert a.tags.get("PS") == b.tags.get("PS")
+            if a.qname in tags:
+                assert (a.tags["HP"], a.tags["PS"]) == tags[a.qname]
+        # BAI-backed sub-region fetch agrees with the python artifact
+        sub_n = [r.qname for r in BamReader(nat_p).fetch("chr_t", 2000, 2500)]
+        sub_p = [r.qname for r in BamReader(py_p).fetch("chr_t", 2000, 2500)]
+        assert sub_n == sub_p and len(sub_n) > 0
+        # native decoder consumes the artifact too (indel workers do this)
+        nat_rw = decode_reads(BamReader(nat_p), "chr_t", 0, 5000)
+        py_rw = decode_reads(BamReader(py_p), "chr_t", 0, 5000)
+        np.testing.assert_array_equal(nat_rw.hp, py_rw.hp)
+        np.testing.assert_array_equal(nat_rw.ps, py_rw.ps)
+
     def test_phasing_same_result_with_site_decode(self, bam_fixture):
         from nanocaller_tpu.phase.mec import phase_sites
 
