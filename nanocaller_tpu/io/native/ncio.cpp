@@ -2001,42 +2001,73 @@ int32_t ncio_cram_feed(
 
 namespace {
 
-// Batch BGZF writer: the whole payload stream is accumulated in memory,
-// cut into ≤65280-byte blocks (forced boundaries at flush() points),
-// deflated by a small thread pool, and written sequentially. Virtual
-// offsets are resolved AFTER compression via payload_voff(); with a
-// 65280-byte payload the worst-case deflate output (+26 B BGZF wrapper)
-// always fits the 65536-byte block limit, so block boundaries are final.
+// Streaming batch BGZF writer: payload accumulates in a bounded buffer;
+// once a super-batch of full 65280-byte blocks is pending they are
+// deflated by a small thread pool and written, so memory stays O(16 MB)
+// regardless of contig size. Virtual offsets are resolved from the
+// recorded (payload start → compressed offset) block table via
+// payload_voff() after finish(); with a 65280-byte payload the
+// worst-case deflate output (+26 B BGZF wrapper) always fits the
+// 65536-byte block limit, so block boundaries are final.
 class BgzfBatchOut {
  public:
-  explicit BgzfBatchOut(int level) : level_(level) { bounds_.push_back(0); }
+  BgzfBatchOut(const char* path, int level, int n_threads)
+      : fp_(fopen(path, "wb")), level_(level), n_threads_(n_threads) {}
+  ~BgzfBatchOut() {
+    if (fp_) fclose(fp_);
+  }
+  bool ok() const { return fp_ != nullptr && !bad_; }
 
   void write(const uint8_t* data, size_t n) {
-    payload_.insert(payload_.end(), data, data + n);
+    buf_.insert(buf_.end(), data, data + n);
+    if (buf_.size() >= kSuper) drain(false);
   }
 
   // force a block boundary here (BamWriter header flush semantics)
-  void flush() {
-    if (payload_.size() > bounds_.back()) bounds_.push_back(payload_.size());
+  void flush() { drain(true); }
+
+  // global payload offset of the next byte written
+  size_t offset() const { return base_ + buf_.size(); }
+
+  bool finish() {
+    drain(true);
+    starts_.push_back(base_);
+    coffs_.push_back(coff_);
+    static const uint8_t kEof[28] = {
+        0x1f, 0x8b, 0x08, 0x04, 0,    0, 0, 0, 0, 0xff, 0x06, 0, 0x42, 0x43,
+        0x02, 0,    0x1b, 0,    0x03, 0, 0, 0, 0, 0,    0,    0, 0,    0};
+    fwrite(kEof, 1, 28, fp_);
+    fclose(fp_);
+    fp_ = nullptr;
+    return !bad_;
   }
 
-  size_t offset() const { return payload_.size(); }
+  // payload offset → BGZF virtual offset (call after finish()).
+  // starts_ ends with a sentinel (= total payload size) whose coff is
+  // the file size before the EOF block, so an offset at any boundary —
+  // including stream end — resolves to the next block with
+  // within-offset 0, matching BgzfWriter.tell().
+  uint64_t payload_voff(size_t off) const {
+    size_t b = size_t(std::upper_bound(starts_.begin(), starts_.end(), off) -
+                      starts_.begin()) - 1;
+    return (coffs_[b] << 16) | uint64_t(off - starts_[b]);
+  }
 
-  bool finish(const char* path, int n_threads) {
-    flush();
-    // block starts: within each [bounds_[i], bounds_[i+1]) segment,
-    // chunks of kPayload
-    for (size_t i = 0; i + 1 < bounds_.size(); i++)
-      for (size_t off = bounds_[i]; off < bounds_[i + 1]; off += kPayload)
-        starts_.push_back(off);
-    starts_.push_back(payload_.size());
-    size_t n_blocks = starts_.size() - 1;
+ private:
+  // compress+write all complete blocks (and the trailing partial block
+  // too when `all`), leaving the remainder buffered
+  void drain(bool all) {
+    size_t take = all ? buf_.size() : (buf_.size() / kPayload) * kPayload;
+    if (take == 0 || bad_) return;
+    size_t n_blocks = (take + kPayload - 1) / kPayload;
     std::vector<std::vector<uint8_t>> blocks(n_blocks);
-    std::vector<int> bad(n_threads, 0);
+    int nt = int(n_blocks < size_t(n_threads_) ? n_blocks : n_threads_);
+    std::vector<int> bad(nt, 0);
     auto work = [&](int t) {
-      for (size_t b = t; b < n_blocks; b += n_threads) {
-        size_t n = starts_[b + 1] - starts_[b];
-        const uint8_t* p = payload_.data() + starts_[b];
+      for (size_t b = t; b < n_blocks; b += nt) {
+        size_t off = b * kPayload;
+        size_t n = (off + kPayload <= take) ? kPayload : take - off;
+        const uint8_t* p = buf_.data() + off;
         std::vector<uint8_t>& out = blocks[b];
         out.resize(26 + n + n / 16 + 128);
         z_stream zs{};
@@ -2066,46 +2097,31 @@ class BgzfBatchOut {
       }
     };
     std::vector<std::thread> ths;
-    for (int t = 1; t < n_threads; t++) ths.emplace_back(work, t);
+    for (int t = 1; t < nt; t++) ths.emplace_back(work, t);
     work(0);
     for (auto& th : ths) th.join();
-    for (int t = 0; t < n_threads; t++)
-      if (bad[t]) return false;
-
-    FILE* fp = fopen(path, "wb");
-    if (!fp) return false;
-    coffs_.resize(n_blocks + 1);
-    uint64_t coff = 0;
+    for (int t = 0; t < nt; t++)
+      if (bad[t]) bad_ = true;
+    if (bad_) return;
     for (size_t b = 0; b < n_blocks; b++) {
-      coffs_[b] = coff;
-      fwrite(blocks[b].data(), 1, blocks[b].size(), fp);
-      coff += blocks[b].size();
+      starts_.push_back(base_ + b * kPayload);
+      coffs_.push_back(coff_);
+      fwrite(blocks[b].data(), 1, blocks[b].size(), fp_);
+      coff_ += blocks[b].size();
     }
-    coffs_[n_blocks] = coff;
-    static const uint8_t kEof[28] = {
-        0x1f, 0x8b, 0x08, 0x04, 0,    0, 0, 0, 0, 0xff, 0x06, 0, 0x42, 0x43,
-        0x02, 0,    0x1b, 0,    0x03, 0, 0, 0, 0, 0,    0,    0, 0,    0};
-    fwrite(kEof, 1, 28, fp);
-    fclose(fp);
-    return true;
+    buf_.erase(buf_.begin(), buf_.begin() + take);
+    base_ += take;
   }
 
-  // payload offset → BGZF virtual offset (call after finish()).
-  // starts_ has a final sentinel (= payload size) and coffs_ has a
-  // matching final entry (= file size before the EOF block), so an
-  // offset at any boundary — including stream end — resolves to the
-  // next block with within-offset 0, matching BgzfWriter.tell().
-  uint64_t payload_voff(size_t off) const {
-    size_t b = size_t(std::upper_bound(starts_.begin(), starts_.end(), off) -
-                      starts_.begin()) - 1;
-    return (coffs_[b] << 16) | uint64_t(off - starts_[b]);
-  }
-
- private:
   static constexpr size_t kPayload = 65280;
+  static constexpr size_t kSuper = 256 * kPayload;  // ~16 MB
+  FILE* fp_;
   int level_;
-  std::vector<uint8_t> payload_;
-  std::vector<size_t> bounds_;
+  int n_threads_;
+  bool bad_ = false;
+  std::vector<uint8_t> buf_;
+  size_t base_ = 0;
+  uint64_t coff_ = 0;
   std::vector<size_t> starts_;
   std::vector<uint64_t> coffs_;
 };
@@ -2145,7 +2161,11 @@ int32_t ncio_haplotag(const char* in_path, const char* out_path,
                       int32_t n_tags, int32_t level) {
   BgzfFile in(in_path);
   if (!in.ok()) return 1;
-  BgzfBatchOut out(level);
+  int n_threads = int(std::thread::hardware_concurrency());
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 4) n_threads = 4;
+  BgzfBatchOut out(out_path, level, n_threads);
+  if (!out.ok()) return 1;
   out.write(hdr, size_t(hdr_len));
   out.flush();  // block boundary after header (BamWriter.__init__)
 
@@ -2266,10 +2286,7 @@ int32_t ncio_haplotag(const char* in_path, const char* out_path,
       recs_meta.push_back({bin, r_pos, ref_end, off_beg, out.offset()});
     }
   }
-  int n_threads = int(std::thread::hardware_concurrency());
-  if (n_threads < 1) n_threads = 1;
-  if (n_threads > 4) n_threads = 4;
-  if (!out.finish(out_path, n_threads)) return 1;
+  if (!out.finish()) return 1;
 
   // BAI (same layout as io/bam.py BamWriter._write_bai)
   std::vector<std::pair<int32_t, std::pair<uint64_t, uint64_t>>> bin_chunks;
