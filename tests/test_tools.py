@@ -51,6 +51,86 @@ class TestVcfCompare:
         assert best["tp"] == 1 and best["fp"] == 0
 
 
+class TestHaplotypeAwareCompare:
+    """--ref mode: representation differences must match like rtg
+    vcfeval (SURVEY.md §2.3 N7 — rtg stays evaluation-only in the
+    reference; this is the in-repo equivalent)."""
+
+    REF = ("ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+           "TTTTCCCCGGGGAAAATTTTCCCCGGGGAAAATTTTCCCC")  # 80 bp, contig c1
+
+    def _ref_fa(self, tmp_path):
+        from nanocaller_tpu.io.fasta import write_fasta
+
+        p = str(tmp_path / "ref.fa")
+        write_fasta(p, {"c1": self.REF})
+        return p
+
+    def _run(self, tmp_path, truth_rows, call_rows, ref=True, vtype="all"):
+        import vcf_compare
+
+        truth = write_vcf(str(tmp_path / "ht.vcf.gz"), truth_rows)
+        calls = write_vcf(str(tmp_path / "hc.vcf.gz"), call_rows)
+        args = ["--calls", calls, "--truth", truth, "--json"]
+        if ref:
+            args += ["--ref", self._ref_fa(tmp_path)]
+        return vcf_compare.main(args + ["--type", vtype])
+
+    def test_mnp_vs_two_snps(self, tmp_path):
+        # truth: phased MNP AC>TG at pos 9-10; calls: two adjacent SNPs
+        truth = [(9, "AC", "TG", 50, "1|0")]
+        calls = [(9, "A", "T", 30, "0/1"), (10, "C", "G", 28, "0/1")]
+        best = self._run(tmp_path, truth, calls)
+        assert best["tp"] == 2 and best["fn"] == 0 and best["fp"] == 0
+        # without --ref these are mismatches
+        best = self._run(tmp_path, truth, calls, ref=False)
+        assert best["tp"] == 0
+
+    def test_joined_vs_split_requires_same_haplotype(self, tmp_path):
+        # two het SNPs on OPPOSITE haplotypes can't reproduce a hom MNP
+        truth = [(9, "AC", "TG", 50, "1|1")]
+        calls = [(9, "A", "T", 30, "0/1"), (10, "C", "G", 28, "0/1")]
+        best = self._run(tmp_path, truth, calls)
+        assert best["tp"] == 0
+
+    def test_indel_anchor_shift(self, tmp_path):
+        # REF ...pos40 TTTTCCCC...: truth deletes two T's with a left
+        # anchor, calls delete the homopolymer's other two T's
+        truth = [(41, "TTT", "T", 50, "0/1")]
+        calls = [(43, "TTC", "C", 30, "0/1")]
+        best = self._run(tmp_path, truth, calls)
+        assert best["tp"] == 1 and best["fn"] == 0
+
+    def test_multiallelic_1_2_vs_two_records(self, tmp_path):
+        truth = [(21, "G", "A,C", 50, "1|2")]
+        calls = [(21, "G", "A", 30, "0|1"), (21, "G", "C", 25, "1|0")]
+        best = self._run(tmp_path, truth, calls)
+        assert best["tp"] == 2 and best["fn"] == 0
+
+    def test_zygosity_mismatch_not_rescued(self, tmp_path):
+        truth = [(9, "A", "T", 50, "1/1")]
+        calls = [(9, "A", "T", 30, "0/1")]
+        best = self._run(tmp_path, truth, calls)
+        assert best["tp"] == 0 and best["fn"] == 1
+
+    def test_support_qual_from_weakest_call(self, tmp_path):
+        # recall at a threshold above the weakest supporting call drops
+        truth = [(9, "AC", "TG", 50, "1|0")]
+        calls = [(9, "A", "T", 30, "0/1"), (10, "C", "G", 5, "0/1")]
+        import vcf_compare
+
+        t = write_vcf(str(tmp_path / "sq_t.vcf.gz"), truth)
+        c = write_vcf(str(tmp_path / "sq_c.vcf.gz"), calls)
+        cv = vcf_compare.load_variants(c)
+        tv = vcf_compare.load_variants(t)
+        from nanocaller_tpu.io.fasta import FastaFile
+
+        vcf_compare.match_variants(cv, tv, FastaFile(self._ref_fa(tmp_path)))
+        assert tv[0].support == 5
+        rows, _ = vcf_compare.evaluate(cv, tv, thresholds=[0.0, 10.0])
+        assert rows[0]["fn"] == 0 and rows[1]["fn"] == 1
+
+
 class TestEnsemble:
     def test_majority_vote(self, tmp_path):
         import ensemble
