@@ -17,7 +17,7 @@ import struct
 
 import numpy as np
 
-from .bgzf import BgzfReader, BgzfWriter
+from .bgzf import BGZF_EOF, BgzfReader, BgzfWriter
 
 SEQ_NT16 = "=ACMGRSVTWYHKDBN"
 # char → 4-bit code for SEQ packing (unknown chars → N = 15)
@@ -286,6 +286,20 @@ class BamReader:
             raise ValueError(
                 "%s is a CRAM file — open it with io.bam.open_alignment() "
                 "or io.cram.CramReader (needs the reference FASTA)" % path)
+        # refuse truncated files up front: a BAM missing the BGZF EOF
+        # marker would otherwise silently yield a partial pileup and
+        # silently wrong calls (htslib warns here; we hard-fail)
+        with open(path, "rb") as fh:
+            fh.seek(0, 2)
+            size = fh.tell()
+            tail = b""
+            if size >= len(BGZF_EOF):
+                fh.seek(size - len(BGZF_EOF))
+                tail = fh.read(len(BGZF_EOF))
+        if tail != BGZF_EOF:
+            raise ValueError(
+                "truncated or still-being-written BAM (missing BGZF EOF "
+                "marker): %s" % path)
         self._bgzf = BgzfReader(path)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":

@@ -1656,9 +1656,15 @@ def _native_spec(comp: CompressionHeader):
 
 
 def _cram_decode_window(reader: "CramReader", contig, start, end,
-                        flag_exclude, keep_seq=False, sites=None):
+                        flag_exclude, keep_seq=False, sites=None,
+                        counts_only=False):
     """Native window decode over a CramReader → Window-dict (same layout
-    as io.native.decode_window_native) or None → python fallback."""
+    as io.native.decode_window_native) or None → python fallback.
+
+    counts_only: accumulate per-column counts + read metadata without
+    materializing per-base event arrays (phase 1 of the two-phase SNP
+    path; the caller re-decodes with `sites` once candidates are known).
+    """
     from .native import (cram_window_begin, cram_window_feed,
                          cram_window_finish, cram_window_free)
 
@@ -1669,6 +1675,10 @@ def _cram_decode_window(reader: "CramReader", contig, start, end,
     lib, handle = cram_window_begin(start, end, n_sites)
     if lib is None:
         return None
+    if counts_only:
+        import ctypes
+
+        lib.ncio_window_counts_only(ctypes.c_void_p(handle))
     ok = True
     try:
         for ch, data in reader._iter_containers(rid, start, end):

@@ -108,6 +108,7 @@ def get_lib():
         lib.ncio_cram_begin.restype = ctypes.c_void_p
         lib.ncio_cram_begin.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int32]
+        lib.ncio_window_counts_only.argtypes = [ctypes.c_void_p]
         lib.ncio_cram_feed.restype = ctypes.c_int32
         lib.ncio_cram_feed.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,

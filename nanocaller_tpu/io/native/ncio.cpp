@@ -60,6 +60,10 @@ struct Window {
   std::vector<uint8_t> rec_store;
   std::vector<int64_t> rec_off;
   bool defer_events = false;
+  // counts-only mode (CRAM two-phase SNP path): accumulate counts +
+  // read metadata but emit no per-base events; the caller re-decodes
+  // with a site filter once the candidate/neighbor sites are known.
+  bool counts_only = false;
   std::string error;
 };
 
@@ -396,10 +400,23 @@ Window* decode_impl(const char* path, int32_t rid, int64_t start, int64_t end,
     while (true) {
       if (cend != 0 && f.vtell() >= cend) break;
       int32_t block_size;
-      if (!f.read(&block_size, 4)) goto done;
-      if (block_size <= 0 || block_size > (1 << 27)) goto done;
+      if (!f.read(&block_size, 4)) {
+        // EOF at a record boundary is only legitimate on an unindexed
+        // tail scan; inside an indexed chunk it means the file is
+        // truncated — flag it so Python raises instead of silently
+        // returning a partial pileup
+        if (cend != 0) w->error = "truncated BAM (EOF inside index chunk)";
+        goto done;
+      }
+      if (block_size <= 0 || block_size > (1 << 27)) {
+        w->error = "corrupt BAM record size";
+        goto done;
+      }
       rec.resize(block_size);
-      if (!f.read(rec.data(), block_size)) goto done;
+      if (!f.read(rec.data(), block_size)) {
+        w->error = "truncated BAM (EOF mid-record)";
+        goto done;
+      }
       if (cend == 0) {
         // unindexed scan: stop once past the window on this rid
         int32_t r_rid, r_pos;
@@ -1575,6 +1592,13 @@ extern "C" {
 
 // Begin a CRAM window decode; returns a Window* handle compatible with
 // ncio_sizes/ncio_fill/ncio_counts_*/ncio_free.
+// counts-only mode for a window handle (call right after
+// ncio_cram_begin, before any feed): per-column counts accumulate but
+// no per-base events are materialized.
+void ncio_window_counts_only(void* handle) {
+  static_cast<Window*>(handle)->counts_only = true;
+}
+
 void* ncio_cram_begin(int64_t start, int64_t end, int32_t n_sites) {
   auto* w = new Window();
   w->qname_off.push_back(0);
@@ -1859,6 +1883,12 @@ int32_t ncio_cram_feed(
     bool bad = false;
     auto emit_aligned = [&](int64_t gpos, int64_t gq, char ch) {
       int8_t code = base_code(uint8_t(ch));
+      if (!w->counts.empty()) {
+        int64_t col = gpos - w->count_start;
+        if (col >= 0 && size_t(col * 6) < w->counts.size())
+          w->counts[size_t(col * 6 + code)]++;
+      }
+      if (w->counts_only) return;
       if (n_sites > 0) {
         const int64_t* lo = std::lower_bound(sites, sites + n_sites, gpos);
         if (lo == sites + n_sites || *lo != gpos) return;
@@ -1867,11 +1897,6 @@ int32_t ncio_cram_feed(
       w->ev_pos.push_back(int32_t(gpos));
       w->ev_code.push_back(code);
       w->ev_qpos.push_back(int32_t(gq));
-      if (!w->counts.empty()) {
-        int64_t col = gpos - w->count_start;
-        if (col >= 0 && size_t(col * 6) < w->counts.size())
-          w->counts[size_t(col * 6 + code)]++;
-      }
     };
     auto copy_ref = [&](int64_t n) {
       if (qpos + n > rl) {

@@ -222,11 +222,54 @@ class DeferredReadWindow:
         self._dd.close()
 
 
+class CramDeferredWindow:
+    """CRAM flavor of DeferredReadWindow: phase 1 is a counts-only
+    native slice decode (no per-base events); phase 2 re-decodes the
+    window with the site filter (the rANS codecs and feature walk run
+    twice, but both passes skip the O(bases) event materialization)."""
+
+    def __init__(self, bam, counts_arr, contig, start, end, flag_exclude):
+        self._bam = bam
+        self._counts = counts_arr
+        self._flagx = flag_exclude
+        self.contig, self.start, self.end = contig, start, end
+
+    def counts(self, start, end):
+        return self._counts[start - self.start : end - self.start]
+
+    def finish(self, sites) -> "ReadWindow":
+        sites = np.asarray(sites, dtype=np.int64)
+        try:
+            raw = self._bam.decode_window(self.contig, self.start, self.end,
+                                          self._flagx, False, sites)
+        except Exception:
+            raw = None
+        if raw is None:
+            return decode_reads(self._bam, self.contig, self.start, self.end,
+                                flag_exclude=self._flagx, sites=sites)
+        return _window_from_native(raw, self.contig, self.start, self.end)
+
+    def close(self):
+        pass
+
+
 def deferred_decode(bam, contig, start, end, flag_exclude=None):
     """Start a deferred (counts-first) decode; None → caller must use
-    decode_reads. Only the indexed-BAM native path supports deferral."""
+    decode_reads. Supported by the native BAM path (record bytes stashed
+    in the handle) and the native CRAM path (counts-only first pass)."""
     if flag_exclude is None:
         flag_exclude = DEFAULT_FLAG_FILTER
+    if getattr(bam, "format", "BAM") == "CRAM":
+        try:
+            raw = bam.decode_window(contig, start, end, flag_exclude,
+                                    False, None, counts_only=True)
+        except Exception:
+            raw = None
+        if raw is None or raw.get("counts") is None or \
+                raw["counts"].shape[0] != end - start:
+            return None
+        return CramDeferredWindow(bam, raw["counts"], contig, start, end,
+                                  flag_exclude)
     if getattr(bam, "format", "BAM") != "BAM" or not hasattr(bam, "path"):
         return None
     try:

@@ -354,6 +354,49 @@ class TestNativeCramDecode:
             bam_rw = decode_reads(br, "chr_t", s, e, keep_seq=True)
             self._compare(nat, bam_rw, ("bam", s, e))
 
+    def test_deferred_counts_only_matches_full(self, cram_fixture):
+        """Two-phase CRAM decode (SNP path): counts-only pass must equal
+        column_counts of a full decode, and finish(sites) must equal the
+        one-shot site-filtered decode."""
+        from nanocaller_tpu.io.cram import CramReader
+        from nanocaller_tpu.io.native import native_available
+        from nanocaller_tpu.pileup.engine import (column_counts, decode_reads,
+                                                  deferred_decode)
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        fa, bam_p, cram_p = cram_fixture
+        cr = CramReader(cram_p, fasta=fa)
+        dd = deferred_decode(cr, "chr_t", 0, 30000)
+        assert dd is not None and type(dd).__name__ == "CramDeferredWindow"
+        full = decode_reads(cr, "chr_t", 0, 30000, use_native=False)
+        np.testing.assert_array_equal(dd.counts(0, 30000),
+                                      column_counts(full, 0, 30000))
+        sites = np.arange(5000, 25000, 997)
+        got = dd.finish(sites)
+        want = decode_reads(cr, "chr_t", 0, 30000, sites=sites,
+                            use_native=False)
+        self._compare(got, want, "deferred")
+
+    def test_snp_candidates_cram_equals_bam(self, cram_fixture):
+        """get_snp_candidates (which routes through the deferred path)
+        must produce identical batches from CRAM and BAM inputs."""
+        from nanocaller_tpu.io.cram import CramReader
+        from nanocaller_tpu.io.fasta import FastaFile
+        from nanocaller_tpu.pileup.snp_features import get_snp_candidates
+
+        fa, bam_p, cram_p = cram_fixture
+        chunk = {"chrom": "chr_t", "start": 1, "end": 30000}
+        a = get_snp_candidates(CramReader(cram_p, fasta=fa), FastaFile(fa),
+                               chunk, seq_type="ont")
+        b = get_snp_candidates(BamReader(bam_p), FastaFile(fa), chunk,
+                               seq_type="ont")
+        assert len(a) == len(b) > 0
+        for f in ("pos", "codes", "read_mask", "col_ref", "col_valid",
+                  "center_ref", "dp", "freq", "fwd_dp", "rev_dp",
+                  "sampled_depth", "nbr_counts"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+
     def test_native_site_filtered(self, cram_fixture):
         from nanocaller_tpu.io.cram import CramReader
         from nanocaller_tpu.io.native import native_available

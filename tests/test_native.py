@@ -120,6 +120,18 @@ class TestNativeDecode:
         dd2.close()  # early abandon (no candidates) must not leak/crash
         dd2.close()
 
+    def test_truncated_bam_rejected_at_open(self, bam_fixture, tmp_path):
+        """A BAM missing its BGZF EOF marker (truncated / still being
+        written) must fail loudly at open — a partial pileup would mean
+        silently wrong calls."""
+        fasta_p, bam_p, _, _ = bam_fixture
+        data = open(bam_p, "rb").read()
+        trunc = str(tmp_path / "trunc.bam")
+        with open(trunc, "wb") as fh:
+            fh.write(data[: int(len(data) * 0.6)])
+        with pytest.raises(ValueError, match="truncated"):
+            BamReader(trunc)
+
     def test_haplotag_native_matches_python_writer(self, bam_fixture,
                                                     tmp_path):
         """C++ haplotag artifact must carry the same records (qname, pos,
