@@ -89,8 +89,12 @@ def run(cfg: Config, progress=None):
         barrier), then merge host shards on process 0."""
         if not dist_active:
             return outputs
-        from .runtime.distributed import allreduce_counts, merge_host_outputs
+        from .runtime.distributed import (allreduce_counts, barrier,
+                                          merge_host_outputs)
 
+        # align processes first (skew-tolerant coordination barrier),
+        # then reduce — the psum itself must never wait out a straggler
+        barrier("nanocaller_end")
         metrics.extra["global_counts"] = allreduce_counts(
             dict(metrics.counts))
         metrics.extra["hosts"] = cfg.num_shards
@@ -104,12 +108,14 @@ def run(cfg: Config, progress=None):
     if cfg.num_shards > 1:
         # region sharding across hosts (SURVEY.md §2.4 DP row): each
         # process takes a deterministic round-robin share of regions
-        # (contig-granular so per-contig phasing stays self-contained)
-        # and writes suffix-tagged outputs; merge_host_outputs() combines
-        from .runtime.distributed import shard_chunks
+        # (contig-granular when possible so per-contig phasing stays
+        # self-contained; single-contig genomes are split sub-contig so
+        # every host gets work) and writes suffix-tagged outputs;
+        # merge_host_outputs() combines
+        from .runtime.distributed import shard_regions
 
-        regions_list = shard_chunks(regions_list, cfg.shard_index,
-                                    cfg.num_shards)
+        regions_list = shard_regions(regions_list, cfg.shard_index,
+                                     cfg.num_shards)
         cfg.prefix = "%s.host%03d" % (cfg.prefix, cfg.shard_index)
         if not regions_list:
             return _finish_distributed(outputs)

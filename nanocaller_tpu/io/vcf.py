@@ -391,12 +391,16 @@ def write_sorted(path, header_lines, record_streams, contig_order=None,
         ]
     rank = {c: i for i, c in enumerate(contig_order)}
 
-    def keyed(stream):
+    def keyed(stream, sid):
+        # sid breaks ties when two streams carry a record at the same
+        # position (e.g. sub-contig host shards with halo overlap) —
+        # VcfRecord itself is not orderable and must never be compared
         for i, rec in enumerate(stream):
-            yield (rank.get(rec.chrom, 1 << 30), rec.pos, i), rec
+            yield (rank.get(rec.chrom, 1 << 30), rec.pos, sid, i), rec
 
     with VcfWriter(path, header_lines) as w:
-        for _, rec in heapq.merge(*[keyed(s) for s in record_streams]):
+        for _, rec in heapq.merge(
+                *[keyed(s, sid) for sid, s in enumerate(record_streams)]):
             if predicate is None or predicate(rec):
                 w.write(rec)
     return path

@@ -51,6 +51,17 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             if process_id is not None
             else int(os.environ.get("NANOCALLER_PROCESS_ID", "0")))
         _initialized = True
+        # Establish the cross-process collective contexts NOW, while all
+        # processes are still aligned at startup. The first collective
+        # pays a bounded connect handshake (Gloo's is 30s on CPU); if it
+        # were first issued at the end-of-run reduction, a host that
+        # finishes its region shard early would time out waiting for the
+        # stragglers (observed: single-contig 2-process run where shard 1
+        # was empty → instant DEADLINE_EXCEEDED against a 60s shard 0).
+        try:
+            allreduce_counts({"_init": 1})
+        except Exception:  # noqa: BLE001 — warm-up is best-effort
+            pass
     return jax.process_index(), jax.process_count()
 
 
@@ -85,18 +96,56 @@ def allreduce_counts(counts: dict) -> dict:
             for k, v in zip(keys, out)}
 
 
-def barrier(name="nanocaller"):
-    """Block until every process reaches this point."""
+def barrier(name="nanocaller", timeout_ms=24 * 3600 * 1000):
+    """Block until every process reaches this point.
+
+    Region shards finish at very different times (hours apart on real
+    whole-genome runs), so this must tolerate arbitrary skew: it uses
+    the coordination-service barrier (long explicit timeout) when
+    available, falling back to a psum whose transport contexts were
+    already established by the initialize()-time warm-up.
+    """
     import jax
 
     if jax.process_count() == 1:
         return
+    try:
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+            return
+    except Exception:  # noqa: BLE001 — internal API; fall back below
+        pass
     allreduce_counts({"_barrier": 1})
 
 
 def shard_chunks(chunks, process_id, process_count):
     """Deterministic round-robin chunk assignment for this host."""
     return [c for i, c in enumerate(chunks) if i % process_count == process_id]
+
+
+def shard_regions(regions, process_id, process_count, min_piece=200_000):
+    """Region shard for this host: round-robin over (contig, start, end,
+    ploidy) regions; when there are fewer regions than processes (e.g. a
+    single-contig genome) the regions are first split into length-
+    proportional sub-regions so every host gets work. Mid-contig splits
+    make phase sets local to each shard (PS values stay valid — they
+    anchor to each block's first het site)."""
+    regions = [tuple(r) for r in regions]
+    if 0 < len(regions) < process_count:
+        total = sum(e - s + 1 for _, s, e, _ in regions)
+        pieces = []
+        for c, s, e, pl in regions:
+            ln = e - s + 1
+            k = max(1, round(process_count * ln / max(total, 1)))
+            k = min(k, max(1, ln // min_piece))
+            step = (ln + k - 1) // k
+            for off in range(0, ln, step):
+                pieces.append((c, s + off, min(e, s + off + step - 1), pl))
+        regions = pieces
+    return [r for i, r in enumerate(regions) if i % process_count == process_id]
 
 
 def host_shard_path(out_dir, prefix, stage, process_id):

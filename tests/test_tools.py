@@ -179,6 +179,32 @@ class TestDistributedHelpers:
         seen = [c["start"] for part in parts for c in part]
         assert sorted(seen) == list(range(10))
 
+    def test_shard_regions_splits_single_contig(self):
+        from nanocaller_tpu.runtime.distributed import shard_regions
+
+        regions = [("chr1", 1, 2_000_000, "diploid")]
+        parts = [shard_regions(regions, p, 2) for p in range(2)]
+        assert all(len(p) >= 1 for p in parts), \
+            "every host must get work on a single-contig genome"
+        covered = sorted(r for part in parts for r in part)
+        # pieces tile the original region exactly
+        assert covered[0][1] == 1 and covered[-1][2] == 2_000_000
+        for a, b in zip(covered, covered[1:]):
+            assert b[1] == a[2] + 1
+        # enough regions → contig-granular round-robin is preserved
+        many = [("c%d" % i, 1, 100, "diploid") for i in range(6)]
+        assert shard_regions(many, 0, 3) == [many[0], many[3]]
+
+    def test_concat_same_position_across_streams(self, tmp_path):
+        """heapq tie-break: equal (contig,pos) keys across shards must
+        not fall through to comparing VcfRecord objects."""
+        from nanocaller_tpu.io.vcf import concat
+
+        p1 = write_vcf(str(tmp_path / "s0.vcf.gz"), [(10, "A", "T", 5, "0/1")])
+        p2 = write_vcf(str(tmp_path / "s1.vcf.gz"), [(10, "A", "G", 6, "0/1")])
+        out = concat([p1, p2], str(tmp_path / "tie.vcf.gz"))
+        assert [r.pos for r in VcfReader(out)] == [10, 10]
+
     def test_merge_host_shards(self, tmp_path):
         p1 = write_vcf(str(tmp_path / "h0.vcf.gz"), [(10, "A", "T", 5, "0/1")])
         p2 = write_vcf(str(tmp_path / "h1.vcf.gz"), [(5, "C", "G", 5, "0/1")])
