@@ -141,7 +141,11 @@ def run(cfg: Config, progress=None):
         metrics.dump(os.path.join(cfg.output, "metrics%s.json" % host_tag))
         return outputs
 
-    phase_dir = os.path.join(cfg.output, "intermediate_phase_files")
+    # host-suffixed: with sub-contig sharding two hosts can phase pieces
+    # of the SAME contig, and the per-contig file names in here
+    # (chr1.snps.phased.vcf.gz, chr1.phased.bam) would collide across
+    # concurrent same-directory host runs
+    phase_dir = os.path.join(cfg.output, "intermediate_phase_files" + host_tag)
     os.makedirs(phase_dir, exist_ok=True)
 
     # contig extents (indelCaller.py:299-305)
