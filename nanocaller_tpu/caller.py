@@ -159,7 +159,11 @@ def run(cfg: Config, progress=None):
 
     indel_chunks = get_chunks(regions_list, cfg.cpu, max_chunk_size=100000)
     hap_tags_by_contig = {}
+    tags_paths = {}
     phased_files = []
+    artifact_threads = []
+    artifact_times = []
+    artifact_errors = []
 
     phase_timer = metrics.timer("phasing")
     if want_phase or (want_indels and cfg.mode == "all"):
@@ -209,13 +213,24 @@ def run(cfg: Config, progress=None):
                     for r in lowq:
                         w.write(r)
                 phased_files.append(lowq_vcf)
-            # parallel indel workers re-read tags from the phased BAM, so
-            # it must exist when cpu > 1 regardless of skip_phased_bam
-            if not cfg.skip_phased_bam or cfg.cpu > 1:
-                with metrics.timer("phase.haplotag_bam"):
-                    write_haplotagged_bam(
-                        bam, _phased_path(phase_dir, name, bam.format),
-                        name, max(0, s - 1), e, tags, fasta=fasta)
+            # phase→indel handoff for parallel workers: a compact
+            # qname→(hp,ps) sidecar (decoding stays on the original
+            # alignment; no phased-BAM round trip)
+            if cfg.cpu > 1:
+                tp = os.path.join(phase_dir, "%s.tags.tsv" % name)
+                with open(tp, "w") as fh:
+                    for qn, t in tags.items():
+                        fh.write("%s\t%d\t%d\n" % (qn, t[0], t[1]))
+                tags_paths[name] = tp
+            # the haplotagged BAM/CRAM is now purely a user artifact
+            # (whatshap haplotag parity) — write it on a background
+            # thread so it overlaps indel calling; joined before return
+            if not cfg.skip_phased_bam:
+                th = _start_artifact_writer(
+                    cfg, name, max(0, s - 1), e, tags,
+                    _phased_path(phase_dir, name, bam.format),
+                    artifact_times, artifact_errors)
+                artifact_threads.append(th)
 
         if phased_files:
             phased_out = os.path.join(cfg.output,
@@ -238,13 +253,11 @@ def run(cfg: Config, progress=None):
         ordered_chunks = [indel_chunks[i] for i in order]
         parallel = cfg.cpu > 1
         for chunk in ordered_chunks:
-            # phase→indel handoff: workers re-read the haplotagged BAM
-            # artifact; the inline path gets tags injected in memory
+            # phase→indel handoff: workers get the per-contig haplotag
+            # sidecar; the inline path gets tags injected in memory
             if parallel and chunk.get("ploidy") != "haploid" and \
-                    chunk["chrom"] in hap_tags_by_contig:
-                pbam = _phased_path(phase_dir, chunk["chrom"], bam.format)
-                if os.path.exists(pbam):
-                    chunk["sam_path"] = pbam
+                    chunk["chrom"] in tags_paths:
+                chunk["tags_path"] = tags_paths[chunk["chrom"]]
 
         results = {}
         todo = []
@@ -281,26 +294,58 @@ def run(cfg: Config, progress=None):
                         use_device_alignment=cfg.device_alignment)
             stream = _inline()
 
+        def _write_shard(idx):
+            chunk = ordered_chunks[idx]
+            shard = os.path.join(
+                manifest.shard_dir,
+                "indel_%s_%d.body" % (chunk["chrom"], chunk["start"]))
+            with open(shard, "w") as fh:
+                fh.writelines(results[idx])
+            manifest.mark_done("indel", chunk, shard)
+            if progress:
+                progress(1)
+
         with metrics.timer("indel_calling"):
+            # accumulate chunks and run one device pass per ~flush_at
+            # candidates: 100 kb chunks carry only a handful each, and a
+            # per-chunk dispatch would pay a device round trip per ~10
+            # candidates (indel_caller.infer_indel_many)
+            pending = []  # (idx, batch)
+            pend_n = 0
+            flush_at = 384
+
+            def _flush():
+                nonlocal pending, pend_n
+                dip = [(i, b) for i, b in pending
+                       if ordered_chunks[i].get("ploidy") != "haploid"]
+                hap = [(i, b) for i, b in pending
+                       if ordered_chunks[i].get("ploidy") == "haploid"]
+                from .indel_caller import (infer_haploid_indel_many,
+                                           infer_indel_many)
+
+                for probs, (i, b) in zip(
+                        infer_indel_many(state, [b for _, b in dip]), dip):
+                    results[i] = decode_diploid_indels(b, probs)
+                    _write_shard(i)
+                for probs, (i, b) in zip(
+                        infer_haploid_indel_many(state, [b for _, b in hap]),
+                        hap):
+                    results[i] = decode_haploid_indels(b, probs)
+                    _write_shard(i)
+                pending = []
+                pend_n = 0
+
             for sub_idx, batch in stream:
                 idx = todo[sub_idx]
                 if len(batch) == 0:
                     results[idx] = []
-                elif ordered_chunks[idx].get("ploidy") == "haploid":
-                    probs = infer_haploid_indel_batch(state, batch)
-                    results[idx] = decode_haploid_indels(batch, probs)
-                else:
-                    probs = infer_indel_batch(state, batch)
-                    results[idx] = decode_diploid_indels(batch, probs)
-                chunk = ordered_chunks[idx]
-                shard = os.path.join(
-                    manifest.shard_dir,
-                    "indel_%s_%d.body" % (chunk["chrom"], chunk["start"]))
-                with open(shard, "w") as fh:
-                    fh.writelines(results[idx])
-                manifest.mark_done("indel", chunk, shard)
-                if progress:
-                    progress(1)
+                    _write_shard(idx)
+                    continue
+                pending.append((idx, batch))
+                pend_n += len(batch)
+                if pend_n >= flush_at:
+                    _flush()
+            _flush()
         metrics.count("indel_chunks", len(ordered_chunks))
         chunk_lines = [results.get(i, []) for i in range(len(ordered_chunks))]
         outputs["indels"] = write_indel_vcf(cfg, list(contigs), chunk_lines,
@@ -310,11 +355,44 @@ def run(cfg: Config, progress=None):
         final = os.path.join(cfg.output, "%s.vcf.gz" % cfg.prefix)
         concat([outputs["phased_snps"], outputs["indels"]], final)
         outputs["final"] = final
+    for th in artifact_threads:
+        th.join()
+    if artifact_times:
+        metrics.timers["phase.haplotag_bam"] += sum(artifact_times)
+    if artifact_errors:
+        raise artifact_errors[0]
     if owns_progress:
         bar.close()
     outputs = _finish_distributed(outputs)
     metrics.dump(os.path.join(cfg.output, "metrics%s.json" % host_tag))
     return outputs
+
+
+def _start_artifact_writer(cfg, contig, start0, end0, tags, out_path,
+                           times, errors):
+    """Write one contig's haplotagged BAM/CRAM artifact on a background
+    thread (it overlaps indel calling; nothing downstream reads it).
+    Opens its own alignment/FASTA handles — readers aren't thread-safe."""
+    import threading
+    import time as _time
+
+    def _write():
+        t0 = _time.perf_counter()
+        try:
+            fasta = FastaFile(cfg.ref)
+            abam = open_alignment(cfg.bam, fasta=fasta)
+            try:
+                write_haplotagged_bam(abam, out_path, contig, start0, end0,
+                                      tags, fasta=fasta)
+            finally:
+                abam.close()
+        except Exception as e:  # noqa: BLE001 — re-raised at join
+            errors.append(e)
+        times.append(_time.perf_counter() - t0)
+
+    th = threading.Thread(target=_write, daemon=True)
+    th.start()
+    return th
 
 
 def _decode_with_tags(bam, fasta, chunk, cfg, tags):

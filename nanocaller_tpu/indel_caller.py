@@ -46,20 +46,43 @@ class IndelCallerState:
         return cls(params=params, hap_params=hap_params)
 
 
-def infer_indel_batch(state, batch, batch_size=256):
-    """(B,4) genotype-class probabilities; input rows stacked hap0/hap1/all
-    (indelCaller.py:83)."""
-    B = len(batch)
-    x = np.concatenate([batch.x0, batch.x1, batch.x2], axis=1)  # (B,15,128,2)
-    out = np.zeros((B, 4), np.float32)
+def _run_stacked(forward, params, x, batch_size):
+    """Padded fixed-shape device batches over stacked input rows."""
+    B = len(x)
+    outs = []
     for lo in range(0, B, batch_size):
         hi = min(lo + batch_size, B)
         pad = batch_size - (hi - lo)
         xs = x[lo:hi]
         if pad:
-            xs = np.pad(xs, [(0, pad), (0, 0), (0, 0), (0, 0)])
-        out[lo:hi] = np.asarray(_indel_forward(state.params, xs))[: hi - lo]
-    return out
+            xs = np.pad(xs, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        outs.append(np.asarray(forward(params, xs))[: hi - lo])
+    return np.concatenate(outs) if outs else np.zeros((0, 4), np.float32)
+
+
+def infer_indel_batch(state, batch, batch_size=256):
+    """(B,4) genotype-class probabilities; input rows stacked hap0/hap1/all
+    (indelCaller.py:83)."""
+    x = np.concatenate([batch.x0, batch.x1, batch.x2], axis=1)  # (B,15,128,2)
+    return _run_stacked(_indel_forward, state.params, x, batch_size)
+
+
+def infer_indel_many(state, batches, batch_size=256):
+    """One device pass over several chunks' candidates → per-batch probs.
+
+    Indel chunks are 100 kb and typically carry only a handful of
+    candidates each; per-chunk device calls would pay one dispatch/
+    transfer round trip per ~10 candidates (dominant on high-latency
+    links). Returns [probs_i] aligned with `batches`.
+    """
+    lens = [len(b) for b in batches]
+    if not lens:
+        return []
+    x = np.concatenate(
+        [np.concatenate([b.x0, b.x1, b.x2], axis=1) for b in batches])
+    out = _run_stacked(_indel_forward, state.params, x, batch_size)
+    splits = np.cumsum(lens)[:-1]
+    return np.split(out, splits)
 
 
 def infer_haploid_indel_batch(state, batch, batch_size=256):
@@ -74,6 +97,25 @@ def infer_haploid_indel_batch(state, batch, batch_size=256):
         out[lo:hi] = np.asarray(
             _hap_indel_forward(state.hap_params, xs))[: hi - lo, 0]
     return out
+
+
+def infer_haploid_indel_many(state, batches, batch_size=256):
+    """Haploid twin of infer_indel_many."""
+    lens = [len(b) for b in batches]
+    if not lens:
+        return []
+    x = np.concatenate([b.x for b in batches])
+    B = len(x)
+    out = np.zeros((B,), np.float32)
+    for lo in range(0, B, batch_size):
+        hi = min(lo + batch_size, B)
+        pad = batch_size - (hi - lo)
+        xs = x[lo:hi]
+        if pad:
+            xs = np.pad(xs, [(0, pad), (0, 0), (0, 0), (0, 0)])
+        out[lo:hi] = np.asarray(
+            _hap_indel_forward(state.hap_params, xs))[: hi - lo, 0]
+    return np.split(out, np.cumsum(lens)[:-1])
 
 
 def decode_diploid_indels(batch: IndelBatch, probs):
