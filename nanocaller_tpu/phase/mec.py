@@ -16,8 +16,13 @@ each site's genotype is re-scored against the per-haplotype allele
 support — hets may collapse to hom (0/0 results are dropped from the
 phased VCF, matching the reference's `bcftools view -e 'GT="0\\0"'`,
 indelCaller.py:241) and hom-alt calls may open up to phased hets.
-A conservative margin (hom/het must win by ≥2 observations) plays the
-role of whatshap's genotype-change cost.
+The decision rule follows whatshap's wMEC genotype-cost formulation:
+each read observation carries a phred weight w = 10*log10((1-eps)/eps)
+(eps = per-base error rate), and a genotype flips only when the read
+evidence advantage (mismatch-count delta x w) exceeds the caller's own
+confidence in the original genotype (the record's phred QUAL — the
+stand-in for whatshap's PL-derived genotype likelihood cost). Records
+with no parseable QUAL fall back to a flat 2-observation cost.
 """
 
 from __future__ import annotations
@@ -178,58 +183,90 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
                        n_blocks=len(ps_of_comp), mec_cost=mec)
 
 
-_REGENOTYPE_MARGIN = 2  # observations a flip must win by (whatshap's
-# genotype-change cost analog — keeps noise from toggling genotypes)
+_REGENOTYPE_EPS = 0.1  # per-base error rate for observation weights
+# (ONT-scale; one matching observation is worth w = 10*log10((1-eps)/eps)
+# ≈ 9.5 phred of evidence — whatshap's wMEC read weight with flat quals)
+_REGENOTYPE_DEFAULT_COST = None  # sentinel: 2*w when QUAL is unusable
+
+
+def _obs_weight(eps):
+    return 10.0 * np.log10((1.0 - eps) / eps)
 
 
 def _hap_support(rw, result: PhaseResult, pos, refc, altc):
     """Per-site ref/alt observation counts split by read haplotype.
 
-    Returns (c1r, c1a, c2r, c2a) int32 arrays over the given sites,
-    counting only reads the phaser assigned to haplotype 1 or 2."""
+    Returns (c1r, c1a, c2r, c2a, cur, cua) int32 arrays over the given
+    sites: counts from reads the phaser assigned to haplotype 1 or 2,
+    plus the untagged (ambiguous-assignment) reads' ref/alt counts."""
     S = len(pos)
     rids, sidx, alleles = build_allele_matrix(rw, pos, refc, altc)
     hp = result.read_hp[rids]
     out = []
-    for hsel in (1, 2):
+    for hsel in (1, 2, 0):
         for asel in (0, 1):
             c = np.zeros(S, np.int32)
             np.add.at(c, sidx[(hp == hsel) & (alleles == asel)], 1)
             out.append(c)
-    return out[0], out[1], out[2], out[3]  # c1r, c1a, c2r, c2a
+    return tuple(out)  # c1r, c1a, c2r, c2a, cur, cua
 
 
 def regenotype(rw, result: PhaseResult, het_pos, het_ref, het_alt,
-               hom_pos, hom_ref, hom_alt, margin=_REGENOTYPE_MARGIN):
+               hom_pos, hom_ref, hom_alt, het_qual=None, hom_qual=None,
+               eps=_REGENOTYPE_EPS):
     """Distrust-genotypes pass: re-score genotypes under the fixed read
     partition (whatshap --distrust-genotypes --include-homozygous
     equivalent, indelCaller.py:228).
 
+    Decision rule (whatshap's wMEC genotype-change cost): a genotype
+    flips only when the read-evidence advantage of the new genotype,
+    (mismatch_old - mismatch_new) * w with w = 10*log10((1-eps)/eps)
+    phred per observation, exceeds the caller's confidence in the old
+    genotype (per-site phred QUAL; sites with no parseable QUAL use a
+    flat 2*w cost). Untagged reads count toward hom mismatches (every
+    observation is evidence) but are free under het genotypes (an
+    ambiguous read can always sit on the haplotype matching its allele).
+
+    het_qual/hom_qual: float arrays parallel to het_pos/hom_pos, NaN
+    where unavailable.
+
     Returns {pos1: new_entry} only for CHANGED sites, where new_entry is
     "0/0" / "1/1" (het collapsed to hom, unphased) or ("0|1"/"1|0", ps)
     (hom-alt opened to a phased het)."""
+    w = _obs_weight(eps)
+
+    def _cost(quals, n):
+        c = np.full(n, 2.0 * w)
+        if quals is not None:
+            q = np.asarray(quals, np.float64)
+            ok = np.isfinite(q)
+            c[ok] = q[ok]
+        return c
+
     changes = {}
     if len(het_pos):
-        c1r, c1a, c2r, c2a = _hap_support(rw, result, het_pos, het_ref,
-                                          het_alt)
+        c1r, c1a, c2r, c2a, cur, cua = _hap_support(
+            rw, result, het_pos, het_ref, het_alt)
         cost_het = np.minimum(c1r + c2a, c1a + c2r)
-        cost_hr = c1a + c2a
-        cost_ha = c1r + c2r
+        cost_hr = c1a + c2a + cua
+        cost_ha = c1r + c2r + cur
+        gt_cost = _cost(het_qual, len(het_pos))
         for j in range(len(het_pos)):
             best_hom = min(cost_hr[j], cost_ha[j])
-            if best_hom + margin <= cost_het[j]:
+            if (cost_het[j] - best_hom) * w > gt_cost[j]:
                 changes[int(het_pos[j]) + 1] = (
                     "0/0" if cost_hr[j] <= cost_ha[j] else "1/1")
     if len(hom_pos):
-        c1r, c1a, c2r, c2a = _hap_support(rw, result, hom_pos, hom_ref,
-                                          hom_alt)
+        c1r, c1a, c2r, c2a, cur, cua = _hap_support(
+            rw, result, hom_pos, hom_ref, hom_alt)
         # orientation 1 = hap1 carries alt
         cost_o1 = c1r + c2a
         cost_o0 = c1a + c2r
         cost_het = np.minimum(cost_o1, cost_o0)
-        cost_hom = c1r + c2r  # current genotype 1/1
+        cost_hom = c1r + c2r + cur  # current genotype 1/1
+        gt_cost = _cost(hom_qual, len(hom_pos))
         for j in range(len(hom_pos)):
-            if cost_het[j] + margin > cost_hom[j]:
+            if (cost_hom[j] - cost_het[j]) * w <= gt_cost[j]:
                 continue
             # PS of the supporting reads' block
             ps = _majority_ps(rw, result, int(hom_pos[j]))
@@ -253,7 +290,7 @@ def _majority_ps(rw, result: PhaseResult, pos0):
 
 
 def _collect_biallelic(records, want_gts):
-    pos, refc, altc = [], [], []
+    pos, refc, altc, qual = [], [], [], []
     for rec in records:
         gt = rec.sample_field("GT")
         if gt not in want_gts:
@@ -265,13 +302,18 @@ def _collect_biallelic(records, want_gts):
         pos.append(rec.pos - 1)
         refc.append(_BASE_CODE[rec.ref])
         altc.append(_BASE_CODE[rec.alt])
+        try:
+            qual.append(float(rec.qual))
+        except (TypeError, ValueError):
+            qual.append(np.nan)
     if not pos:
         return (np.zeros(0, np.int64), np.zeros(0, np.int8),
-                np.zeros(0, np.int8))
+                np.zeros(0, np.int8), np.zeros(0, np.float64))
     order = np.argsort(pos)
     return (np.asarray(pos, np.int64)[order],
             np.asarray(refc, np.int8)[order],
-            np.asarray(altc, np.int8)[order])
+            np.asarray(altc, np.int8)[order],
+            np.asarray(qual, np.float64)[order])
 
 
 def phase_contig(records, rw, distrust=False):
@@ -282,7 +324,7 @@ def phase_contig(records, rw, distrust=False):
     phased sites — '0|1' (hap1 carries ref) or '1|0' — or, when
     distrust=True changed a genotype, the bare string "0/0"/"1/1".
     """
-    pos, refc, altc = _collect_biallelic(
+    pos, refc, altc, qual = _collect_biallelic(
         records, ("0/1", "0|1", "1/0", "1|0"))
     if not len(pos):
         empty = PhaseResult(
@@ -298,8 +340,9 @@ def phase_contig(records, rw, distrust=False):
             gt = "1|0" if result.hap_allele[j] == 1 else "0|1"
             phase_map[int(pos[j]) + 1] = (gt, int(result.block_ps[j]))
     if distrust:
-        hpos, href, halt = _collect_biallelic(records, ("1/1", "1|1"))
-        changes = regenotype(rw, result, pos, refc, altc, hpos, href, halt)
+        hpos, href, halt, hqual = _collect_biallelic(records, ("1/1", "1|1"))
+        changes = regenotype(rw, result, pos, refc, altc, hpos, href, halt,
+                             het_qual=qual, hom_qual=hqual)
         phase_map.update(changes)
     return result, phase_map
 
