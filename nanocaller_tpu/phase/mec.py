@@ -78,7 +78,7 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
     # per-read site lists (CSR by read)
     order = np.lexsort((sidx, rids))
     rids, sidx, alleles = rids[order], sidx[order], alleles[order]
-    r_ptr = np.searchsorted(rids, np.arange(n_reads + 1))
+    r_ptr = np.searchsorted(rids, np.arange(n_reads + 1, dtype=rids.dtype))
     obs_per_read = np.diff(r_ptr)
 
     # adjacent observation pairs within each read (vectorized)

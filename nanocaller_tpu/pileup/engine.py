@@ -398,7 +398,8 @@ class SiteCodes:
         site_idx, rid, code = site_read_codes(rw, self.sites)
         self.rid = rid
         self.code = code
-        self.indptr = np.searchsorted(site_idx, np.arange(len(self.sites) + 1))
+        self.indptr = np.searchsorted(
+            site_idx, np.arange(len(self.sites) + 1, dtype=site_idx.dtype))
 
     def at(self, site_i):
         """(rids sorted asc, codes) for site index site_i."""

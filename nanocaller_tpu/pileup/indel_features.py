@@ -301,7 +301,10 @@ class _ColumnView:
         self.rw = rw
         # events are emitted read-by-read in CIGAR order → ev_rid is
         # non-decreasing and ev_pos ascending within a read
-        self.indptr = np.searchsorted(rw.ev_rid, np.arange(rw.n_reads + 1))
+        # dtype must match ev_rid's: a mixed-dtype searchsorted silently
+        # promotes (copies) the multi-million-entry event array per call
+        self.indptr = np.searchsorted(
+            rw.ev_rid, np.arange(rw.n_reads + 1, dtype=rw.ev_rid.dtype))
 
     def reads_at(self, col):
         rw = self.rw
