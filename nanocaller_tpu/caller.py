@@ -281,7 +281,6 @@ def run(cfg: Config, progress=None):
 
                 for i, chunk in enumerate(todo_chunks):
                     tags = hap_tags_by_contig.get(chunk["chrom"])
-                    rw = _decode_with_tags(bam, fasta, chunk, cfg, tags)
                     yield i, get_indel_candidates(
                         bam, fasta, chunk, seq_type=cfg.sequencing,
                         mincov=cfg.mincov, maxcov=cfg.maxcov,
@@ -290,7 +289,7 @@ def run(cfg: Config, progress=None):
                         small_win_size=cfg.small_win_size,
                         impute_indel_phase=cfg.impute_indel_phase,
                         exclude=exclude,
-                        ploidy=chunk.get("ploidy", "diploid"), rw=rw,
+                        ploidy=chunk.get("ploidy", "diploid"), tags=tags,
                         use_device_alignment=cfg.device_alignment)
             stream = _inline()
 
@@ -393,20 +392,6 @@ def _start_artifact_writer(cfg, contig, start0, end0, tags, out_path,
     th = threading.Thread(target=_write, daemon=True)
     th.start()
     return th
-
-
-def _decode_with_tags(bam, fasta, chunk, cfg, tags):
-    """Decode an indel chunk's reads, applying in-memory haplotype tags
-    (replacing the phased-BAM round trip)."""
-    start0 = max(0, chunk["start"] - 1 - 10 - cfg.win_size)
-    rw = decode_reads(bam, chunk["chrom"], start0, chunk["end"], keep_seq=True)
-    if tags:
-        for rid, qname in enumerate(rw.qnames):
-            t = tags.get(qname)
-            if t is not None:
-                rw.hp[rid] = t[0]
-                rw.ps[rid] = t[1]
-    return rw
 
 
 def _phased_path(phase_dir, contig, fmt):

@@ -55,9 +55,16 @@ def get_lib():
         lib.ncio_decode_defer.restype = ctypes.c_void_p
         lib.ncio_decode_defer.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32, ctypes.c_int32]
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32]
         lib.ncio_emit_sites.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+        lib.ncio_emit_qpos.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+        lib.ncio_fill_events.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32)]
         lib.ncio_haplotag.restype = ctypes.c_int32
         lib.ncio_haplotag.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
@@ -311,6 +318,45 @@ class DeferredDecode:
             self._lib.ncio_free(ctypes.c_void_p(self._handle))
             self._handle = None
 
+    def window_raw(self):
+        """Phase-1 fill: read metadata/seqs/indel events, no M events
+        (they're emitted later by finish/emit_qpos). The handle stays
+        alive."""
+        return fill_window(self._lib, self._handle)
+
+    def emit_qpos(self, cols):
+        """Emit query-position-or-next pseudo-events at the sorted
+        columns (indel path) and return (ev_rid, ev_pos, ev_code,
+        ev_qpos). Frees the handle."""
+        cols_arr = np.ascontiguousarray(cols, dtype=np.int64)
+        n = len(cols_arr)
+        if n == 0:
+            cols_arr = np.zeros(1, np.int64)
+        lib = self._lib
+        lib.ncio_emit_qpos(
+            ctypes.c_void_p(self._handle),
+            cols_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+        try:
+            sizes = np.zeros(7, dtype=np.int64)
+            lib.ncio_sizes(ctypes.c_void_p(self._handle),
+                           sizes.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_int64)))
+            n_ev = int(sizes[1])
+            ev_rid = np.zeros(n_ev, np.int32)
+            ev_pos = np.zeros(n_ev, np.int32)
+            ev_code = np.zeros(n_ev, np.int8)
+            ev_qpos = np.zeros(n_ev, np.int32)
+            lib.ncio_fill_events(
+                ctypes.c_void_p(self._handle),
+                ev_rid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ev_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ev_code.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                ev_qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            return ev_rid, ev_pos, ev_code, ev_qpos
+        finally:
+            lib.ncio_free(ctypes.c_void_p(self._handle))
+            self._handle = None
+
     def close(self):
         if self._handle is not None:
             self._lib.ncio_free(ctypes.c_void_p(self._handle))
@@ -320,8 +366,12 @@ class DeferredDecode:
         self.close()
 
 
-def decode_window_deferred(bam_reader, contig, start, end, flag_exclude):
-    """Start a two-phase deferred decode; None if native lib unavailable."""
+def decode_window_deferred(bam_reader, contig, start, end, flag_exclude,
+                           keep_seq=False, want_counts=True):
+    """Start a two-phase deferred decode; None if native lib unavailable.
+
+    want_counts=False (indel path) skips the per-base count accumulation
+    entirely — phase 1 then costs only the record parse + indel events."""
     lib = get_lib()
     if lib is None:
         return None
@@ -330,7 +380,8 @@ def decode_window_deferred(bam_reader, contig, start, end, flag_exclude):
     handle = lib.ncio_decode_defer(
         bam_reader.path.encode(), rid, start, end,
         chunks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        len(chunks) // 2, flag_exclude)
+        len(chunks) // 2, flag_exclude, 1 if keep_seq else 0,
+        1 if want_counts else 0)
     sizes = np.zeros(7, dtype=np.int64)
     lib.ncio_sizes(ctypes.c_void_p(handle),
                    sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))

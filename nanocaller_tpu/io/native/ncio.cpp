@@ -302,15 +302,18 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
     switch (op) {
       case 0: case 7: case 8: {  // M/=/X
         if (w->defer_events) {
-          // counts only; per-base events are emitted later by
-          // ncio_emit_sites once the site list is known
-          for (int64_t i = 0; i < l; i++) {
-            int64_t col = rpos + i - w->count_start;
-            if (col >= 0 && size_t(col * 6) < w->counts.size()) {
-              int32_t q = qpos + int32_t(i);
-              uint8_t nib =
-                  (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
-              w->counts[col * 6 + NIBBLE_CODE[nib]]++;
+          // counts only (skipped entirely in the indel path's
+          // no-counts defer mode); per-base events are emitted later by
+          // ncio_emit_sites / ncio_emit_qpos once the site list is known
+          if (!w->counts.empty()) {
+            for (int64_t i = 0; i < l; i++) {
+              int64_t col = rpos + i - w->count_start;
+              if (col >= 0 && size_t(col * 6) < w->counts.size()) {
+                int32_t q = qpos + int32_t(i);
+                uint8_t nib =
+                    (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+                w->counts[col * 6 + NIBBLE_CODE[nib]]++;
+              }
             }
           }
         } else if (n_sites > 0) {
@@ -379,13 +382,14 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
 Window* decode_impl(const char* path, int32_t rid, int64_t start, int64_t end,
                     const uint64_t* chunks, int32_t n_chunks,
                     int32_t flag_exclude, int32_t keep_seq,
-                    const int64_t* sites, int32_t n_sites, bool defer) {
+                    const int64_t* sites, int32_t n_sites, bool defer,
+                    bool want_counts = true) {
   auto* w = new Window();
   w->defer_events = defer;
   w->qname_off.push_back(0);
   w->seq_off.push_back(0);
   w->count_start = start;
-  if ((defer || n_sites == 0) && end > start &&
+  if (((defer && want_counts) || (!defer && n_sites == 0)) && end > start &&
       end - start < (int64_t(1) << 31))
     w->counts.assign(size_t(end - start) * 6, 0);
   BgzfFile f(path);
@@ -453,9 +457,11 @@ void* ncio_decode(const char* path, int32_t rid, int64_t start, int64_t end,
 // site list afterwards, then ncio_sizes/ncio_fill as usual.
 void* ncio_decode_defer(const char* path, int32_t rid, int64_t start,
                         int64_t end, const uint64_t* chunks, int32_t n_chunks,
-                        int32_t flag_exclude) {
+                        int32_t flag_exclude, int32_t keep_seq,
+                        int32_t want_counts) {
   return decode_impl(path, rid, start, end, chunks, n_chunks, flag_exclude,
-                     /*keep_seq=*/0, nullptr, 0, /*defer=*/true);
+                     keep_seq, nullptr, 0, /*defer=*/true,
+                     want_counts != 0);
 }
 
 // Emit M-op events at the given sorted sites by re-walking the stashed
@@ -508,6 +514,99 @@ void ncio_emit_sites(void* handle, const int64_t* sites, int32_t n_sites) {
   w->rec_store.shrink_to_fit();
   w->rec_off.clear();
   w->rec_off.shrink_to_fit();
+}
+
+// Emit query-position-or-next pseudo-events at the given sorted columns
+// for EVERY read covering each column (indel path, pysam
+// query_position_or_next semantics): qpos of the aligned base at the
+// column when one exists (code = base code), else qpos of the first
+// aligned base after it (code = -1; trailing-deletion columns get
+// last-aligned-qpos + 1), exactly matching what the full event arrays
+// yield through _ColumnView.reads_at/signature_groups
+// (pileup/indel_features.py). Reads without any M op emit nothing.
+// Frees the record store.
+void ncio_emit_qpos(void* handle, const int64_t* sites, int32_t n_sites) {
+  auto* w = static_cast<Window*>(handle);
+  const int64_t* send = sites + n_sites;
+  const size_t n = w->rec_off.size();
+  for (size_t rid = 0; rid < n; rid++) {
+    const uint8_t* data = w->rec_store.data() + w->rec_off[rid];
+    int32_t pos;
+    memcpy(&pos, data + 4, 4);
+    uint8_t l_read_name = data[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, data + 12, 2);
+    const uint8_t* cigar_p = data + 32 + l_read_name;
+    const uint8_t* seq_p = cigar_p + size_t(n_cigar) * 4;
+    const int64_t* s = std::lower_bound(sites, send, int64_t(pos));
+    if (s == send) continue;
+    int64_t rpos = pos;
+    int32_t qpos = 0, last_q_end = 0;
+    bool any_m = false;
+    for (int k = 0; k < n_cigar && s < send; k++) {
+      uint32_t v;
+      memcpy(&v, cigar_p + 4 * k, 4);
+      uint32_t op = v & 0xf;
+      int64_t l = v >> 4;
+      switch (op) {
+        case 0: case 7: case 8: {  // M/=/X
+          any_m = true;
+          // columns inside a preceding D/N gap resolve to this op's
+          // first query position
+          while (s < send && *s < rpos) {
+            w->ev_rid.push_back(int32_t(rid));
+            w->ev_pos.push_back(int32_t(*s));
+            w->ev_code.push_back(-1);
+            w->ev_qpos.push_back(qpos);
+            s++;
+          }
+          while (s < send && *s < rpos + l) {
+            int32_t q = qpos + int32_t(*s - rpos);
+            uint8_t nib = (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
+            w->ev_rid.push_back(int32_t(rid));
+            w->ev_pos.push_back(int32_t(*s));
+            w->ev_code.push_back(NIBBLE_CODE[nib]);
+            w->ev_qpos.push_back(q);
+            s++;
+          }
+          rpos += l;
+          qpos += int32_t(l);
+          last_q_end = qpos;
+          break;
+        }
+        case 1: case 4: qpos += int32_t(l); break;  // I/S
+        case 2: case 3: rpos += l; break;           // D/N
+        default: break;                              // H/P
+      }
+    }
+    if (any_m) {
+      while (s < send && *s < rpos) {  // columns in a trailing deletion
+        w->ev_rid.push_back(int32_t(rid));
+        w->ev_pos.push_back(int32_t(*s));
+        w->ev_code.push_back(-1);
+        w->ev_qpos.push_back(last_q_end);
+        s++;
+      }
+    }
+  }
+  w->rec_store.clear();
+  w->rec_store.shrink_to_fit();
+  w->rec_off.clear();
+  w->rec_off.shrink_to_fit();
+}
+
+// Copy only the aligned-event arrays (second fill of a two-phase indel
+// decode: read metadata/seqs were already copied out before emission).
+void ncio_fill_events(void* handle, int32_t* ev_rid, int32_t* ev_pos,
+                      int8_t* ev_code, int32_t* ev_qpos) {
+  auto* w = static_cast<Window*>(handle);
+  auto cp = [](auto& vec, auto* dst) {
+    if (!vec.empty()) memcpy(dst, vec.data(), vec.size() * sizeof(vec[0]));
+  };
+  cp(w->ev_rid, ev_rid);
+  cp(w->ev_pos, ev_pos);
+  cp(w->ev_code, ev_code);
+  cp(w->ev_qpos, ev_qpos);
 }
 
 void ncio_sizes(void* handle, int64_t* out) {

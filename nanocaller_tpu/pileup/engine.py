@@ -285,6 +285,60 @@ def deferred_decode(bam, contig, start, end, flag_exclude=None):
     return DeferredReadWindow(dd, contig, start, end)
 
 
+class IndelDeferredWindow:
+    """Two-phase decode handle for the indel path.
+
+    Phase 1 (`window`): a ReadWindow with read metadata, sequences and
+    ins/del events but NO aligned-base events — everything the candidate
+    scan (pileup/indel_features.scan_indel_candidates) reads. Phase 2
+    (`finish_events`): fill ev_* with query-position-or-next
+    pseudo-events at exactly the queried columns, one per covering read
+    per column — the only aligned-event lookups pass 2 performs
+    (pysam query_position_or_next semantics,
+    generate_indel_pileups.py:331). Skipping the full M-event
+    materialization (~5.7M entries per 100 kb @45×) is the indel-path
+    analog of the SNP path's counts-first decode."""
+
+    def __init__(self, dd, rw):
+        self._dd = dd
+        self.window = rw
+
+    def finish_events(self, cols):
+        """cols: iterable of 0-based columns; fills window.ev_* in place."""
+        cols_arr = np.asarray(sorted(set(int(c) for c in cols)), np.int64)
+        ev_rid, ev_pos, ev_code, ev_qpos = self._dd.emit_qpos(cols_arr)
+        w = self.window
+        w.ev_rid, w.ev_pos, w.ev_code, w.ev_qpos = (
+            ev_rid, ev_pos, ev_code, ev_qpos)
+        return w
+
+    def close(self):
+        self._dd.close()
+
+
+def indel_deferred_decode(bam, contig, start, end, flag_exclude=None):
+    """Start a two-phase indel decode; None → caller must use
+    decode_reads (CRAM input, exotic readers, or no native library)."""
+    if flag_exclude is None:
+        flag_exclude = DEFAULT_FLAG_FILTER
+    if getattr(bam, "format", "BAM") != "BAM" or not hasattr(bam, "path"):
+        return None
+    try:
+        from ..io.native import decode_window_deferred
+
+        dd = decode_window_deferred(bam, contig, start, end, flag_exclude,
+                                    keep_seq=True, want_counts=False)
+    except Exception:
+        return None
+    if dd is None:
+        return None
+    raw = dd.window_raw()
+    if raw is None:
+        dd.close()
+        return None
+    return IndelDeferredWindow(dd, _window_from_native(raw, contig, start, end))
+
+
 def _window_from_native(raw, contig, start, end):
     """Assemble a ReadWindow from the native decoder's flat arrays."""
     qn = raw["qnames_raw"].tobytes()

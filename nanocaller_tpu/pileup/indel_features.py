@@ -96,9 +96,24 @@ def scan_indel_candidates(rw, scan_cols, *, win_size, small_win_size, mincov,
     haploid=True runs the single-readset variant (the *_haploid.py scan:
     one queue over all reads, coverage gate on total depth).
     """
-    n = len(scan_cols)
-    if n == 0:
+    if len(scan_cols) == 0:
         return {}, {}
+    triggers = _compute_triggers(
+        rw, scan_cols, win_size=win_size, small_win_size=small_win_size,
+        mincov=mincov, ins_t=ins_t, del_t=del_t,
+        impute_indel_phase=impute_indel_phase, haploid=haploid)
+    return _select_candidates(rw, scan_cols, triggers, win_size, mincov,
+                              sig_provider=sig_provider)
+
+
+def _compute_triggers(rw, scan_cols, *, win_size, small_win_size, mincov,
+                      ins_t, del_t, impute_indel_phase=False, haploid=False):
+    """Vectorized trigger computation of pass 1: per-column boolean
+    arrays (big_trig, small_trig, impute_trig). Reads only read
+    intervals, HP tags and ins/del events — never aligned-base events,
+    so it can run on a phase-1 deferred window
+    (engine.IndelDeferredWindow)."""
+    n = len(scan_cols)
     if haploid:
         hap1 = np.ones(rw.n_reads, dtype=bool)
         hap2 = hap1
@@ -152,7 +167,35 @@ def scan_indel_candidates(rw, scan_cols, *, win_size, small_win_size, mincov,
         ins_freq_tot = np.where(cov["tot"] > 0, ins_cnt / denom, 0.0)
         impute_trig = (~hap_ok) & (cov["tot"] >= 2 * mincov) & (
             (del_freq_tot >= del_t) | (ins_freq_tot >= ins_t))
+    return big_trig, small_trig, impute_trig
 
+
+def _event_columns_needed(scan_cols, triggers, win_size):
+    """Superset of the columns whose aligned-base events pass 2 may ever
+    query: the candidate window anchor per trigger (big → v0−win_size,
+    small/impute → v0−10) plus the trigger column itself for impute
+    signature grouping. The selection loop only suppresses candidates
+    (prev chain), never adds columns, so this is exact as a superset and
+    computable before any aligned events exist."""
+    big_trig, small_trig, impute_trig = triggers
+    cols = set()
+    for i in np.flatnonzero(big_trig | small_trig | impute_trig):
+        v0 = int(scan_cols[i])
+        if big_trig[i]:
+            cols.add(max(0, v0 - win_size))
+        elif small_trig[i]:
+            cols.add(max(0, v0 - 10))
+        else:
+            cols.add(v0)
+            cols.add(max(0, v0 - 10))
+    return cols
+
+
+def _select_candidates(rw, scan_cols, triggers, win_size, mincov,
+                       sig_provider=None):
+    """Sequential prev-suppression selection of pass 1 (the loop order
+    and `prev` chain mirror generate_indel_pileups.py:249,266-304)."""
+    big_trig, small_trig, impute_trig = triggers
     variants, extra = {}, {}
     prev = -1  # 0-based position threshold
     trig_idx = np.flatnonzero(big_trig | small_trig | impute_trig)
@@ -377,11 +420,20 @@ def extract_candidate_windows(rw, cview, v0, window_after, names0, names1):
 def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
                          maxcov=160, ins_t=0.4, del_t=0.6, win_size=40,
                          small_win_size=4, impute_indel_phase=False,
-                         exclude=None, ploidy="diploid", rw=None,
+                         exclude=None, ploidy="diploid", rw=None, tags=None,
                          use_device_alignment=False, preset_variants=None):
     """Full indel feature generation for one chunk (1-based chunk coords).
 
     Diploid returns IndelBatch; haploid returns HaploidIndelBatch.
+
+    When rw is None and the input is a BAM with the native library
+    available, the decode runs in two phases (engine.indel_deferred_decode):
+    the scan needs no aligned-base events, so they are emitted only at
+    the candidate anchor columns afterwards — skipping the O(bases)
+    event materialization that otherwise dominates the chunk.
+    tags: optional {qname: (hp, ps)} haplotag sidecar injected after
+    decode (the phase→indel handoff that replaces the reference's
+    phased-BAM round trip).
 
     use_device_alignment=True batches ALL read-vs-ref MSA alignments and
     consensus-vs-ref allele alignments of the chunk through the TPU
@@ -394,30 +446,49 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
     end0 = chunk["end"]
     window_after = 260 if seq_type == "pacbio" else 160
     scan_lo = max(0, start0 - 10 - win_size)
+    deferred = None
     if rw is None:
-        rw = decode_reads(bam, contig, scan_lo, end0, keep_seq=True)
+        from .engine import indel_deferred_decode
+
+        deferred = indel_deferred_decode(bam, contig, scan_lo, end0)
+        if deferred is not None:
+            rw = deferred.window
+        else:
+            rw = decode_reads(bam, contig, scan_lo, end0, keep_seq=True)
+    if tags:
+        for rid_, qname in enumerate(rw.qnames):
+            t = tags.get(qname)
+            if t is not None:
+                rw.hp[rid_] = t[0]
+                rw.ps[rid_] = t[1]
     chrom_len = fasta.get_reference_length(contig)
 
     scan_cols = np.arange(start0, end0, dtype=np.int64)
     if exclude is not None:
         scan_cols = scan_cols[~exclude.mask(contig, scan_cols)]
 
-    cview = _ColumnView(rw)
     haploid = ploidy == "haploid"
     if preset_variants is not None:
         # training path: tensorize given candidate anchors
         # (misc/training/generate_indel_pileups.py smears truth positions)
         variants, extra = dict(preset_variants), {}
-    elif haploid:
-        variants, extra = scan_indel_candidates(
-            rw, scan_cols, win_size=win_size, small_win_size=small_win_size,
-            mincov=mincov, ins_t=ins_t, del_t=del_t, haploid=True)
+        if deferred is not None:
+            deferred.finish_events(variants.keys())
+        cview = _ColumnView(rw)
     else:
-        variants, extra = scan_indel_candidates(
+        triggers = _compute_triggers(
             rw, scan_cols, win_size=win_size, small_win_size=small_win_size,
             mincov=mincov, ins_t=ins_t, del_t=del_t,
-            impute_indel_phase=impute_indel_phase,
-            sig_provider=cview.signature_groups)
+            impute_indel_phase=impute_indel_phase and not haploid,
+            haploid=haploid) if len(scan_cols) else (
+                np.zeros(0, bool), np.zeros(0, bool), np.zeros(0, bool))
+        if deferred is not None:
+            deferred.finish_events(
+                _event_columns_needed(scan_cols, triggers, win_size))
+        cview = _ColumnView(rw)
+        variants, extra = _select_candidates(
+            rw, scan_cols, triggers, win_size, mincov,
+            sig_provider=None if haploid else cview.signature_groups)
 
     max_range = {0: max(10, win_size), 1: 10}
     hap1_set = set(np.flatnonzero(rw.hp == 1).tolist())

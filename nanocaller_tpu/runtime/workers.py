@@ -72,30 +72,21 @@ def indel_features_worker(task):
     injected in memory — no phased-BAM round trip) or legacy 'sam_path'
     (a haplotagged BAM to decode from directly)."""
     idx, chunk = task
-    from ..pileup.engine import decode_reads
     from ..pileup.indel_features import get_indel_candidates
 
     cfg = _G["cfg"]
     bam = _bam_for(chunk.get("sam_path") or _G["bam_path"])
-    rw = None
+    tags = None
     tags_path = chunk.get("tags_path")
     if tags_path and not chunk.get("sam_path"):
-        scan_lo = max(0, chunk["start"] - 1 - 10 - cfg["win_size"])
-        rw = decode_reads(bam, chunk["chrom"], scan_lo, chunk["end"],
-                          keep_seq=True)
         tags = _tags_for(tags_path)
-        for rid, qname in enumerate(rw.qnames):
-            t = tags.get(qname)
-            if t is not None:
-                rw.hp[rid] = t[0]
-                rw.ps[rid] = t[1]
     batch = get_indel_candidates(
         bam, _G["fasta"], chunk, seq_type=cfg["sequencing"],
         mincov=cfg["mincov"], maxcov=cfg["maxcov"], ins_t=cfg["ins_threshold"],
         del_t=cfg["del_threshold"], win_size=cfg["win_size"],
         small_win_size=cfg["small_win_size"],
         impute_indel_phase=cfg["impute_indel_phase"], exclude=_G["exclude"],
-        ploidy=chunk.get("ploidy", "diploid"), rw=rw)
+        ploidy=chunk.get("ploidy", "diploid"), tags=tags)
     return idx, batch
 
 

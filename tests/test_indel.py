@@ -264,3 +264,56 @@ class TestEndToEndIndels:
         missing = [k for k, v in found.items() if not v]
         assert len(missing) <= 1, (missing, [(r.pos, r.ref, r.alt,
                                               r.sample_field("GT")) for r in recs])
+
+
+class TestTwoPhaseDecode:
+    """The deferred (counts-free, events-at-anchors-only) indel decode
+    must be indistinguishable from the full decode (engine.
+    indel_deferred_decode + ncio_emit_qpos vs decode_reads)."""
+
+    def test_batches_identical(self, indel_fixture):
+        (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
+        from nanocaller_tpu.io.fasta import FastaFile
+
+        bam = BamReader(bam_p)
+        fasta = FastaFile(fasta_p)
+        kw = dict(seq_type="ont", mincov=4, maxcov=160, ins_t=0.4,
+                  del_t=0.6, win_size=40, small_win_size=4)
+        chunk = {"chrom": "chr_t", "start": 1, "end": 6000,
+                 "ploidy": "diploid"}
+        rw = decode_reads(bam, "chr_t", 0, 6000, keep_seq=True)
+        full = get_indel_candidates(bam, fasta, chunk, rw=rw, **kw)
+        twophase = get_indel_candidates(bam, fasta, chunk, **kw)
+        assert len(full) > 0
+        assert list(full.pos) == list(twophase.pos)
+        assert full.alleles == twophase.alleles
+        assert full.phase == twophase.phase
+        for a, b in ((full.x0, twophase.x0), (full.x1, twophase.x1),
+                     (full.x2, twophase.x2)):
+            assert np.array_equal(a, b)
+
+    def test_qpos_or_next_semantics(self, indel_fixture):
+        """Pseudo-events must reproduce query_position_or_next exactly,
+        including columns inside deletion spans (qpos of the first
+        aligned base after the deletion) and the code=-1 convention for
+        non-aligned columns."""
+        (fasta_p, bam_p, ref_seq, _), indels = indel_fixture
+        from nanocaller_tpu.pileup.engine import indel_deferred_decode
+        from nanocaller_tpu.pileup.indel_features import _ColumnView
+
+        bam = BamReader(bam_p)
+        rw_full = decode_reads(bam, "chr_t", 0, 6000, keep_seq=True)
+        # probe columns: inside/adjacent to the planted 6 bp deletion at
+        # 1500, at the insertion anchors, plus ordinary columns
+        cols = sorted({1498, 1499, 1500, 1501, 1503, 1505, 1506,
+                       2999, 3000, 4499, 4500, 123, 5876})
+        deferred = indel_deferred_decode(bam, "chr_t", 0, 6000)
+        assert deferred is not None, "native two-phase path unavailable"
+        rw_two = deferred.finish_events(cols)
+        assert list(rw_two.qnames) == list(rw_full.qnames)
+        cv_full = _ColumnView(rw_full)
+        cv_two = _ColumnView(rw_two)
+        for col in cols:
+            assert cv_full.reads_at(col) == cv_two.reads_at(col), col
+            assert cv_full.signature_groups(col) == \
+                cv_two.signature_groups(col), col
