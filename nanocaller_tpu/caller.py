@@ -382,7 +382,8 @@ def _start_artifact_writer(cfg, contig, start0, end0, tags, out_path,
             abam = open_alignment(cfg.bam, fasta=fasta)
             try:
                 write_haplotagged_bam(abam, out_path, contig, start0, end0,
-                                      tags, fasta=fasta)
+                                      tags, fasta=fasta,
+                                      level=cfg.phased_bam_compression)
             finally:
                 abam.close()
         except Exception as e:  # noqa: BLE001 — re-raised at join
@@ -402,10 +403,11 @@ def _phased_path(phase_dir, contig, fmt):
 
 
 def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags,
-                          fasta=None):
+                          fasta=None, level=6):
     """Write the phased-BAM/CRAM artifact (whatshap haplotag | samtools
     view equivalent, indelCaller.py:243-251); CRAM when out_path ends
-    .cram (requires fasta)."""
+    .cram (requires fasta). level: BGZF deflate level (BAM path only —
+    the Python fallback and CRAM writers use their own defaults)."""
     if out_path.endswith(".cram"):
         from .io.cram import CramWriter
 
@@ -417,7 +419,8 @@ def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags,
         # spliced; BGZF + BAI written natively) — Python writer below is
         # the fallback/oracle
         try:
-            if haplotag_native(bam, out_path, contig, start0, end0, tags):
+            if haplotag_native(bam, out_path, contig, start0, end0, tags,
+                               level=level):
                 return out_path
         except Exception:
             pass

@@ -96,6 +96,13 @@ def build_parser():
     phase.add_argument("--phase", action="store_true")
     phase.add_argument("--phase_qual_score", type=float, default=10.0)
     phase.add_argument("--enable_whatshap", action="store_true")
+    phase.add_argument("--skip_phased_bam", action="store_true",
+                       help="do not write the per-contig haplotagged "
+                            "BAM/CRAM artifact (nothing downstream reads "
+                            "it; phase→indel handoff is in-memory)")
+    phase.add_argument("--phased_bam_compression", type=int, default=1,
+                       help="deflate level of the haplotagged artifact "
+                            "(1 = fastest, 6 = samtools default size)")
     return p
 
 
@@ -135,7 +142,8 @@ def config_from_args(argv=None):
         resume=args.resume, num_shards=args.num_shards,
         shard_index=args.shard_index, coordinator=args.coordinator,
         num_processes=args.num_processes, process_id=args.process_id,
-        profile=args.profile)
+        profile=args.profile, skip_phased_bam=args.skip_phased_bam,
+        phased_bam_compression=args.phased_bam_compression)
     cfg._merge_shards = args.merge_shards
     if args.preset:
         apply_preset(cfg, args.preset, explicitly_set)
