@@ -23,6 +23,14 @@
 
 #include <zlib.h>
 
+// libdeflate (when present in the image) is 2-3x faster than zlib for
+// the whole-buffer inflate/deflate/crc32 that BGZF blocks are; the
+// build probes for it (-DNCIO_USE_LIBDEFLATE -ldeflate) and falls back
+// to zlib otherwise. Same bitstreams either way.
+#ifdef NCIO_USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 namespace {
 
 constexpr int FUNMAP = 0x4;
@@ -77,6 +85,9 @@ class BgzfFile {
   explicit BgzfFile(const char* path) : fp_(fopen(path, "rb")) {}
   ~BgzfFile() {
     if (fp_) fclose(fp_);
+#ifdef NCIO_USE_LIBDEFLATE
+    if (ld_) libdeflate_free_decompressor(ld_);
+#endif
   }
   bool ok() const { return fp_ != nullptr; }
 
@@ -153,6 +164,15 @@ class BgzfFile {
                      (uint32_t(footer[7]) << 24);
     block_.resize(isize);
     if (isize > 0) {
+#ifdef NCIO_USE_LIBDEFLATE
+      if (!ld_) ld_ = libdeflate_alloc_decompressor();
+      size_t actual = 0;
+      if (libdeflate_deflate_decompress(ld_, cdata.data(), cdata_len,
+                                        block_.data(), isize, &actual) !=
+              LIBDEFLATE_SUCCESS ||
+          actual != isize)
+        return false;
+#else
       z_stream zs{};
       inflateInit2(&zs, -15);
       zs.next_in = cdata.data();
@@ -162,6 +182,7 @@ class BgzfFile {
       int rc = inflate(&zs, Z_FINISH);
       inflateEnd(&zs);
       if (rc != Z_STREAM_END) return false;
+#endif
     }
     block_coff_ = coff;
     next_coff_ = coff + bsize;
@@ -171,6 +192,9 @@ class BgzfFile {
   }
 
   FILE* fp_ = nullptr;
+#ifdef NCIO_USE_LIBDEFLATE
+  struct libdeflate_decompressor* ld_ = nullptr;
+#endif
   std::vector<uint8_t> block_;
   uint64_t block_coff_ = 0;
   uint64_t next_coff_ = 0;
@@ -2188,12 +2212,22 @@ class BgzfBatchOut {
     int nt = int(n_blocks < size_t(n_threads_) ? n_blocks : n_threads_);
     std::vector<int> bad(nt, 0);
     auto work = [&](int t) {
+#ifdef NCIO_USE_LIBDEFLATE
+      struct libdeflate_compressor* lc = libdeflate_alloc_compressor(level_);
+#endif
       for (size_t b = t; b < n_blocks; b += nt) {
         size_t off = b * kPayload;
         size_t n = (off + kPayload <= take) ? kPayload : take - off;
         const uint8_t* p = buf_.data() + off;
         std::vector<uint8_t>& out = blocks[b];
         out.resize(26 + n + n / 16 + 128);
+        size_t clen;
+#ifdef NCIO_USE_LIBDEFLATE
+        clen = libdeflate_deflate_compress(lc, p, n, out.data() + 18,
+                                           out.size() - 26);
+        if (clen == 0) { bad[t] = 1; break; }
+        uint32_t crc = libdeflate_crc32(0, p, n);
+#else
         z_stream zs{};
         deflateInit2(&zs, level_, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
         zs.next_in = const_cast<uint8_t*>(p);
@@ -2201,16 +2235,17 @@ class BgzfBatchOut {
         zs.next_out = out.data() + 18;
         zs.avail_out = uInt(out.size() - 26);
         deflate(&zs, Z_FINISH);
-        size_t clen = out.size() - 26 - zs.avail_out;
+        clen = out.size() - 26 - zs.avail_out;
         deflateEnd(&zs);
+        uint32_t crc = crc32(0, p, uInt(n));
+#endif
         size_t bsize = clen + 26;
-        if (bsize > 65536) { bad[t] = 1; return; }
+        if (bsize > 65536) { bad[t] = 1; break; }
         uint8_t hdr[18] = {0x1f, 0x8b, 0x08, 0x04, 0,    0, 0, 0, 0,
                            0xff, 0x06, 0,    0x42, 0x43, 0x02, 0, 0, 0};
         hdr[16] = uint8_t((bsize - 1) & 0xff);
         hdr[17] = uint8_t((bsize - 1) >> 8);
         memcpy(out.data(), hdr, 18);
-        uint32_t crc = crc32(0, p, uInt(n));
         uint32_t isize = uint32_t(n);
         uint8_t* foot = out.data() + 18 + clen;
         foot[0] = uint8_t(crc); foot[1] = uint8_t(crc >> 8);
@@ -2219,6 +2254,9 @@ class BgzfBatchOut {
         foot[6] = uint8_t(isize >> 16); foot[7] = uint8_t(isize >> 24);
         out.resize(bsize);
       }
+#ifdef NCIO_USE_LIBDEFLATE
+      libdeflate_free_compressor(lc);
+#endif
     };
     std::vector<std::thread> ths;
     for (int t = 1; t < nt; t++) ths.emplace_back(work, t);
