@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -802,6 +803,157 @@ struct NwBatch {
   std::vector<int64_t> scores;
 };
 
+// ---- inter-pair SIMD NW: NWL pairs in lockstep, int16 lanes ----
+//
+// Same recurrences, same traceback-bit conventions, same tie-breaks as
+// nw_align_one — cell (i,j) of lane k depends only on cells (i',j') with
+// i'≤i, j'≤j of the same lane, so lanes padded to the cohort's
+// (nmax, mmax) compute exactly the standalone DP within each lane's own
+// [0..n_k]×[0..m_k] region; scores are captured at row n_k and traceback
+// starts at (n_k, m_k). The lane loops are plain fixed-trip loops that
+// g++ -O3 -march=native auto-vectorizes (AVX2/AVX-512 int16).
+
+constexpr int NWL = 16;
+constexpr int16_t NEG16 = -16384;
+
+void nw_align_simd_block(const int8_t* const* qs, const int* ns,
+                         const int8_t* const* rs, const int* ms, int n_in,
+                         int match, int mismatch, int gap_open,
+                         int gap_extend,
+                         std::vector<uint32_t>* per_cigars,  // [n_in]
+                         int64_t* scores_out) {
+  int nmax = 0, mmax = 0;
+  for (int l = 0; l < n_in; l++) {
+    if (ns[l] > nmax) nmax = ns[l];
+    if (ms[l] > mmax) mmax = ms[l];
+  }
+  const int16_t go = int16_t(gap_open), ge = int16_t(gap_extend);
+  const int16_t ma = int16_t(match), mi = int16_t(mismatch);
+
+  // transposed codes, lane-major, widened to int16 so the whole inner
+  // loop is uniform int16 (full-width vectorization); padding code 4
+  // never matches
+  std::vector<int16_t> rT(size_t(mmax) * NWL, 4);
+  for (int l = 0; l < n_in; l++)
+    for (int j = 0; j < ms[l]; j++) rT[size_t(j) * NWL + l] = rs[l][j];
+
+  const size_t W = size_t(mmax) + 1;
+  std::vector<int16_t> H(W * NWL, 0), Hp(W * NWL), V(W * NWL, NEG16);
+  std::vector<uint8_t> tb(size_t(nmax + 1) * W * NWL, 0);
+  // row 0
+  for (size_t j = 1; j <= size_t(mmax); j++) {
+    int16_t h0 = int16_t(-(go + int(j - 1) * ge));
+    uint8_t t0 = (j == 1) ? 2 : uint8_t(2 | 8);
+    for (int l = 0; l < NWL; l++) {
+      H[j * NWL + l] = h0;
+      tb[j * NWL + l] = t0;
+    }
+  }
+  for (int i = 1; i <= nmax; i++) {
+    uint8_t tc = uint8_t(1 | (i > 1 ? 4 : 0));
+    for (int l = 0; l < NWL; l++) tb[(size_t(i) * W) * NWL + l] = tc;
+  }
+
+  alignas(64) int16_t qc[NWL];
+  alignas(64) int16_t Mprev[NWL], Mprev2[NWL], cprev[NWL];
+  for (int i = 1; i <= nmax; i++) {
+    memcpy(Hp.data(), H.data(), W * NWL * sizeof(int16_t));
+    const int16_t H0i = int16_t(-(go + (i - 1) * ge));
+    for (int l = 0; l < NWL; l++)
+      qc[l] = (l < n_in && i <= ns[l]) ? int16_t(qs[l][i - 1]) : int16_t(4);
+    // j = 0 bootstrap of the running horizontal prefix max:
+    // c[0] = G[0] - go, G[0] = H0i
+    for (int l = 0; l < NWL; l++) {
+      int16_t c0 = int16_t(H0i - go);
+      Mprev[l] = c0;   // M[0]
+      Mprev2[l] = NEG16;  // unused until j >= 2
+      cprev[l] = c0;   // c[0]
+      H[l] = H0i;
+    }
+    uint8_t* trow = &tb[size_t(i) * W * NWL];
+    const int16_t* __restrict rTp = rT.data();
+    const int16_t* __restrict Hpp = Hp.data();
+    int16_t* __restrict Hh = H.data();
+    int16_t* __restrict Vv = V.data();
+    for (size_t j = 1; j <= size_t(mmax); j++) {
+      const int16_t jge = int16_t(int(j) * ge);
+      const int16_t j1ge = int16_t(int(j - 1) * ge);
+      const int16_t* __restrict hpd = Hpp + (j - 1) * NWL;
+      const int16_t* __restrict hpj = Hpp + j * NWL;
+      int16_t* __restrict vj = Vv + j * NWL;
+      int16_t* __restrict hj = Hh + j * NWL;
+      const int16_t* __restrict rj = rTp + (j - 1) * NWL;
+      uint8_t* __restrict tj = trow + j * NWL;
+      const int16_t allow_zext = (j >= 2) ? int16_t(-1) : int16_t(0);
+      for (int l = 0; l < NWL; l++) {
+        const int16_t is_m =
+            int16_t((qc[l] == rj[l]) & (qc[l] < 4) ? -1 : 0);
+        const int16_t diag = int16_t(hpd[l] + ((is_m & ma) | (~is_m & mi)));
+        const int16_t vh = int16_t(hpj[l] - go);
+        const int16_t vv = int16_t(vj[l] - ge);
+        const int16_t Vn = vh > vv ? vh : vv;
+        vj[l] = Vn;
+        const int16_t g = diag > Vn ? diag : Vn;
+        const int16_t c = int16_t(g - go + jge);
+        const int16_t Z = int16_t(Mprev[l] - j1ge);
+        const int16_t zwin = int16_t(Z > g ? -1 : 0);
+        int16_t t = int16_t(Vn > diag ? 1 : 0);
+        t |= int16_t(vv > vh ? 4 : 0);
+        t = int16_t((zwin & ((t & 4) | 2)) | (~zwin & t));
+        t |= int16_t(allow_zext & (Mprev2[l] > cprev[l] ? 8 : 0));
+        tj[l] = uint8_t(t);
+        hj[l] = (zwin & Z) | (~zwin & g);
+        Mprev2[l] = Mprev[l];
+        Mprev[l] = Mprev[l] > c ? Mprev[l] : c;
+        cprev[l] = c;
+      }
+    }
+    for (int l = 0; l < n_in; l++)
+      if (ns[l] == i) scores_out[l] = H[size_t(ms[l]) * NWL + l];
+  }
+
+  // per-lane traceback (identical walk to nw_align_one)
+  for (int l = 0; l < n_in; l++) {
+    std::vector<uint32_t>& out = *(per_cigars + l);
+    auto push_op = [&](int op, int ln) {
+      if (ln <= 0) return;
+      if (!out.empty() && int(out.back() & 0xf) == op)
+        out.back() += uint32_t(ln) << 4;
+      else
+        out.push_back((uint32_t(ln) << 4) | op);
+    };
+    std::vector<int> ops;
+    int i = ns[l], j = ms[l], state = 0;
+    const int8_t* q = qs[l];
+    const int8_t* r = rs[l];
+    while (i > 0 || j > 0) {
+      uint8_t cell = tb[(size_t(i) * W + j) * NWL + l];
+      if (state == 0) {
+        if (j == 0) { state = 1; continue; }
+        if (i == 0) { state = 2; continue; }
+        int src = cell & 3;
+        if (src == 0) {
+          ops.push_back((q[i - 1] == r[j - 1] && q[i - 1] < 4) ? 7 : 8);
+          i--; j--;
+        } else {
+          state = src;
+        }
+      } else if (state == 1) {
+        ops.push_back(1);
+        bool ext = cell & 4;
+        i--;
+        if (!ext) state = 0;
+      } else {
+        ops.push_back(2);
+        bool ext = cell & 8;
+        j--;
+        if (!ext) state = 0;
+      }
+    }
+    for (auto it = ops.rbegin(); it != ops.rend(); ++it) push_op(*it, 1);
+  }
+}
+
 }  // namespace
 
 // queries/refs: concatenated int8 code arrays (A0 C1 G2 T3 other4 — the
@@ -813,11 +965,49 @@ void* ncio_nw_batch(const int8_t* queries, const int64_t* q_off,
   auto* b = new NwBatch();
   b->offsets.push_back(0);
   b->scores.resize(n_pairs);
+  // int16 range guard for the SIMD cohort path: every intermediate is a
+  // partial-alignment score bounded by (amax+ge)·(n+m)+go, plus the
+  // NEG16 sentinel headroom
+  int amax = std::max({std::abs(match), std::abs(mismatch),
+                       std::abs(gap_open) + std::abs(gap_extend)});
+  std::vector<std::vector<uint32_t>> per(n_pairs);
+  const int8_t* qp[NWL];
+  const int8_t* rp[NWL];
+  int ns[NWL], ms[NWL], ks[NWL];
+  int64_t sc[NWL];
+  int filled = 0;
+  auto flush = [&]() {
+    if (!filled) return;
+    std::vector<uint32_t> cig[NWL];
+    nw_align_simd_block(qp, ns, rp, ms, filled, match, mismatch, gap_open,
+                        gap_extend, cig, sc);
+    for (int l = 0; l < filled; l++) {
+      per[ks[l]] = std::move(cig[l]);
+      b->scores[ks[l]] = sc[l];
+    }
+    filled = 0;
+  };
   for (int k = 0; k < n_pairs; k++) {
-    nw_align_one(queries + q_off[k], int(q_off[k + 1] - q_off[k]),
-                 refs + r_off[k], int(r_off[k + 1] - r_off[k]),
-                 match, mismatch, gap_open, gap_extend,
-                 &b->cigars, &b->scores[k]);
+    int n = int(q_off[k + 1] - q_off[k]);
+    int m = int(r_off[k + 1] - r_off[k]);
+    int64_t bound = int64_t(amax + std::abs(gap_extend)) * (n + m) +
+                    std::abs(gap_open);
+    if (n == 0 || m == 0 || bound >= 15000) {
+      // degenerate or out of int16 range → exact scalar kernel
+      nw_align_one(queries + q_off[k], n, refs + r_off[k], m, match,
+                   mismatch, gap_open, gap_extend, &per[k], &b->scores[k]);
+      continue;
+    }
+    qp[filled] = queries + q_off[k];
+    rp[filled] = refs + r_off[k];
+    ns[filled] = n;
+    ms[filled] = m;
+    ks[filled] = k;
+    if (++filled == NWL) flush();
+  }
+  flush();
+  for (int k = 0; k < n_pairs; k++) {
+    b->cigars.insert(b->cigars.end(), per[k].begin(), per[k].end());
     b->offsets.push_back(int64_t(b->cigars.size()));
   }
   return b;
