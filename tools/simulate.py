@@ -44,16 +44,23 @@ def main(argv=None):
     L = args.length
     ref_seq = random_seq(rng, L)
     snps, indels = [], []
-    for i, pos in enumerate(range(1500, L - 1500, args.snp_spacing)):
-        rb = ref_seq[pos]
-        snps.append((pos, "ACGT"[("ACGT".index(rb) + 1) % 4],
-                     ("het1", "het2", "hom")[i % 3]))
+    indel_pos = set()
     for i, pos in enumerate(range(5000, L - 5000, args.indel_spacing)):
         gt = ("het1", "het2", "hom")[i % 3]
         if i % 2:
             indels.append((pos, "del", 3 + (i % 6), gt))
         else:
             indels.append((pos, "ins", "ACGTAC"[: 3 + (i % 4)], gt))
+        indel_pos.update(range(pos - 12, pos + 12))
+    for i, pos in enumerate(range(1500, L - 1500, args.snp_spacing)):
+        if pos in indel_pos:
+            # don't superimpose a SNP on an indel: the combined edit can
+            # erase the SNP allele from the reads, planting an uncallable
+            # truth record (observed at every lcm(spacings) position)
+            continue
+        rb = ref_seq[pos]
+        snps.append((pos, "ACGT"[("ACGT".index(rb) + 1) % 4],
+                     ("het1", "het2", "hom")[i % 3]))
 
     reads = make_diploid_readset(
         rng, ref_seq, snps=snps, indels=indels, depth=args.depth,
