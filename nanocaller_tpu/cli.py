@@ -101,8 +101,11 @@ def build_parser():
                             "BAM/CRAM artifact (nothing downstream reads "
                             "it; phase→indel handoff is in-memory)")
     phase.add_argument("--phased_bam_compression", type=int, default=1,
-                       help="deflate level of the haplotagged artifact "
-                            "(1 = fastest, 6 = samtools default size)")
+                       choices=range(1, 10), metavar="[1-9]",
+                       help="deflate level of the haplotagged BAM "
+                            "artifact (1 = fastest, 6 = samtools default "
+                            "size; CRAM artifacts use the CRAM codecs and "
+                            "ignore this)")
     return p
 
 

@@ -2403,7 +2403,10 @@ class BgzfBatchOut {
     std::vector<int> bad(nt, 0);
     auto work = [&](int t) {
 #ifdef NCIO_USE_LIBDEFLATE
+      // NULL for levels outside libdeflate's [0,12] — treat as failure
+      // rather than dereferencing (the ctypes caller falls back)
       struct libdeflate_compressor* lc = libdeflate_alloc_compressor(level_);
+      if (lc == nullptr) { bad[t] = 1; return; }
 #endif
       for (size_t b = t; b < n_blocks; b += nt) {
         size_t off = b * kPayload;
@@ -2419,14 +2422,22 @@ class BgzfBatchOut {
         uint32_t crc = libdeflate_crc32(0, p, n);
 #else
         z_stream zs{};
-        deflateInit2(&zs, level_, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+        if (deflateInit2(&zs, level_, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+          bad[t] = 1;
+          break;
+        }
         zs.next_in = const_cast<uint8_t*>(p);
         zs.avail_in = uInt(n);
         zs.next_out = out.data() + 18;
         zs.avail_out = uInt(out.size() - 26);
-        deflate(&zs, Z_FINISH);
+        int drc = deflate(&zs, Z_FINISH);
         clen = out.size() - 26 - zs.avail_out;
         deflateEnd(&zs);
+        if (drc != Z_STREAM_END) {
+          bad[t] = 1;
+          break;
+        }
         uint32_t crc = crc32(0, p, uInt(n));
 #endif
         size_t bsize = clen + 26;
