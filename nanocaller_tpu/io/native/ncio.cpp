@@ -380,10 +380,21 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
         w->ins_len.push_back(int32_t(l));
         qpos += int32_t(l);
         break;
-      case 2:  // D
-        w->del_rid.push_back(rid);
-        w->del_start.push_back(int32_t(rpos));
-        w->del_len.push_back(int32_t(l));
+      case 2: {  // D
+        // site-filtered mode: keep only deletions spanning a site —
+        // downstream (site_read_codes span logic) ignores the rest, and
+        // whole-contig phasing windows otherwise carry tens of millions
+        // of irrelevant deletion events (ONT indel noise)
+        bool keep_del = true;
+        if (!w->defer_events && n_sites > 0) {
+          const int64_t* lo = std::lower_bound(sites, sites + n_sites, rpos);
+          keep_del = (lo < sites + n_sites && *lo < rpos + l);
+        }
+        if (keep_del) {
+          w->del_rid.push_back(rid);
+          w->del_start.push_back(int32_t(rpos));
+          w->del_len.push_back(int32_t(l));
+        }
         for (int64_t i = 0; i < l; i++) {
           int64_t col = rpos + i - w->count_start;
           if (col >= 0 && size_t(col * 6) < w->counts.size())
@@ -391,6 +402,7 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
         }
         rpos += l;
         break;
+      }
       case 3:  // N
         rpos += l;
         break;
@@ -535,6 +547,22 @@ void ncio_emit_sites(void* handle, const int64_t* sites, int32_t n_sites) {
       }
     }
   }
+  // deletions follow the site-filtered decode's rule: keep only
+  // site-spanning ones (phase-1 stored them all — sites were unknown)
+  size_t kept = 0;
+  for (size_t d = 0; d < w->del_rid.size(); d++) {
+    int64_t ds = w->del_start[d], de = ds + w->del_len[d];
+    const int64_t* lo = std::lower_bound(sites, sites + n_sites, ds);
+    if (lo < sites + n_sites && *lo < de) {
+      w->del_rid[kept] = w->del_rid[d];
+      w->del_start[kept] = w->del_start[d];
+      w->del_len[kept] = w->del_len[d];
+      kept++;
+    }
+  }
+  w->del_rid.resize(kept);
+  w->del_start.resize(kept);
+  w->del_len.resize(kept);
   w->rec_store.clear();
   w->rec_store.shrink_to_fit();
   w->rec_off.clear();
@@ -2284,10 +2312,20 @@ int32_t ncio_cram_feed(
             memcpy(&seqbuf[size_t(qpos)], ft.bytes, size_t(ft.nbytes));
           qpos += ft.nbytes;
           break;
-        case 'D':
-          w->del_rid.push_back(rid32);
-          w->del_start.push_back(int32_t(rpos));
-          w->del_len.push_back(int32_t(ft.ival));
+        case 'D': {
+          // site-filtered mode keeps only site-spanning deletions
+          // (same rule as the BAM decoder)
+          bool keep_del = true;
+          if (n_sites > 0 && !w->counts_only) {
+            const int64_t* lo =
+                std::lower_bound(sites, sites + n_sites, rpos);
+            keep_del = (lo < sites + n_sites && *lo < rpos + ft.ival);
+          }
+          if (keep_del) {
+            w->del_rid.push_back(rid32);
+            w->del_start.push_back(int32_t(rpos));
+            w->del_len.push_back(int32_t(ft.ival));
+          }
           if (!w->counts.empty()) {
             for (int64_t i = 0; i < ft.ival; i++) {
               int64_t col = rpos + i - w->count_start;
@@ -2297,6 +2335,7 @@ int32_t ncio_cram_feed(
           }
           rpos += ft.ival;
           break;
+        }
         case 'N':
           rpos += ft.ival;
           break;

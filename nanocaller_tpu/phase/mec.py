@@ -102,15 +102,26 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
         comp = np.arange(S)
     comp = comp.astype(np.int64)
 
-    # adjacent-pair cis/trans votes to seed haplotype orientation
+    # adjacent-pair cis/trans votes to seed haplotype orientation.
+    # Consecutive-site pairs (pb == pa+1) dominate overwhelmingly and
+    # get dense bincount arrays; the rare skipping pairs go through the
+    # np.unique dict (sorting all ~3M pair encodings costs seconds on a
+    # whole-contig window).
     h = np.zeros(S, dtype=np.int8)
     pair_votes = {}
+    cis1 = trs1 = None
     if len(pa):
-        enc = pa * S + pb
-        uniq, inv = np.unique(enc, return_inverse=True)
-        cis = np.bincount(inv, weights=1 - trans, minlength=len(uniq))
-        trs = np.bincount(inv, weights=trans, minlength=len(uniq))
-        pair_votes = {int(e): (c, t) for e, c, t in zip(uniq, cis, trs)}
+        d1 = (pb - pa) == 1
+        cis1 = np.bincount(pa[d1], weights=1 - trans[d1], minlength=S)
+        trs1 = np.bincount(pa[d1], weights=trans[d1], minlength=S)
+        rest = ~d1
+        if rest.any():
+            enc = pa[rest] * S + pb[rest]
+            uniq, inv = np.unique(enc, return_inverse=True)
+            cis = np.bincount(inv, weights=1 - trans[rest],
+                              minlength=len(uniq))
+            trs = np.bincount(inv, weights=trans[rest], minlength=len(uniq))
+            pair_votes = {int(e): (c, t) for e, c, t in zip(uniq, cis, trs)}
     # propagate along position order within component
     by_comp = {}
     for j in range(S):
@@ -118,8 +129,11 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
     for members in by_comp.values():
         members.sort()
         for a, b in zip(members[:-1], members[1:]):
-            votes = pair_votes.get(a * S + b)
-            o = 1 if votes and votes[1] > votes[0] else 0
+            if b == a + 1 and cis1 is not None:
+                votes = (cis1[a], trs1[a])
+            else:
+                votes = pair_votes.get(a * S + b)
+            o = 1 if votes is not None and votes[1] > votes[0] else 0
             h[b] = h[a] ^ o
 
     # refinement: alternate read assignment and site flips (vectorized)
@@ -162,18 +176,20 @@ def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
         if c in ps_of_comp:
             block_ps[j] = ps_of_comp[c]
 
-    # per-read PS: component of its first phased site
+    # per-read PS: block of its first phased site (vectorized first-
+    # valid-observation lookup via minimum.reduceat over the read CSR)
     read_ps = np.full(n_reads, -1, dtype=np.int64)
-    for r in range(n_reads):
-        lo, hi = r_ptr[r], r_ptr[r + 1]
-        if read_hp[r] and hi > lo:
-            for k in range(lo, hi):
-                ps = block_ps[sidx[k]]
-                if ps >= 0:
-                    read_ps[r] = ps
-                    break
-            if read_ps[r] < 0:
-                read_hp[r] = 0
+    if len(sidx):
+        obs_ps = block_ps[sidx]
+        k_idx = np.where(obs_ps >= 0, np.arange(len(sidx)), len(sidx))
+        nonempty = r_ptr[:-1] < r_ptr[1:]
+        first = np.full(n_reads, len(sidx), dtype=np.int64)
+        first[nonempty] = np.minimum.reduceat(
+            k_idx, r_ptr[:-1][nonempty])
+        tagged = (read_hp != 0) & nonempty
+        found = tagged & (first < len(sidx))
+        read_ps[found] = obs_ps[first[found]]
+        read_hp[tagged & ~found] = 0
 
     mism = alleles != h[sidx]
     hp_of_obs = read_hp[rids]
