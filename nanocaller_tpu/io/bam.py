@@ -102,6 +102,13 @@ class AlignedRead:
 
 
 def _decode_record(data, refs):
+    try:
+        return _decode_record_inner(data, refs)
+    except (struct.error, IndexError, UnicodeDecodeError, ValueError) as e:
+        raise ValueError("corrupt BAM record: %s" % e) from e
+
+
+def _decode_record_inner(data, refs):
     (
         ref_id,
         pos,
@@ -115,12 +122,17 @@ def _decode_record(data, refs):
         _next_pos,
         _tlen,
     ) = struct.unpack_from("<iiBBHHHiiii", data, 0)
+    if l_seq < 0 or 32 + l_read_name + n_cigar * 4 + (l_seq + 1) // 2 \
+            + l_seq > len(data):
+        raise ValueError("field lengths exceed record size")
     off = 32
     qname = data[off : off + l_read_name - 1].decode()
     off += l_read_name
     cigar = []
     for _ in range(n_cigar):
         v = struct.unpack_from("<I", data, off)[0]
+        if (v & 0xF) > 8:
+            raise ValueError("invalid CIGAR op %d" % (v & 0xF))
         cigar.append((v & 0xF, v >> 4))
         off += 4
     nbytes = (l_seq + 1) // 2
@@ -338,6 +350,8 @@ class BamReader:
         if len(raw) < 4:
             return None
         (block_size,) = struct.unpack("<i", raw)
+        if block_size <= 0 or block_size > (1 << 27):
+            raise ValueError("corrupt BAM record size %d" % block_size)
         data = self._bgzf.read(block_size)
         if len(data) < block_size:
             return None

@@ -67,8 +67,16 @@ class BgzfReader:
         if bsize is None:
             raise ValueError("gzip block without BGZF BC subfield (plain gzip?)")
         cdata = self._fh.read(bsize - xlen - 20)
-        crc, isize = struct.unpack("<II", self._fh.read(8))
-        data = zlib.decompress(cdata, wbits=-15)
+        footer = self._fh.read(8)
+        if len(footer) < 8:
+            raise ValueError("truncated BGZF block at offset %d" % coffset)
+        crc, isize = struct.unpack("<II", footer)
+        try:
+            data = zlib.decompress(cdata, wbits=-15)
+        except zlib.error as e:
+            raise ValueError(
+                "corrupt BGZF deflate stream at offset %d: %s"
+                % (coffset, e)) from e
         if len(data) != isize:
             raise ValueError("BGZF block ISIZE mismatch")
         return data, bsize

@@ -76,6 +76,13 @@ def itf8_put(v: int) -> bytes:
 
 
 def itf8_get(data, pos):
+    try:
+        return _itf8_get(data, pos)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated CRAM varint at offset %d" % pos) from e
+
+
+def _itf8_get(data, pos):
     b0 = data[pos]
     if b0 < 0x80:
         v, n = b0, 1
@@ -116,6 +123,13 @@ def ltf8_put(v: int) -> bytes:
 
 
 def ltf8_get(data, pos):
+    try:
+        return _ltf8_get(data, pos)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated CRAM varint at offset %d" % pos) from e
+
+
+def _ltf8_get(data, pos):
     b0 = data[pos]
     n_extra = 0
     mask = 0x80

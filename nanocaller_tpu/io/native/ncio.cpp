@@ -254,6 +254,16 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
   memcpy(&l_seq, data + 16, 4);
   if (flag & (FUNMAP | flag_exclude)) return;
   if (pos >= end) return;
+  // corrupt-field validation: every offset below must land inside the
+  // record, and the CIGAR's query consumption must fit l_seq — a flipped
+  // bit in any length field otherwise walks the decoder out of bounds
+  if (l_seq < 0 ||
+      32 + size_t(l_read_name) + size_t(n_cigar) * 4 +
+              size_t(uint32_t(l_seq) + 1) / 2 + size_t(uint32_t(l_seq)) >
+          len) {
+    w->error = "corrupt BAM record (field lengths exceed record)";
+    return;
+  }
 
   size_t off = 32;
   const char* qname = reinterpret_cast<const char*>(data + off);
@@ -264,13 +274,18 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
   off += (l_seq + 1) / 2;
   off += l_seq;  // qual
 
-  // reference span check
-  int64_t ref_len = 0;
+  // reference span + query-consumption check
+  int64_t ref_len = 0, q_len = 0;
   for (int k = 0; k < n_cigar; k++) {
     uint32_t v;
     memcpy(&v, cigar_p + 4 * k, 4);
     uint32_t op = v & 0xf, l = v >> 4;
     if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_len += l;
+    if (op == 0 || op == 1 || op == 4 || op == 7 || op == 8) q_len += l;
+  }
+  if (q_len > l_seq) {
+    w->error = "corrupt BAM record (CIGAR exceeds sequence length)";
+    return;
   }
   if (pos + ref_len <= start) return;
 
@@ -284,6 +299,7 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
       char t0 = char(p[0]), t1 = char(p[1]), typ = char(p[2]);
       p += 3;
       size_t vsz = tag_value_size(typ, p, tag_end);
+      if (p + vsz > tag_end) break;  // truncated tag value
       if (t0 == 'H' && t1 == 'P' && typ != 'Z' && typ != 'B' && typ != 'f')
         hp = int8_t(tag_to_int(p, typ));
       if (t0 == 'P' && t1 == 'S' && typ != 'Z' && typ != 'B' && typ != 'f')

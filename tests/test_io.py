@@ -147,3 +147,92 @@ class TestBed:
         b = BedIntervals(p)
         assert b.overlaps("chrZ", 15)
         assert not b.overlaps("chrZ", 20)
+
+
+class TestCorruptionFuzz:
+    """Random corruption must surface as clean ValueError/OSError (or be
+    harmless), never IndexError/struct.error/KeyError — actionable
+    errors are part of the IO contract (SURVEY §5.3 contrast)."""
+
+    ACCEPT = (ValueError, OSError, EOFError)
+
+    def _exercise(self, path, fasta):
+        from nanocaller_tpu.io.bam import open_alignment
+        from nanocaller_tpu.pileup.engine import decode_reads
+
+        obj = open_alignment(path, fasta=fasta)
+        rw = decode_reads(obj, "chr_t", 0, 6000, keep_seq=True)
+        # force both native and oracle paths to walk the records
+        rw2 = decode_reads(obj, "chr_t", 0, 6000, keep_seq=True,
+                           use_native=False)
+        return rw.n_reads + rw2.n_reads
+
+    def test_bam_bitflips_and_truncation(self, tmp_path):
+        import numpy as np
+        from fixtures import make_fixture
+        from nanocaller_tpu.io.fasta import FastaFile
+
+        fasta_p, bam_p, _, _ = make_fixture(tmp_path, L=6000, depth=12,
+                                            read_len=700, seed=3)
+        fasta = FastaFile(fasta_p)
+        blob = open(bam_p, "rb").read()
+        self._exercise(bam_p, fasta)  # sanity: clean file works
+        rng = np.random.default_rng(0)
+        bad = str(tmp_path / "bad.bam")
+        for trial in range(40):
+            data = bytearray(blob)
+            if trial % 2:
+                # flip 1-4 random bytes
+                for _ in range(int(rng.integers(1, 5))):
+                    i = int(rng.integers(0, len(data)))
+                    data[i] ^= int(rng.integers(1, 256))
+            else:
+                data = data[: int(rng.integers(10, len(data)))]
+            with open(bad, "wb") as fh:
+                fh.write(bytes(data))
+            # also corrupt/remove the index half the time
+            if trial % 4 == 0:
+                open(bad + ".bai", "wb").write(b"junk")
+            else:
+                import shutil
+                shutil.copy(bam_p + ".bai", bad + ".bai")
+            try:
+                self._exercise(bad, fasta)
+            except self.ACCEPT:
+                pass  # clean, actionable failure
+
+    def test_cram_bitflips(self, tmp_path):
+        import numpy as np
+        from fixtures import make_fixture
+        from nanocaller_tpu.io.bam import BamReader
+        from nanocaller_tpu.io.cram import CramWriter
+        from nanocaller_tpu.io.fasta import FastaFile
+
+        fasta_p, bam_p, _, _ = make_fixture(tmp_path, L=6000, depth=12,
+                                            read_len=700, seed=5)
+        fasta = FastaFile(fasta_p)
+        cram_p = str(tmp_path / "c.cram")
+        br = BamReader(bam_p)
+        with CramWriter(cram_p, br.references, br.lengths, fasta) as w:
+            for rd in br.fetch("chr_t", 0, 6000):
+                w.write(rd)
+        self._exercise(cram_p, fasta)
+        blob = open(cram_p, "rb").read()
+        crai = open(cram_p + ".crai", "rb").read()
+        rng = np.random.default_rng(1)
+        bad = str(tmp_path / "bad.cram")
+        for trial in range(40):
+            data = bytearray(blob)
+            if trial % 2:
+                for _ in range(int(rng.integers(1, 5))):
+                    i = int(rng.integers(0, len(data)))
+                    data[i] ^= int(rng.integers(1, 256))
+            else:
+                data = data[: int(rng.integers(10, len(data)))]
+            with open(bad, "wb") as fh:
+                fh.write(bytes(data))
+            open(bad + ".crai", "wb").write(crai)
+            try:
+                self._exercise(bad, fasta)
+            except self.ACCEPT:
+                pass
