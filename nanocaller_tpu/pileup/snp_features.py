@@ -330,36 +330,61 @@ def get_snp_candidates(
     read_mask = np.zeros((B, Rmax), dtype=bool)
     col_ref = np.full((B, WIDTH), 4, dtype=np.int8)
     col_valid = np.zeros((B, WIDTH), dtype=bool)
-    fwd_dp = np.zeros((B, 4), dtype=np.int32)
-    rev_dp = np.zeros((B, 4), dtype=np.int32)
-    sampled_depth = np.zeros(B, dtype=np.int32)
     rid_mat = np.full((B, Rmax), -1, dtype=np.int64)
 
     ref_at = lambda p: ref_codes[p - scan_start]
 
-    for i in range(B):
-        v = cand_pos[i]
-        si = cand_site_i[i]
-        rids, ccodes = sc.at(si)
-        # strand-split base counts over ALL reads at the column
-        oh = np.eye(5, dtype=np.int32)[ccodes.astype(np.int64)][:, :4]
-        rev = rw.strand[rids].astype(bool)
-        fwd_dp[i] = oh[~rev].sum(axis=0)
-        rev_dp[i] = oh[rev].sum(axis=0)
+    # strand-split counts + per-candidate read lists, vectorized over the
+    # SiteCodes CSR (a per-candidate python loop here was ~35% of host
+    # feature time at 45×). Candidate-site observations are selected via
+    # a site→candidate map; counts become two bincounts over fused
+    # (candidate, base) keys; read lists scatter through a ragged arange.
+    from .engine import _ragged_arange
+
+    S = len(union_sites)
+    cand_of_site = np.full(S, -1, dtype=np.int64)
+    cand_of_site[cand_site_i] = np.arange(B)
+    obs_site = np.repeat(np.arange(S, dtype=np.int64), np.diff(sc.indptr))
+    obs_cand = cand_of_site[obs_site]
+    sel = obs_cand >= 0
+    ci = obs_cand[sel]
+    ccode_all = sc.code[sel].astype(np.int64)
+    crev = rw.strand[sc.rid[sel]].astype(bool)
+    base_ok = ccode_all < 4
+    fwd_dp = np.bincount(ci[base_ok & ~crev] * 4 + ccode_all[base_ok & ~crev],
+                         minlength=B * 4).astype(np.int32).reshape(B, 4)
+    rev_dp = np.bincount(ci[base_ok & crev] * 4 + ccode_all[base_ok & crev],
+                         minlength=B * 4).astype(np.int32).reshape(B, 4)
+
+    counts_c = (sc.indptr[cand_site_i + 1]
+                - sc.indptr[cand_site_i]).astype(np.int64)
+    take = counts_c.copy()
+    deep = counts_c > maxcov
+    take[deep] = 0  # deep sites handled by the seeded-downsampling loop
+    nz = np.flatnonzero(take > 0)
+    if len(nz):
+        row = np.repeat(nz, take[nz])
+        pos_in_row = _ragged_arange(take[nz])
+        src = np.repeat(sc.indptr[cand_site_i[nz]].astype(np.int64),
+                        take[nz]) + pos_in_row
+        rid_mat[row, pos_in_row] = sc.rid[src]
+        codes[row, pos_in_row, CENTER] = sc.code[src]
+        read_mask[row, pos_in_row] = True
+    sampled_depth = np.minimum(counts_c, maxcov).astype(np.int32)
+    col_ref[:, CENTER] = ref_codes[cand_pos - scan_start]
+    col_valid[:, CENTER] = True
+    for i in np.flatnonzero(deep):
         # maxcov downsampling (deterministic, position-keyed)
-        if len(rids) > maxcov:
-            rng = np.random.default_rng((812 << 32) | int(v))
-            pick = rng.choice(len(rids), size=maxcov, replace=False)
-            pick.sort()
-            rids = rids[pick]
-            ccodes = ccodes[pick]
-        R = len(rids)
-        sampled_depth[i] = R
-        read_mask[i, :R] = True
-        rid_mat[i, :R] = rids
-        codes[i, :R, CENTER] = ccodes
-        col_ref[i, CENTER] = ref_at(v)
-        col_valid[i, CENTER] = True
+        v = cand_pos[i]
+        rids, ccodes = sc.at(cand_site_i[i])
+        rng = np.random.default_rng((812 << 32) | int(v))
+        pick = rng.choice(len(rids), size=maxcov, replace=False)
+        pick.sort()
+        rids = rids[pick]
+        ccodes = ccodes[pick]
+        read_mask[i, :maxcov] = True
+        rid_mat[i, :maxcov] = rids
+        codes[i, :maxcov, CENTER] = ccodes
 
     # neighbor-column codes for all candidates in one (site,rid)-key lookup:
     # the SiteCodes triplets are sorted by (site, rid), so a single global
