@@ -157,14 +157,24 @@ class TestCorruptionFuzz:
     ACCEPT = (ValueError, OSError, EOFError)
 
     def _exercise(self, path, fasta):
+        import numpy as np
         from nanocaller_tpu.io.bam import open_alignment
-        from nanocaller_tpu.pileup.engine import decode_reads
+        from nanocaller_tpu.pileup.engine import (decode_reads,
+                                                  deferred_decode,
+                                                  indel_deferred_decode)
 
         obj = open_alignment(path, fasta=fasta)
         rw = decode_reads(obj, "chr_t", 0, 6000, keep_seq=True)
         # force both native and oracle paths to walk the records
         rw2 = decode_reads(obj, "chr_t", 0, 6000, keep_seq=True,
                            use_native=False)
+        # the two-phase decoders re-walk stashed records independently
+        dd = deferred_decode(obj, "chr_t", 0, 6000)
+        if dd is not None:
+            dd.finish(np.array([100, 3000, 5900], np.int64))
+        idd = indel_deferred_decode(obj, "chr_t", 0, 6000)
+        if idd is not None:
+            idd.finish_events([100, 3000, 5900])
         return rw.n_reads + rw2.n_reads
 
     def test_bam_bitflips_and_truncation(self, tmp_path):
