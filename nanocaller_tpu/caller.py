@@ -375,6 +375,13 @@ def _start_artifact_writer(cfg, contig, start0, end0, tags, out_path,
     import threading
     import time as _time
 
+    # deflate-thread budget: when indel calling overlaps this write
+    # (mode=all) leave the worker cores alone; otherwise let the pool
+    # auto-size
+    threads = 0
+    if cfg.mode == "all":
+        threads = max(1, (os.cpu_count() or 2) - cfg.cpu)
+
     def _write():
         t0 = _time.perf_counter()
         try:
@@ -383,7 +390,8 @@ def _start_artifact_writer(cfg, contig, start0, end0, tags, out_path,
             try:
                 write_haplotagged_bam(abam, out_path, contig, start0, end0,
                                       tags, fasta=fasta,
-                                      level=cfg.phased_bam_compression)
+                                      level=cfg.phased_bam_compression,
+                                      threads=threads)
             finally:
                 abam.close()
         except Exception as e:  # noqa: BLE001 — re-raised at join
@@ -403,11 +411,12 @@ def _phased_path(phase_dir, contig, fmt):
 
 
 def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags,
-                          fasta=None, level=6):
+                          fasta=None, level=6, threads=0):
     """Write the phased-BAM/CRAM artifact (whatshap haplotag | samtools
     view equivalent, indelCaller.py:243-251); CRAM when out_path ends
-    .cram (requires fasta). level: BGZF deflate level (BAM path only —
-    the Python fallback and CRAM writers use their own defaults)."""
+    .cram (requires fasta). level/threads: BGZF deflate level and pool
+    size (BAM path only — the Python fallback and CRAM writers use their
+    own defaults; threads=0 auto-sizes)."""
     if out_path.endswith(".cram"):
         from .io.cram import CramWriter
 
@@ -420,7 +429,7 @@ def write_haplotagged_bam(bam, out_path, contig, start0, end0, tags,
         # the fallback/oracle
         try:
             if haplotag_native(bam, out_path, contig, start0, end0, tags,
-                               level=level):
+                               level=level, threads=threads):
                 return out_path
         except Exception:
             pass

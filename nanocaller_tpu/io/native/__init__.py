@@ -79,7 +79,7 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int32, ctypes.c_int32]
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.ncio_counts_width.restype = ctypes.c_int64
         lib.ncio_counts_width.argtypes = [ctypes.c_void_p]
         lib.ncio_counts_fill.argtypes = [ctypes.c_void_p,
@@ -398,9 +398,12 @@ def decode_window_deferred(bam_reader, contig, start, end, flag_exclude,
     return DeferredDecode(lib, handle, start, end)
 
 
-def haplotag_native(bam_reader, out_path, contig, start, end, tags, level=6):
+def haplotag_native(bam_reader, out_path, contig, start, end, tags, level=6,
+                    threads=0):
     """Write the haplotagged-BAM artifact in one C++ pass (stream region
     records, splice HP/PS tags, BGZF-write + BAI). tags: {qname: (hp, ps)}.
+    threads: deflate pool size (0 = auto); callers overlapping this write
+    with feature workers pass a budget so the cores aren't oversubscribed.
     Returns True on success; False → caller uses the Python writer."""
     import struct
 
@@ -443,7 +446,8 @@ def haplotag_native(bam_reader, out_path, contig, start, end, tags, level=6):
         p(chunks, ctypes.c_uint64), len(chunks) // 2,
         p(hdr_arr, ctypes.c_uint8), len(hdr_arr),
         len(bam_reader.references), qcat, p(off, ctypes.c_int64),
-        p(hp, ctypes.c_int8), p(ps, ctypes.c_int64), n_tags, level)
+        p(hp, ctypes.c_int8), p(ps, ctypes.c_int64), n_tags, level,
+        threads)
     return rc == 0
 
 

@@ -2576,10 +2576,14 @@ int32_t ncio_haplotag(const char* in_path, const char* out_path,
                       const uint8_t* hdr, int64_t hdr_len, int32_t n_ref,
                       const char* tag_qnames, const int64_t* tag_off,
                       const int8_t* tag_hp, const int64_t* tag_ps,
-                      int32_t n_tags, int32_t level) {
+                      int32_t n_tags, int32_t level, int32_t threads) {
   BgzfFile in(in_path);
   if (!in.ok()) return 1;
-  int n_threads = int(std::thread::hardware_concurrency());
+  // threads <= 0: auto (min(hw, 4)); callers overlapping this write
+  // with other CPU work pass an explicit budget so the deflate pool
+  // doesn't oversubscribe the worker cores
+  int n_threads = threads > 0 ? int(threads)
+                              : int(std::thread::hardware_concurrency());
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 4) n_threads = 4;
   BgzfBatchOut out(out_path, level, n_threads);
