@@ -104,7 +104,8 @@ class AlignedRead:
 def _decode_record(data, refs):
     try:
         return _decode_record_inner(data, refs)
-    except (struct.error, IndexError, UnicodeDecodeError, ValueError) as e:
+    except (struct.error, IndexError, KeyError, UnicodeDecodeError,
+            ValueError) as e:
         raise ValueError("corrupt BAM record: %s" % e) from e
 
 
@@ -122,19 +123,27 @@ def _decode_record_inner(data, refs):
         _next_pos,
         _tlen,
     ) = struct.unpack_from("<iiBBHHHiiii", data, 0)
-    if l_seq < 0 or 32 + l_read_name + n_cigar * 4 + (l_seq + 1) // 2 \
-            + l_seq > len(data):
+    if l_seq < 0 or l_read_name == 0 or 32 + l_read_name + n_cigar * 4 \
+            + (l_seq + 1) // 2 + l_seq > len(data):
         raise ValueError("field lengths exceed record size")
     off = 32
     qname = data[off : off + l_read_name - 1].decode()
     off += l_read_name
     cigar = []
+    q_len = 0
     for _ in range(n_cigar):
         v = struct.unpack_from("<I", data, off)[0]
         if (v & 0xF) > 8:
             raise ValueError("invalid CIGAR op %d" % (v & 0xF))
+        if (v & 0xF) in (0, 1, 4, 7, 8):
+            q_len += v >> 4
         cigar.append((v & 0xF, v >> 4))
         off += 4
+    # SEQ '*' (l_seq == 0) with a real CIGAR is spec-legal; a nonzero
+    # l_seq shorter than the CIGAR's query consumption is corruption
+    # (matches the C++ decoder's rule)
+    if 0 < l_seq < q_len:
+        raise ValueError("CIGAR exceeds sequence length")
     nbytes = (l_seq + 1) // 2
     packed = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=off)
     off += nbytes

@@ -55,12 +55,18 @@ class BgzfReader:
         if len(header) < 18 or header[0] != 0x1F or header[1] != 0x8B:
             raise ValueError("not a BGZF block at offset %d" % coffset)
         xlen = struct.unpack("<H", header[10:12])[0]
+        if xlen < 6:
+            raise ValueError("corrupt BGZF XLEN %d at offset %d"
+                             % (xlen, coffset))
         extra = header[12:] + self._fh.read(xlen - 6)
         bsize = None
         i = 0
         while i + 4 <= len(extra):
             si1, si2, slen = extra[i], extra[i + 1], struct.unpack("<H", extra[i + 2 : i + 4])[0]
             if si1 == 66 and si2 == 67 and slen == 2:
+                if i + 6 > len(extra):
+                    raise ValueError("truncated BGZF BC subfield at offset %d"
+                                     % coffset)
                 bsize = struct.unpack("<H", extra[i + 4 : i + 6])[0] + 1
                 break
             i += 4 + slen
@@ -79,6 +85,10 @@ class BgzfReader:
                 % (coffset, e)) from e
         if len(data) != isize:
             raise ValueError("BGZF block ISIZE mismatch")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                "BGZF block CRC mismatch at offset %d (corrupt data)"
+                % coffset)
         return data, bsize
 
     def _load_block(self, coffset):

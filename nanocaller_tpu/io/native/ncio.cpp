@@ -163,6 +163,8 @@ class BgzfFile {
     if (fread(footer, 1, 8, fp_) != 8) return false;
     uint32_t isize = footer[4] | (footer[5] << 8) | (footer[6] << 16) |
                      (uint32_t(footer[7]) << 24);
+    uint32_t want_crc = footer[0] | (footer[1] << 8) | (footer[2] << 16) |
+                        (uint32_t(footer[3]) << 24);
     block_.resize(isize);
     if (isize > 0) {
 #ifdef NCIO_USE_LIBDEFLATE
@@ -173,6 +175,8 @@ class BgzfFile {
               LIBDEFLATE_SUCCESS ||
           actual != isize)
         return false;
+      if (libdeflate_crc32(0, block_.data(), isize) != want_crc)
+        return false;  // corruption that still inflated cleanly
 #else
       z_stream zs{};
       inflateInit2(&zs, -15);
@@ -183,6 +187,7 @@ class BgzfFile {
       int rc = inflate(&zs, Z_FINISH);
       inflateEnd(&zs);
       if (rc != Z_STREAM_END) return false;
+      if (crc32(0, block_.data(), isize) != want_crc) return false;
 #endif
     }
     block_coff_ = coff;
@@ -256,8 +261,10 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
   if (pos >= end) return;
   // corrupt-field validation: every offset below must land inside the
   // record, and the CIGAR's query consumption must fit l_seq — a flipped
-  // bit in any length field otherwise walks the decoder out of bounds
-  if (l_seq < 0 ||
+  // bit in any length field otherwise walks the decoder out of bounds.
+  // l_read_name includes the NUL, so 0 is invalid (and would underflow
+  // the qname append below).
+  if (l_seq < 0 || l_read_name == 0 ||
       32 + size_t(l_read_name) + size_t(n_cigar) * 4 +
               size_t(uint32_t(l_seq) + 1) / 2 + size_t(uint32_t(l_seq)) >
           len) {
@@ -280,9 +287,14 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
     uint32_t v;
     memcpy(&v, cigar_p + 4 * k, 4);
     uint32_t op = v & 0xf, l = v >> 4;
+    if (op > 8) {  // BAM defines ops 0-8 only (matches the Python oracle)
+      w->error = "corrupt BAM record (invalid CIGAR op)";
+      return;
+    }
     if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_len += l;
     if (op == 0 || op == 1 || op == 4 || op == 7 || op == 8) q_len += l;
   }
+  if (l_seq == 0 && q_len > 0) return;  // SEQ '*' (legal): no base data
   if (q_len > l_seq) {
     w->error = "corrupt BAM record (CIGAR exceeds sequence length)";
     return;
@@ -2331,8 +2343,8 @@ int32_t ncio_cram_feed(
         case 'D': {
           // site-filtered mode keeps only site-spanning deletions
           // (same rule as the BAM decoder)
-          bool keep_del = true;
-          if (n_sites > 0 && !w->counts_only) {
+          bool keep_del = !w->counts_only;  // phase-1 discards the window
+          if (n_sites > 0 && keep_del) {
             const int64_t* lo =
                 std::lower_bound(sites, sites + n_sites, rpos);
             keep_del = (lo < sites + n_sites && *lo < rpos + ft.ival);

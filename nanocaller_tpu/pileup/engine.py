@@ -120,6 +120,8 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
     for read in reads:
         if read.flag & flag_exclude:
             continue
+        if not read.seq and any(op in (0, 1, 4, 7, 8) for op, _ in read.cigar):
+            continue  # SEQ '*': no base data (matches the C++ decoder)
         qnames.append(read.qname)
         flags.append(read.flag)
         strands.append(1 if read.flag & FREVERSE else 0)

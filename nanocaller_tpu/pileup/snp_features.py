@@ -332,8 +332,6 @@ def get_snp_candidates(
     col_valid = np.zeros((B, WIDTH), dtype=bool)
     rid_mat = np.full((B, Rmax), -1, dtype=np.int64)
 
-    ref_at = lambda p: ref_codes[p - scan_start]
-
     # strand-split counts + per-candidate read lists, vectorized over the
     # SiteCodes CSR (a per-candidate python loop here was ~35% of host
     # feature time at 45×). Candidate-site observations are selected via

@@ -282,3 +282,35 @@ class TestNativeMsaProject:
             assert np.array_equal(a[2], b[2]), trial
             assert a[3] == b[3], trial  # consensus
             assert a[4] == b[4], trial  # de-gapped ref
+
+
+class TestSeqlessReads:
+    """SEQ '*' (l_seq=0 with a real CIGAR) is spec-legal (SAM §1.4):
+    both decoders must skip such reads identically — they carry no base
+    data for pileups — without flagging the window as corrupt."""
+
+    def test_both_decoders_skip_seqless(self, tmp_path):
+        from nanocaller_tpu.io.bam import AlignedRead, BamReader, BamWriter
+
+        path = str(tmp_path / "s.bam")
+        with BamWriter(path, ["chr_t"], [5000]) as w:
+            w.write(AlignedRead("withseq", 0, 0, 100, 60, [(0, 50)],
+                                "A" * 50, np.full(50, 30, np.uint8), {}))
+            w.write(AlignedRead("noseq", 0, 0, 120, 60, [(0, 50)],
+                                "", np.zeros(0, np.uint8), {}))
+        bam = BamReader(path)
+        nat = decode_reads(bam, "chr_t", 0, 5000, keep_seq=True)
+        py = decode_reads(bam, "chr_t", 0, 5000, keep_seq=True,
+                          use_native=False)
+        assert nat.qnames == ["withseq"]
+        assert py.qnames == ["withseq"]
+        assert_windows_equal_rw(nat, py)
+
+
+def assert_windows_equal_rw(a, b):
+    assert a.qnames == b.qnames
+    np.testing.assert_array_equal(a.ev_pos, b.ev_pos)
+    np.testing.assert_array_equal(a.ev_code, b.ev_code)
+    np.testing.assert_array_equal(a.ev_qpos, b.ev_qpos)
+    np.testing.assert_array_equal(a.read_start, b.read_start)
+    np.testing.assert_array_equal(a.read_end, b.read_end)
