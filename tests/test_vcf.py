@@ -82,3 +82,38 @@ class TestVcfRoundtrip:
                 w.write(r)
         out = concat([p1, p2], str(tmp_path / "c.vcf.gz"))
         assert [r.pos for r in VcfReader(out)] == [10, 20, 30]
+
+
+class TestVcfCorruptionFuzz:
+    """Corrupt VCF shards (the distributed merge reads these back) must
+    fail with clean errors, never stray exceptions."""
+
+    def test_bitflips_and_truncation(self, tmp_path):
+        import numpy as np
+        from nanocaller_tpu.io.vcf import VcfReader, VcfWriter
+
+        path = str(tmp_path / "v.vcf.gz")
+        header = ["##fileformat=VCFv4.2",
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+        with VcfWriter(path, header) as w:
+            for p in range(100, 6000, 37):
+                w.write("chr_t\t%d\t.\tA\tC\t%d.5\tPASS\t.\tGT:DP\t0/1:%d\n"
+                        % (p, p % 90, p % 60))
+        blob = open(path, "rb").read()
+        rng = np.random.default_rng(2)
+        bad = str(tmp_path / "bad.vcf.gz")
+        for trial in range(50):
+            data = bytearray(blob)
+            if trial % 2:
+                for _ in range(int(rng.integers(1, 5))):
+                    i = int(rng.integers(0, len(data)))
+                    data[i] ^= int(rng.integers(1, 256))
+            else:
+                data = data[: int(rng.integers(10, len(data)))]
+            with open(bad, "wb") as fh:
+                fh.write(bytes(data))
+            try:
+                for r in VcfReader(bad):
+                    _ = r.pos, r.qual_value, r.filter, r.sample_field("GT")
+            except (ValueError, OSError, EOFError):
+                pass
