@@ -20,8 +20,13 @@ from nanocaller_tpu.io.fasta import write_fasta
 BASES = "ACGT"
 
 
+_BASE_BYTES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
 def random_seq(rng, n):
-    return "".join(BASES[i] for i in rng.integers(0, 4, size=n))
+    # same rng draw as the original generator-join, so sequences are
+    # seed-identical; the byte-LUT path is ~100x faster at chr scale
+    return bytes(_BASE_BYTES[rng.integers(0, 4, size=n)]).decode()
 
 
 def make_diploid_readset(
