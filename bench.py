@@ -35,7 +35,7 @@ def measure_tpu(batch=8192, iters=16, windows=3):
     arg_sets = [_example_batch(B=batch, seed=s) for s in range(4)]
     out = fn(*jax.device_put(arg_sets[0]))
     jax.block_until_ready(out)  # compile
-    best = 0.0
+    window_rates = []
     for _ in range(windows):
         t0 = time.perf_counter()
         pending = jax.device_put(arg_sets[0])
@@ -46,8 +46,8 @@ def measure_tpu(batch=8192, iters=16, windows=3):
             pending = nxt
         jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
-        best = max(best, batch * iters / dt)
-    return best
+        window_rates.append(batch * iters / dt)
+    return window_rates
 
 
 def measure_cpu_reference(batch=1000, iters=5):
@@ -106,7 +106,9 @@ def measure_cpu_reference(batch=1000, iters=5):
 
 
 def main():
-    value = measure_tpu()
+    window_rates = measure_tpu()
+    value = max(window_rates)  # headline: best window (tunnel stalls, see
+    # measure_tpu docstring); all windows kept for auditability (advisor r1)
     base = measure_cpu_reference()
     vs = (value / base) if base else None
     print(json.dumps({
@@ -114,6 +116,8 @@ def main():
         "value": round(value, 1),
         "unit": "sites/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "windows_sites_per_s": [round(r, 1) for r in window_rates],
+        "baseline_sites_per_s": round(base, 1) if base else None,
     }))
 
 

@@ -320,6 +320,12 @@ class IndelDeferredWindow:
         w = self.window
         w.ev_rid, w.ev_pos, w.ev_code, w.ev_qpos = (
             ev_rid, ev_pos, ev_code, ev_qpos)
+        # record which columns have events: a query at any other column
+        # would silently fall through to an unrelated read's qpos; the
+        # _ColumnView consumers assert membership so a coverage gap in
+        # _event_columns_needed fails loudly instead of corrupting
+        # features (advisor finding r1)
+        w.emitted_cols = frozenset(cols_arr.tolist())
         return w
 
     def close(self):

@@ -342,6 +342,10 @@ class _ColumnView:
 
     def __init__(self, rw: ReadWindow):
         self.rw = rw
+        # when the window came from a deferred emit_qpos decode, only the
+        # emitted columns carry events — any other column would resolve to
+        # a wrong qpos silently, so guard every lookup
+        self._emitted = getattr(rw, "emitted_cols", None)
         # events are emitted read-by-read in CIGAR order → ev_rid is
         # non-decreasing and ev_pos ascending within a read
         # dtype must match ev_rid's: a mixed-dtype searchsorted silently
@@ -349,7 +353,14 @@ class _ColumnView:
         self.indptr = np.searchsorted(
             rw.ev_rid, np.arange(rw.n_reads + 1, dtype=rw.ev_rid.dtype))
 
+    def _check_emitted(self, col):
+        if self._emitted is not None and int(col) not in self._emitted:
+            raise AssertionError(
+                "deferred indel decode: column %d queried but not emitted "
+                "(gap in _event_columns_needed)" % int(col))
+
     def reads_at(self, col):
+        self._check_emitted(col)
         rw = self.rw
         covering = np.flatnonzero((rw.read_start <= col) & (col < rw.read_end))
         out = []

@@ -348,7 +348,10 @@ def get_snp_candidates(
     ci = obs_cand[sel]
     ccode_all = sc.code[sel].astype(np.int64)
     crev = rw.strand[sc.rid[sel]].astype(bool)
-    base_ok = ccode_all < 4
+    # guard both ends: SNP SiteCodes codes are 0-4 today, but the indel
+    # pseudo-event convention uses -1, and a negative code here would
+    # corrupt the fused bincount key (advisor finding r1)
+    base_ok = (ccode_all >= 0) & (ccode_all < 4)
     fwd_dp = np.bincount(ci[base_ok & ~crev] * 4 + ccode_all[base_ok & ~crev],
                          minlength=B * 4).astype(np.int32).reshape(B, 4)
     rev_dp = np.bincount(ci[base_ok & crev] * 4 + ccode_all[base_ok & crev],
