@@ -38,16 +38,31 @@ def _hap_indel_forward(params, x):
 class IndelCallerState:
     params: dict
     hap_params: dict
+    # multi-chip serving mesh (all-dp), see SnpCallerState.mesh
+    mesh: object = None
 
     @classmethod
-    def create(cls, indel_model_name):
+    def create(cls, indel_model_name, mesh="auto"):
+        from .runtime.sharding import inference_mesh, replicated
+
         params, _ = load_model("indel", indel_model_name)
         hap_params, _ = load_model("indel", "haploid")
-        return cls(params=params, hap_params=hap_params)
+        if mesh == "auto":
+            mesh = inference_mesh()
+        if mesh is not None:
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            hap_params = jax.device_put(hap_params, rep)
+        return cls(params=params, hap_params=hap_params, mesh=mesh)
 
 
-def _run_stacked(forward, params, x, batch_size):
-    """Padded fixed-shape device batches over stacked input rows."""
+def _run_stacked(forward, params, x, batch_size, mesh=None):
+    """Padded fixed-shape device batches over stacked input rows; with a
+    mesh, each padded batch is split over the 'dp' axis (params stay
+    replicated — device_put'd once by IndelCallerState.create)."""
+    from .runtime.sharding import dp_scale, shard_batch
+
+    batch_size = dp_scale(batch_size, mesh)
     B = len(x)
     outs = []
     for lo in range(0, B, batch_size):
@@ -56,6 +71,7 @@ def _run_stacked(forward, params, x, batch_size):
         xs = x[lo:hi]
         if pad:
             xs = np.pad(xs, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        (xs,) = shard_batch((xs,), mesh)
         outs.append(np.asarray(forward(params, xs))[: hi - lo])
     return np.concatenate(outs) if outs else np.zeros((0, 4), np.float32)
 
@@ -64,7 +80,8 @@ def infer_indel_batch(state, batch, batch_size=256):
     """(B,4) genotype-class probabilities; input rows stacked hap0/hap1/all
     (indelCaller.py:83)."""
     x = np.concatenate([batch.x0, batch.x1, batch.x2], axis=1)  # (B,15,128,2)
-    return _run_stacked(_indel_forward, state.params, x, batch_size)
+    return _run_stacked(_indel_forward, state.params, x, batch_size,
+                        state.mesh)
 
 
 def infer_indel_many(state, batches, batch_size=256):
@@ -80,23 +97,17 @@ def infer_indel_many(state, batches, batch_size=256):
         return []
     x = np.concatenate(
         [np.concatenate([b.x0, b.x1, b.x2], axis=1) for b in batches])
-    out = _run_stacked(_indel_forward, state.params, x, batch_size)
+    out = _run_stacked(_indel_forward, state.params, x, batch_size,
+                       state.mesh)
     splits = np.cumsum(lens)[:-1]
     return np.split(out, splits)
 
 
 def infer_haploid_indel_batch(state, batch, batch_size=256):
-    B = len(batch)
-    out = np.zeros((B,), np.float32)
-    for lo in range(0, B, batch_size):
-        hi = min(lo + batch_size, B)
-        pad = batch_size - (hi - lo)
-        xs = batch.x[lo:hi]
-        if pad:
-            xs = np.pad(xs, [(0, pad), (0, 0), (0, 0), (0, 0)])
-        out[lo:hi] = np.asarray(
-            _hap_indel_forward(state.hap_params, xs))[: hi - lo, 0]
-    return out
+    if len(batch) == 0:
+        return np.zeros((0,), np.float32)
+    return _run_stacked(_hap_indel_forward, state.hap_params, batch.x,
+                        batch_size, state.mesh)[:, 0]
 
 
 def infer_haploid_indel_many(state, batches, batch_size=256):
@@ -105,16 +116,8 @@ def infer_haploid_indel_many(state, batches, batch_size=256):
     if not lens:
         return []
     x = np.concatenate([b.x for b in batches])
-    B = len(x)
-    out = np.zeros((B,), np.float32)
-    for lo in range(0, B, batch_size):
-        hi = min(lo + batch_size, B)
-        pad = batch_size - (hi - lo)
-        xs = x[lo:hi]
-        if pad:
-            xs = np.pad(xs, [(0, pad), (0, 0), (0, 0), (0, 0)])
-        out[lo:hi] = np.asarray(
-            _hap_indel_forward(state.hap_params, xs))[: hi - lo, 0]
+    out = _run_stacked(_hap_indel_forward, state.hap_params, x, batch_size,
+                       state.mesh)[:, 0]
     return np.split(out, np.cumsum(lens)[:-1])
 
 

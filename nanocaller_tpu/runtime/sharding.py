@@ -33,6 +33,48 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P("dp"))
 
 
+def inference_mesh(devices=None):
+    """All-dp 1×N serving mesh; None when only one device is present.
+
+    Candidate batches split over 'dp', CNN weights replicated — the
+    multi-chip analog of the reference's N CPU inference workers
+    (snpCaller.py:213-245, SURVEY.md §2.4 DP row). Used automatically by
+    SnpCallerState/IndelCallerState when >1 device is visible.
+
+    Uses LOCAL devices only: under multi-process jax.distributed each
+    process holds a different region shard, so a global mesh would make
+    device_put assert cross-process data equality. Per-process DP over
+    local chips composes with cross-process region sharding.
+    """
+    devices = list(devices if devices is not None else jax.local_devices())
+    if len(devices) < 2:
+        return None
+    mesh_devices = np.array(devices).reshape(len(devices), 1)
+    return Mesh(mesh_devices, ("dp", "mdl"))
+
+
+def dp_scale(batch_size, mesh):
+    """Global device batch for a PER-DEVICE batch size.
+
+    cfg.batch_size is the per-device batch: with an n-way dp mesh the
+    global padded batch is n× that, so every device executes the same
+    (batch_size, ...) program a single chip would — which makes
+    multi-chip inference bit-identical to single-chip by construction
+    (tests/test_sharded_inference.py pins this down).
+    """
+    if mesh is None:
+        return batch_size
+    return batch_size * mesh.shape["dp"]
+
+
+def shard_batch(args, mesh):
+    """device_put batch-leading arrays over 'dp'; no-op without a mesh."""
+    if mesh is None:
+        return args
+    bshard = batch_sharding(mesh)
+    return tuple(jax.device_put(a, bshard) for a in args)
+
+
 def replicated(mesh):
     return NamedSharding(mesh, P())
 

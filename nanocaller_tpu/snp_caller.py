@@ -116,12 +116,25 @@ class SnpCallerState:
     train_coverage: float
     hap_params: dict
     hap_train_coverage: float = HAPLOID_TRAIN_COVERAGE
+    # multi-chip serving mesh (all-dp): batches split over 'dp', params
+    # replicated — the in-run analog of the reference's worker fan-out
+    # (snpCaller.py:213-245). None on single-device.
+    mesh: object = None
 
     @classmethod
-    def create(cls, snp_model_name):
+    def create(cls, snp_model_name, mesh="auto"):
+        from .runtime.sharding import inference_mesh, replicated
+
         params, cov = load_model("snp", snp_model_name)
         hap_params, _ = load_model("snp", "haploid")
-        return cls(params=params, train_coverage=cov, hap_params=hap_params)
+        if mesh == "auto":
+            mesh = inference_mesh()
+        if mesh is not None:
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            hap_params = jax.device_put(hap_params, rep)
+        return cls(params=params, train_coverage=cov, hap_params=hap_params,
+                   mesh=mesh)
 
 
 def prewarm_snp_model(state: SnpCallerState, cfg, buckets=(64, 96, 128, 160),
@@ -167,7 +180,9 @@ def infer_snp_batch(state: SnpCallerState, batch: SnpBatch, cfg, ploidy):
         cov = batch.coverage
         norm = np.full(B, train_cov / cov if cov > 0 else 1.0, np.float32)
 
-    bs = cfg.batch_size
+    from .runtime.sharding import dp_scale, shard_batch
+
+    bs = dp_scale(cfg.batch_size, state.mesh)
     params = state.params if ploidy == "diploid" else state.hap_params
     # depth-bucket the read axis: transfers scale with actual coverage,
     # not maxcov, while keeping jit recompiles bounded (≤ #buckets)
@@ -190,12 +205,12 @@ def infer_snp_batch(state: SnpCallerState, batch: SnpBatch, cfg, ploidy):
                 return a[sl]
             padding = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
             return np.pad(a[sl], padding, constant_values=fill)
+        args = shard_batch(
+            (p(packed), p(read_mask), p(batch.col_ref, 4),
+             p(batch.col_valid), p(batch.center_ref), p(norm, 1.0)),
+            state.mesh)
         probs = _snp_forward_packed(
-            params,
-            p(packed), p(read_mask), p(batch.col_ref, 4),
-            p(batch.col_valid), p(batch.center_ref), p(norm, 1.0),
-            haploid=(ploidy == "haploid"),
-        )
+            params, *args, haploid=(ploidy == "haploid"))
         out[sl] = np.asarray(probs)[: hi - lo]
     return out
 
