@@ -38,6 +38,7 @@ def make_diploid_readset(
     read_len=800,
     error_rate=0.0,
     indel_error_rate=0.0,
+    hp_slip_rate=0.0,
     contig_start=0,
 ):
     """Simulate reads from two haplotypes of one contig.
@@ -147,6 +148,12 @@ def make_diploid_readset(
             # split M runs at random points into M-I-M / M-D-M
             seq, cigar = _inject_indel_errors(rng, seq, cigar,
                                               indel_error_rate)
+        if hp_slip_rate > 0:
+            # length-dependent homopolymer slips — where ONT chemistry
+            # actually fails (the reference's published indel F1 drops
+            # from 0.82 outside homopolymers to 0.54 whole-genome,
+            # docs/ONT_Case_Study.md:249-263)
+            seq, cigar = _inject_hp_slips(rng, seq, cigar, hp_slip_rate)
         reads.append(("read_%04d" % i, contig_start + start, seq, cigar, hap))
     return reads
 
@@ -203,6 +210,64 @@ def _inject_indel_errors(rng, seq, cigar, rate):
         else:
             merged.append((op, l))
     return "".join(out_seq), merged
+
+
+def _inject_hp_slips(rng, seq, cigar, rate):
+    """Length-dependent homopolymer slip errors inside M runs.
+
+    For each homopolymer run of length r >= 4 within an aligned M
+    segment, with probability min(0.5, rate*(r-3)) the polymerase
+    "slips": one base of the run is inserted (M..M I1 M..) or deleted
+    (M..M D1 M..) at the run's end, 50/50. Models the ONT error mode
+    behind the reference's homopolymer indel weakness."""
+    out_cigar = []
+    out_seq = []
+    qi = 0
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if out_cigar and out_cigar[-1][0] == op:
+            out_cigar[-1] = (op, out_cigar[-1][1] + ln)
+        else:
+            out_cigar.append((op, ln))
+
+    for op, l in cigar:
+        if op not in ("M", "I"):
+            push(op, l)
+            continue
+        frag = seq[qi : qi + l]
+        qi += l
+        if op == "I" or l < 4:
+            push(op, l)
+            out_seq.append(frag)
+            continue
+        # homopolymer runs inside this M fragment
+        arr = np.frombuffer(frag.encode(), dtype=np.uint8)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(arr[1:] != arr[:-1]) + 1, [l]])
+        prev = 0
+        for k in range(len(bounds) - 1):
+            a, b = int(bounds[k]), int(bounds[k + 1])
+            r = b - a
+            if r < 4 or b >= l:  # keep slips strictly inside the segment
+                continue
+            if rng.random() >= min(0.5, rate * (r - 3)):
+                continue
+            if rng.integers(2):  # expansion: extra run base inserted
+                push("M", b - prev)
+                out_seq.append(frag[prev:b])
+                push("I", 1)
+                out_seq.append(frag[a])
+                prev = b
+            else:  # contraction: last run base dropped from the read
+                push("M", b - 1 - prev)
+                out_seq.append(frag[prev : b - 1])
+                push("D", 1)
+                prev = b
+        push("M", l - prev)
+        out_seq.append(frag[prev:])
+    return "".join(out_seq), out_cigar
 
 
 _CIGAR_OP_NUM = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6, "=": 7, "X": 8}

@@ -220,3 +220,103 @@ class TestDistributedHelpers:
         d = m.as_dict()
         assert "stage_a" in d["timers_s"] and d["counts"]["candidates"] == 5
         m.dump(str(tmp_path / "metrics.json"))
+
+
+class TestHpSlips:
+    """Homopolymer slip error model (sim._inject_hp_slips) — the ONT
+    failure mode behind the reference's published indel split
+    (docs/ONT_Case_Study.md:249-263)."""
+
+    def _consume(self, cigar):
+        q = sum(l for op, l in cigar if op in ("M", "I"))
+        r = sum(l for op, l in cigar if op in ("M", "D"))
+        return q, r
+
+    def test_alignment_consistency_and_length_dependence(self):
+        import numpy as np
+        from nanocaller_tpu.sim import _inject_hp_slips, random_seq
+
+        rng = np.random.default_rng(0)
+        # sequence with known runs of varying length embedded
+        parts, runs = [], []
+        cursor = 0
+        for rlen in (4, 6, 8, 10, 12, 14) * 30:
+            filler = random_seq(rng, 20)
+            parts.append(filler)
+            cursor += len(filler)
+            base = "ACGT"[int(rng.integers(0, 4))]
+            # avoid accidental run extension across the boundary
+            if parts[-1][-1] == base:
+                parts[-1] = parts[-1][:-1] + "ACGT"[("ACGT".index(base)+1) % 4]
+            parts.append(base * rlen)
+            runs.append((cursor, rlen))
+            cursor += rlen
+        seq = "".join(parts)
+        cigar = [("M", len(seq))]
+        slipped = {r: 0 for r in (4, 6, 8, 10, 12, 14)}
+        trials = 40
+        for t in range(trials):
+            s2, c2 = _inject_hp_slips(np.random.default_rng(t), seq, cigar,
+                                      rate=0.05)
+            q, r = self._consume(c2)
+            assert q == len(s2)
+            assert r == len(seq)  # reference span preserved
+            # count slips per run length via cigar walk
+            rpos = 0
+            for op, l in c2:
+                if op in ("I", "D"):
+                    for start, rlen in runs:
+                        if start <= rpos <= start + rlen:
+                            slipped[rlen] += 1
+                            break
+                if op in ("M", "D"):
+                    rpos += l
+        # longer runs must slip more (monotone trend over the extremes)
+        assert slipped[14] > slipped[4], slipped
+        assert slipped[10] > slipped[4], slipped
+
+    def test_zero_rate_identity(self):
+        import numpy as np
+        from nanocaller_tpu.sim import _inject_hp_slips
+
+        seq = "AAAAATTTTTGGGGG"
+        s2, c2 = _inject_hp_slips(np.random.default_rng(0), seq,
+                                  [("M", len(seq))], rate=0.0)
+        assert s2 == seq and c2 == [("M", len(seq))]
+
+
+class TestHpProfileSim:
+    def test_hp_profile_outputs(self, tmp_path):
+        import numpy as np
+        from simulate import main as sim_main
+
+        out = str(tmp_path / "sim")
+        fasta_p, bam_p, vcf_p = sim_main([
+            "--output", out, "--length", "120000", "--depth", "20",
+            "--error_rate", "0.02", "--hp_profile", "--seed", "3"])
+        # BEDs partition the contig
+        import os
+        spans = []
+        for name in ("hp_regions.bed", "nonhp_regions.bed"):
+            with open(os.path.join(out, name)) as f:
+                for line in f:
+                    c, a, b = line.split()
+                    spans.append((int(a), int(b)))
+        spans.sort()
+        assert spans[0][0] == 0 and spans[-1][1] == 120000
+        for (a1, b1), (a2, b2) in zip(spans[:-1], spans[1:]):
+            assert b1 == a2, (b1, a2)
+        # truth VCF has hp-situated indels: at least one ins/del whose
+        # REF/ALT extension matches the local homopolymer base
+        from nanocaller_tpu.io.vcf import VcfReader
+        from nanocaller_tpu.io.fasta import FastaFile
+        fa = FastaFile(fasta_p)
+        n_hp_indel = 0
+        for rec in VcfReader(vcf_p):
+            if len(rec.ref) == len(rec.alt):
+                continue
+            ctx = fa.fetch("chrSim", rec.pos - 1, rec.pos + 6)
+            longer = rec.ref if len(rec.ref) > len(rec.alt) else rec.alt
+            if len(set(longer[1:])) == 1 and ctx[1] == longer[1]:
+                n_hp_indel += 1
+        assert n_hp_indel >= 3, n_hp_indel

@@ -33,6 +33,17 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--haplotag", action="store_true",
                     help="write HP/PS tags (skip the phasing stage)")
+    ap.add_argument("--hp_profile", action="store_true",
+                    help="homopolymer-realistic mode: plant hp runs in "
+                    "the reference, put half the truth indels inside "
+                    "them (expansions/contractions), add "
+                    "length-dependent hp slip errors to the reads, and "
+                    "write hp_regions.bed / nonhp_regions.bed for "
+                    "stratified evaluation")
+    ap.add_argument("--hp_slip_rate", type=float, default=0.03,
+                    help="per-run slip coefficient (hp_profile only)")
+    ap.add_argument("--hp_spacing", type=int, default=2500,
+                    help="reference hp-run spacing (hp_profile only)")
     args = ap.parse_args(argv)
 
     from nanocaller_tpu.sim import (make_diploid_readset, random_seq,
@@ -43,15 +54,44 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     L = args.length
     ref_seq = random_seq(rng, L)
+    hp_runs = []  # (start, end) of planted homopolymer runs
+    if args.hp_profile:
+        # plant homopolymer runs (5-14 bp, the ONT failure regime)
+        chars = list(ref_seq)
+        for pos in range(1200, L - 1200, args.hp_spacing):
+            run = int(rng.integers(5, 15))
+            base = "ACGT"[int(rng.integers(0, 4))]
+            chars[pos : pos + run] = base * run
+            hp_runs.append((pos, pos + run))
+        ref_seq = "".join(chars)
     snps, indels = [], []
     indel_pos = set()
+    hp_iter = iter(hp_runs[1::2])  # every other planted run gets an indel
     for i, pos in enumerate(range(5000, L - 5000, args.indel_spacing)):
         gt = ("het1", "het2", "hom")[i % 3]
-        if i % 2:
+        run = None
+        if args.hp_profile and i % 2 == 0:
+            run = next(hp_iter, None)
+            if run is not None and any(
+                    p in indel_pos for p in range(run[0] - 30, run[1] + 30)):
+                run = None  # avoid stacking edits (uncallable truth)
+        if run is None and pos in indel_pos:
+            continue
+        if run is not None:
+            # homopolymer expansion/contraction anchored on the run head
+            a, b = run
+            base = ref_seq[a]
+            if i % 4 == 0:
+                indels.append((a, "ins", base * (1 + i % 3), gt))
+            else:
+                indels.append((a, "del", min(1 + i % 3, b - a - 2), gt))
+            indel_pos.update(range(a - 12, b + 12))
+        elif i % 2:
             indels.append((pos, "del", 3 + (i % 6), gt))
+            indel_pos.update(range(pos - 12, pos + 12))
         else:
             indels.append((pos, "ins", "ACGTAC"[: 3 + (i % 4)], gt))
-        indel_pos.update(range(pos - 12, pos + 12))
+            indel_pos.update(range(pos - 12, pos + 12))
     for i, pos in enumerate(range(1500, L - 1500, args.snp_spacing)):
         if pos in indel_pos:
             # don't superimpose a SNP on an indel: the combined edit can
@@ -65,13 +105,32 @@ def main(argv=None):
     reads = make_diploid_readset(
         rng, ref_seq, snps=snps, indels=indels, depth=args.depth,
         read_len=args.read_len, error_rate=args.error_rate,
-        indel_error_rate=args.indel_error_rate)
+        indel_error_rate=args.indel_error_rate,
+        hp_slip_rate=args.hp_slip_rate if args.hp_profile else 0.0)
     fasta_p = os.path.join(args.output, "ref.fa")
     write_fasta(fasta_p, {args.contig: ref_seq})
     bam_p = os.path.join(args.output, "reads.bam")
     write_bam(bam_p, args.contig, L, reads, tag_haplotypes=args.haplotag)
     vcf_p = write_truth_vcf(os.path.join(args.output, "truth.vcf.gz"),
                             args.contig, ref_seq, snps, indels)
+    if args.hp_profile:
+        # stratification BEDs (GIAB-style): hp runs ±5 bp, and the
+        # complement, so vcf_compare --bed can split F1 in/out of
+        # homopolymers like the reference's published tables
+        hp_bed = os.path.join(args.output, "hp_regions.bed")
+        non_bed = os.path.join(args.output, "nonhp_regions.bed")
+        pad = 5
+        with open(hp_bed, "w") as fh, open(non_bed, "w") as fn:
+            cursor = 0
+            for a, b in hp_runs:
+                lo, hi = max(0, a - pad), min(L, b + pad)
+                fh.write(f"{args.contig}\t{lo}\t{hi}\n")
+                if lo > cursor:
+                    fn.write(f"{args.contig}\t{cursor}\t{lo}\n")
+                cursor = hi
+            if cursor < L:
+                fn.write(f"{args.contig}\t{cursor}\t{L}\n")
+        print("wrote %s (%d runs), %s" % (hp_bed, len(hp_runs), non_bed))
     print("wrote %s (%d reads), %s, %s (%d SNPs, %d indels)"
           % (bam_p, len(reads), fasta_p, vcf_p, len(snps), len(indels)))
     return fasta_p, bam_p, vcf_p
