@@ -217,47 +217,86 @@ def primitives_of(ref, alt):
     Returns [(offset0, p_ref, p_alt)] where offset0 is 0-based distance
     from the record position. Indels are left-anchored on the preceding
     reference base per VCF convention.
+
+    rtg-default semantics (the reference pipes through `rtg vcfdecompose`
+    with NO --break-mnps / --break-indels, indelCaller.py:391): the
+    alignment is split ONLY at reference-match anchors, i.e. a primitive
+    is a maximal run of non-'=' ops. Consequences the old per-op split
+    got wrong: (a) adjacent mismatches stay grouped as ONE MNP — MNPs
+    then SURVIVE `vcffilter --non-snps-only` (REF length > 1) and reach
+    the final indel VCF; (b) a mismatch directly abutting an indel stays
+    ONE complex record. Only isolated single-base mismatches decompose
+    to SNPs (and are filtered downstream). rtg's exact alignment isn't
+    published; this uses the same NW kernel as allele prediction, which
+    agrees on every corpus case in tests/test_indel.py::TestRtgDecompose.
     """
     if ref == alt:
         return []
     cigar = nw_align(alt, ref)[1]
     out = []
+
+    def emit(r0, ri, q0, qi):
+        ref_seg = ref[r0:ri]
+        alt_seg = alt[q0:qi]
+        if ref_seg and alt_seg:  # MNP or complex (mixed) segment
+            out.append((r0, ref_seg, alt_seg))
+        elif alt_seg:  # pure insertion: anchor on the preceding base
+            if r0 == 0:
+                out.append((0, ref[0], alt_seg + ref[0]))
+            else:
+                out.append((r0 - 1, ref[r0 - 1], ref[r0 - 1] + alt_seg))
+        elif ref_seg:  # pure deletion
+            if r0 == 0:
+                out.append((0, ref_seg + ref[ri], ref[ri]))
+            else:
+                out.append((r0 - 1, ref[r0 - 1 : ri], ref[r0 - 1]))
+
     qi = ri = 0
+    r0 = q0 = 0
+    in_seg = False
     for op, l in cigar:
-        if op == 8:  # mismatch run → per-base SNPs
-            for k in range(l):
-                out.append((ri + k, ref[ri + k], alt[qi + k]))
+        if op == 7:  # match anchor: close any open segment
+            if in_seg:
+                emit(r0, ri, q0, qi)
+                in_seg = False
             qi += l
             ri += l
-        elif op == 7:
+            continue
+        if not in_seg:
+            r0, q0 = ri, qi
+            in_seg = True
+        if op == 8:
             qi += l
             ri += l
-        elif op == 1:  # insertion after ref base ri-1
-            anchor = ri - 1
-            if anchor < 0:
-                out.append((0, ref[0], alt[qi : qi + l] + ref[0]))
-            else:
-                out.append((anchor, ref[anchor], ref[anchor] + alt[qi : qi + l]))
+        elif op == 1:
             qi += l
-        elif op == 2:  # deletion of ref[ri:ri+l]
-            anchor = ri - 1
-            if anchor < 0:
-                out.append((0, ref[: l + 1], ref[l]))
-            else:
-                out.append((anchor, ref[anchor : ri + l], ref[anchor]))
+        elif op == 2:
             ri += l
+    if in_seg:
+        emit(r0, ri, q0, qi)
     return out
 
 
 def decompose_record(rec: VcfRecord):
     """rtg vcfdecompose-like splitting of one record; keeps GT phase
-    structure for 1|2 records (shared primitives → 1|1 or 1/1)."""
+    structure for 1|2 records (shared primitives → 1|1 or 1/1).
+
+    Records the decomposition actually changed carry rtg's provenance
+    INFO fields ORP (original record position) and ORL (original
+    reference-allele length); untouched records pass through verbatim,
+    as rtg leaves them."""
     alts = rec.alt.split(",")
     gt = rec.sample_field("GT") or "1/1"
     gq = rec.sample_field("GQ")
     ps = rec.sample_field("PS")
     prims = [primitives_of(rec.ref, a) for a in alts]
+
+    if len(alts) == 1 and prims[0] == [(0, rec.ref, rec.alt)]:
+        return [rec]  # already primitive: pass through untouched
     out = []
+    orp_info = "ORP=%d;ORL=%d" % (rec.pos, len(rec.ref))
+    if rec.info and rec.info != ".":
+        orp_info = rec.info + ";" + orp_info
 
     def emit(off, pref, palt, gt_out):
         fmt = "GT:GQ" + (":PS" if ps is not None else "")
@@ -265,7 +304,7 @@ def decompose_record(rec: VcfRecord):
         if ps is not None:
             sample += ":%s" % ps
         out.append(VcfRecord(rec.chrom, rec.pos + off, pref, palt, rec.qual,
-                             rec.filter, info=rec.info, format_=fmt,
+                             rec.filter, info=orp_info, format_=fmt,
                              samples=[sample]))
 
     if len(alts) == 1:

@@ -368,6 +368,10 @@ def standard_indel_header(contigs, sample):
     ]
     h += ["##contig=<ID=%s>" % c for c in contigs]
     h += [
+        # provenance INFO written by decompose_record (rtg vcfdecompose's
+        # fields for records it split, indelCaller.py:391)
+        '##INFO=<ID=ORP,Number=1,Type=Integer,Description="Original variant position">',
+        '##INFO=<ID=ORL,Number=1,Type=Integer,Description="Original reference length">',
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         '##FORMAT=<ID=GQ,Number=1,Type=Float,Description="Genotype Probability">',
         '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set identifier">',

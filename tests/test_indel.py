@@ -317,3 +317,123 @@ class TestTwoPhaseDecode:
             assert cv_full.reads_at(col) == cv_two.reads_at(col), col
             assert cv_full.signature_groups(col) == \
                 cv_two.signature_groups(col), col
+
+
+class TestRtgDecompose:
+    """rtg vcfdecompose default-mode corpus (VERDICT r1 item 7).
+
+    The reference pipes indel records through `rtg vcfdecompose | rtg
+    vcffilter --non-snps-only` with NO --break-mnps/--break-indels
+    (indelCaller.py:391). Default rtg splits the REF/ALT alignment only
+    at reference-match anchors: MNPs stay whole (and survive the
+    non-SNP filter), mismatches abutting indels stay one complex
+    record, and split records carry ORP/ORL provenance INFO."""
+
+    def test_mnp_passthrough_untouched(self):
+        rec = VcfRecord("c1", 50, "AC", "GT", "40", "PASS",
+                        format_="GT:GQ", samples=["1/1:30"])
+        out = decompose_record(rec)
+        assert len(out) == 1 and out[0] is rec  # verbatim, no ORP
+        assert is_non_snp(out[0])  # MNP survives --non-snps-only
+
+    def test_embedded_mnp_extracted_not_split(self):
+        # T [AC>GT] GA — the MNP must come out as ONE record, placed and
+        # annotated, not two SNPs (which the filter would then drop)
+        rec = VcfRecord("c1", 100, "TACGA", "TGTGA", "40", "PASS",
+                        format_="GT:GQ", samples=["1/1:30"])
+        out = decompose_record(rec)
+        assert len(out) == 1
+        r = out[0]
+        assert (r.pos, r.ref, r.alt) == (101, "AC", "GT")
+        assert "ORP=100" in r.info and "ORL=5" in r.info
+        assert is_non_snp(r)
+
+    def test_isolated_snps_split_and_filtered(self):
+        # T [A>G] C [G>T] A — two isolated SNPs: split apart, then both
+        # removed by the non-SNP filter
+        rec = VcfRecord("c1", 10, "TACGA", "TGCTA", "40", "PASS",
+                        format_="GT:GQ", samples=["0|1:30"])
+        out = decompose_record(rec)
+        assert [(r.pos, r.ref, r.alt) for r in out] == \
+            [(11, "A", "G"), (13, "G", "T")]
+        assert all(r.sample_field("GT") == "0|1" for r in out)
+        assert [r for r in out if is_non_snp(r)] == []
+
+    def test_mismatch_abutting_insertion_stays_complex(self):
+        # AAA [C>TTT] GGG — every optimal alignment leaves the X and the
+        # I adjacent (no match anchor between them), so rtg default
+        # emits ONE complex record, not an SNP + insertion pair
+        rec = VcfRecord("c1", 20, "AAACGGG", "AAATTTGGG", "40", "PASS",
+                        format_="GT:GQ", samples=["1/1:30"])
+        out = decompose_record(rec)
+        assert len(out) == 1
+        r = out[0]
+        assert (r.pos, r.ref, r.alt) == (23, "C", "TTT")
+        assert is_non_snp(r)
+        assert "ORP=20" in r.info and "ORL=7" in r.info
+
+    def test_pure_indel_passthrough(self):
+        rec = VcfRecord("c1", 70, "A", "ATT", "40", "PASS", info=".",
+                        format_="GT:GQ", samples=["0|1:30"])
+        out = decompose_record(rec)
+        assert len(out) == 1 and out[0] is rec
+        assert out[0].info == "."
+
+    def test_trim_to_minimal_indel(self):
+        # padded representation GATT>GA: decomposes to the minimal
+        # deletion, anchored per VCF convention, with provenance
+        rec = VcfRecord("c1", 30, "GATT", "GA", "40", "PASS",
+                        format_="GT:GQ", samples=["1/1:30"])
+        out = decompose_record(rec)
+        assert len(out) == 1
+        r = out[0]
+        assert len(r.ref) - len(r.alt) == 2
+        assert "ORP=30" in r.info and "ORL=4" in r.info
+
+    def test_multiallelic_shared_prefix_deletions(self):
+        # ACCCT with alt1 = 1C deleted, alt2 = 2C deleted, 1|2
+        rec = VcfRecord("c1", 200, "ACCCT", "ACCT,ACT", "50", "PASS",
+                        format_="GT:GQ:PS", samples=["1|2:30:177"])
+        out = decompose_record(rec)
+        assert len(out) == 2
+        by_gt = {r.sample_field("GT"): r for r in out}
+        assert set(by_gt) == {"1|0", "0|1"}
+        d1 = by_gt["1|0"]
+        d2 = by_gt["0|1"]
+        assert len(d1.ref) - len(d1.alt) == 1
+        assert len(d2.ref) - len(d2.alt) == 2
+        assert all(r.sample_field("PS") == "177" for r in out)
+
+    def test_multiallelic_shared_primitive_is_homozygous(self):
+        # both alts carry the same insertion; alt2 adds a downstream SNP
+        rec = VcfRecord("c1", 300, "ATTTGC", "AGGTTTGC,AGGTTTGT", "50",
+                        "PASS", format_="GT:GQ", samples=["1|2:30"])
+        out = decompose_record(rec)
+        gts = {(r.pos, r.ref, r.alt): r.sample_field("GT") for r in out}
+        ins = [(k, v) for k, v in gts.items() if len(k[2]) > len(k[1])]
+        assert len(ins) == 1 and ins[0][1] == "1|1", gts
+        snp = [(k, v) for k, v in gts.items()
+               if len(k[1]) == 1 and len(k[2]) == 1]
+        assert len(snp) == 1 and snp[0][1] == "0|1", gts
+
+    def test_insertion_at_record_start(self):
+        rec = VcfRecord("c1", 5, "CAG", "TTCAG", "40", "PASS",
+                        format_="GT:GQ", samples=["1/1:30"])
+        out = decompose_record(rec)
+        assert len(out) == 1
+        r = out[0]
+        assert len(r.alt) - len(r.ref) == 2
+
+    def test_stream_keeps_mnps_drops_snps(self):
+        recs = [
+            VcfRecord("c1", 10, "TACGA", "TGCTA", "40", "PASS",
+                      format_="GT:GQ", samples=["1/1:30"]),  # 2 SNPs
+            VcfRecord("c1", 100, "TACGA", "TGTGA", "40", "PASS",
+                      format_="GT:GQ", samples=["1/1:30"]),  # MNP
+            VcfRecord("c1", 70, "A", "ATT", "40", "PASS",
+                      format_="GT:GQ", samples=["0|1:30"]),  # ins
+        ]
+        from nanocaller_tpu.indel_caller import decompose_and_filter
+        out = decompose_and_filter(recs, contig_rank={"c1": 0})
+        assert [(r.pos, r.ref, r.alt) for r in out] == \
+            [(70, "A", "ATT"), (101, "AC", "GT")]
