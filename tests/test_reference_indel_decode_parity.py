@@ -186,3 +186,59 @@ def test_indel_vcf_lines_match_reference(ref_indel_caller, indel_batches,
         assert rs[0] == os_[0]  # GT
         assert rs[2:] == os_[2:]  # PS
     assert n_exact >= 0.7 * len(ref_lines), (n_exact, len(ref_lines))
+
+
+@pytest.mark.parametrize("ploidy", ["diploid", "haploid"])
+def test_indel_decode_byte_exact_given_reference_probs(
+        ref_indel_caller, indel_batches, tmp_path, monkeypatch, ploidy):
+    """Decode-tree isolation (VERDICT r1 item 6, indel flavor): feed the
+    probabilities the reference decode consumed (captured from the twin
+    model) into OUR decode — output must be 100% byte-identical,
+    pinning the non-exact residue of the test above entirely on TF↔XLA
+    float32 forward drift."""
+    mod = ref_indel_caller
+    batch = indel_batches[ploidy]
+    captured = []
+
+    if ploidy == "diploid":
+        orig = _TwinIndelModel.__call__
+
+        def capturing(self, x):
+            out = orig(self, x)
+            captured.append(np.asarray(out))
+            return out
+
+        monkeypatch.setattr(_TwinIndelModel, "__call__", capturing)
+        feat = (list(batch.pos), batch.x0, batch.x1, batch.x2,
+                list(batch.alleles), list(batch.phase))
+        mod.get_indel_testing_candidates = lambda params, chunk: feat
+    else:
+        orig_h = _TwinHaploidIndelModel.__call__
+
+        def capturing_h(self, x):
+            out = orig_h(self, x)
+            if len(np.asarray(x)) != 1 or np.any(np.asarray(x)):
+                captured.append(np.asarray(out))
+            return out
+
+        monkeypatch.setattr(_TwinHaploidIndelModel, "__call__", capturing_h)
+        feat = (list(batch.pos), batch.x, list(batch.alleles))
+        mod.get_indel_testing_candidates_haploid = lambda params, chunk: feat
+
+    params = {"intermediate_indel_files_dir": str(tmp_path),
+              "prefix": "i" + ploidy, "indel_model": "ONT-HG002"}
+    job_Q = queue.Queue()
+    job_Q.put(("indel", {"chrom": "chr_t", "ploidy": ploidy}))
+    counter_Q = queue.Queue()
+    files = []
+    mod.indel_run(params, {}, job_Q, counter_Q, files)
+    ref_lines = open(files[0]).readlines()
+    assert ref_lines and captured
+
+    probs_ref = np.concatenate(captured)
+    assert len(probs_ref) == len(batch)
+    if ploidy == "diploid":
+        ours = decode_diploid_indels(batch, probs_ref)
+    else:
+        ours = decode_haploid_indels(batch, probs_ref[:, 0])
+    assert "".join(ours) == "".join(ref_lines)  # 100% byte-identical
