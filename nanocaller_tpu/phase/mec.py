@@ -269,7 +269,10 @@ def _switch_repair(rids, sidx, alleles, h, r_ptr, max_flips=50):
         pre = seg_cum[i]
         T_post = T_r[r] - (local_i[i] + 1)
         new_mis = 2 * pre + T_post - M_r[r]
-        contrib = np.minimum(new_mis, T_r[r] - new_mis) - cur_min[r]
+        # all terms are exact small-integer counts (bincount returns
+        # float64); cast back so the int64 difference array is explicit
+        contrib = (np.minimum(new_mis, T_r[r] - new_mis)
+                   - cur_min[r]).astype(np.int64)
         D = np.zeros(S + 2, np.int64)
         np.add.at(D, sidx[i] + 1, contrib)
         np.add.at(D, nxt_site[i] + 1, -contrib)
