@@ -19,10 +19,11 @@ indelCaller.py:241) and hom-alt calls may open up to phased hets.
 The decision rule follows whatshap's wMEC genotype-cost formulation:
 each read observation carries a phred weight w = 10*log10((1-eps)/eps)
 (eps = per-base error rate), and a genotype flips only when the read
-evidence advantage (mismatch-count delta x w) exceeds the caller's own
-confidence in the original genotype (the record's phred QUAL — the
-stand-in for whatshap's PL-derived genotype likelihood cost). Records
-with no parseable QUAL fall back to a flat 2-observation cost.
+evidence advantage (mismatch-count delta x w) exceeds the cost of
+changing the genotype. The input VCF here is NanoCaller's, whose FORMAT
+is GT:DP:VF:AD:ADF:ADR (snpCaller.py:135-197) — no GL/PL — so whatshap
+prices every genotype change at its constant `--default-gq` (30 phred);
+we match that exactly (default_gq parameter, default 30.0).
 """
 
 from __future__ import annotations
@@ -299,7 +300,8 @@ def _switch_repair(rids, sidx, alleles, h, r_ptr, max_flips=50):
 _REGENOTYPE_EPS = 0.1  # per-base error rate for observation weights
 # (ONT-scale; one matching observation is worth w = 10*log10((1-eps)/eps)
 # ≈ 9.5 phred of evidence — whatshap's wMEC read weight with flat quals)
-_REGENOTYPE_DEFAULT_COST = None  # sentinel: 2*w when QUAL is unusable
+_DEFAULT_GQ = 30.0  # whatshap --default-gq: genotype-change cost when the
+# VCF has no GL/PL (NanoCaller's never does, snpCaller.py:135-197)
 
 
 def _obs_weight(eps):
@@ -325,8 +327,8 @@ def _hap_support(rw, result: PhaseResult, pos, refc, altc):
 
 
 def regenotype(rw, result: PhaseResult, het_pos, het_ref, het_alt,
-               hom_pos, hom_ref, hom_alt, het_qual=None, hom_qual=None,
-               eps=_REGENOTYPE_EPS):
+               hom_pos, hom_ref, hom_alt, eps=_REGENOTYPE_EPS,
+               default_gq=_DEFAULT_GQ):
     """Distrust-genotypes pass: re-score genotypes under the fixed read
     partition (whatshap --distrust-genotypes --include-homozygous
     equivalent, indelCaller.py:228).
@@ -334,28 +336,18 @@ def regenotype(rw, result: PhaseResult, het_pos, het_ref, het_alt,
     Decision rule (whatshap's wMEC genotype-change cost): a genotype
     flips only when the read-evidence advantage of the new genotype,
     (mismatch_old - mismatch_new) * w with w = 10*log10((1-eps)/eps)
-    phred per observation, exceeds the caller's confidence in the old
-    genotype (per-site phred QUAL; sites with no parseable QUAL use a
-    flat 2*w cost). Untagged reads count toward hom mismatches (every
-    observation is evidence) but are free under het genotypes (an
-    ambiguous read can always sit on the haplotype matching its allele).
-
-    het_qual/hom_qual: float arrays parallel to het_pos/hom_pos, NaN
-    where unavailable.
+    phred per observation, exceeds the cost of changing the genotype.
+    The reference feeds whatshap a VCF with no GL/PL fields
+    (snpCaller.py:135-197), so whatshap prices every change at its
+    constant --default-gq (30 phred) — matched here by `default_gq`.
+    Untagged reads count toward hom mismatches (every observation is
+    evidence) but are free under het genotypes (an ambiguous read can
+    always sit on the haplotype matching its allele).
 
     Returns {pos1: new_entry} only for CHANGED sites, where new_entry is
     "0/0" / "1/1" (het collapsed to hom, unphased) or ("0|1"/"1|0", ps)
     (hom-alt opened to a phased het)."""
     w = _obs_weight(eps)
-
-    def _cost(quals, n):
-        c = np.full(n, 2.0 * w)
-        if quals is not None:
-            q = np.asarray(quals, np.float64)
-            ok = np.isfinite(q)
-            c[ok] = q[ok]
-        return c
-
     changes = {}
     if len(het_pos):
         c1r, c1a, c2r, c2a, cur, cua = _hap_support(
@@ -363,10 +355,9 @@ def regenotype(rw, result: PhaseResult, het_pos, het_ref, het_alt,
         cost_het = np.minimum(c1r + c2a, c1a + c2r)
         cost_hr = c1a + c2a + cua
         cost_ha = c1r + c2r + cur
-        gt_cost = _cost(het_qual, len(het_pos))
         for j in range(len(het_pos)):
             best_hom = min(cost_hr[j], cost_ha[j])
-            if (cost_het[j] - best_hom) * w > gt_cost[j]:
+            if (cost_het[j] - best_hom) * w > default_gq:
                 changes[int(het_pos[j]) + 1] = (
                     "0/0" if cost_hr[j] <= cost_ha[j] else "1/1")
     if len(hom_pos):
@@ -377,9 +368,8 @@ def regenotype(rw, result: PhaseResult, het_pos, het_ref, het_alt,
         cost_o0 = c1a + c2r
         cost_het = np.minimum(cost_o1, cost_o0)
         cost_hom = c1r + c2r + cur  # current genotype 1/1
-        gt_cost = _cost(hom_qual, len(hom_pos))
         for j in range(len(hom_pos)):
-            if (cost_hom[j] - cost_het[j]) * w <= gt_cost[j]:
+            if (cost_hom[j] - cost_het[j]) * w <= default_gq:
                 continue
             # PS of the supporting reads' block
             ps = _majority_ps(rw, result, int(hom_pos[j]))
@@ -429,7 +419,7 @@ def _collect_biallelic(records, want_gts):
             np.asarray(qual, np.float64)[order])
 
 
-def phase_contig(records, rw, distrust=False):
+def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ):
     """Phase the biallelic het SNPs of one contig.
 
     records: list of VcfRecord (the high-QUAL SNP calls). Returns
@@ -453,9 +443,9 @@ def phase_contig(records, rw, distrust=False):
             gt = "1|0" if result.hap_allele[j] == 1 else "0|1"
             phase_map[int(pos[j]) + 1] = (gt, int(result.block_ps[j]))
     if distrust:
-        hpos, href, halt, hqual = _collect_biallelic(records, ("1/1", "1|1"))
+        hpos, href, halt, _hqual = _collect_biallelic(records, ("1/1", "1|1"))
         changes = regenotype(rw, result, pos, refc, altc, hpos, href, halt,
-                             het_qual=qual, hom_qual=hqual)
+                             default_gq=default_gq)
         phase_map.update(changes)
     return result, phase_map
 

@@ -170,11 +170,13 @@ class TestDistrustGenotypes:
             gt, ps = fixed[p + 1]
             assert gt in ("0|1", "1|0")
 
-    def test_qual_weighted_cost(self, tmp_path):
-        # whatshap wMEC cost rule: the read-evidence advantage (phred-
-        # weighted mismatch delta) must exceed the record's QUAL. The
-        # same miscalled hom flips at QUAL 50 but survives at QUAL 900
-        # (~30x fixture: advantage ≈ 15 obs × 9.5 phred ≈ 143).
+    def test_default_gq_cost(self, tmp_path):
+        # whatshap prices every genotype change at its constant
+        # --default-gq (30 phred) because NanoCaller's VCF carries no
+        # GL/PL (snpCaller.py:135-197) — the record QUAL must NOT
+        # matter. The miscalled hom flips regardless of QUAL (~30x
+        # fixture: advantage ≈ 15 obs × 9.5 phred ≈ 143 > 30) but
+        # survives when default_gq is raised above the advantage.
         ref_seq, snps, rw = self._setup(tmp_path)
         wrong = snps[4][0]
 
@@ -187,24 +189,13 @@ class TestDistrustGenotypes:
                                      samples=["%s:30" % gt]))
             return out
 
-        _, fixed = phase_contig(recs_with_qual("50.0"), rw, distrust=True)
-        gt, _ps = fixed[wrong + 1]
-        assert gt in ("0|1", "1|0")
-        _, kept = phase_contig(recs_with_qual("900.0"), rw, distrust=True)
+        for q in ("50.0", "900.0", "."):  # QUAL is irrelevant to the cost
+            _, fixed = phase_contig(recs_with_qual(q), rw, distrust=True)
+            gt, _ps = fixed[wrong + 1]
+            assert gt in ("0|1", "1|0")
+        _, kept = phase_contig(recs_with_qual("50.0"), rw, distrust=True,
+                               default_gq=500.0)
         assert wrong + 1 not in kept
-
-    def test_missing_qual_uses_flat_cost(self, tmp_path):
-        # unparseable QUAL → flat 2-observation fallback cost; the
-        # evidence here is overwhelming so the flip still happens
-        ref_seq, snps, rw = self._setup(tmp_path)
-        wrong = snps[4][0]
-        recs = [VcfRecord("chr_t", p + 1, ref_seq[p], a, ".", "PASS",
-                          format_="GT:DP",
-                          samples=["%s:30" % ("1/1" if p == wrong else "0/1")])
-                for p, a, g in snps]
-        _, fixed = phase_contig(recs, rw, distrust=True)
-        gt, _ps = fixed[wrong + 1]
-        assert gt in ("0|1", "1|0")
 
     def test_write_phased_vcf_drops_homref(self, tmp_path):
         # GT collapsed to 0/0 must vanish from the phased VCF
