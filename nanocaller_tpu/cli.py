@@ -57,6 +57,10 @@ def build_parser():
                            "process 0 merges the final VCFs.")
     cfgg.add_argument("--num_processes", type=int, default=1)
     cfgg.add_argument("--process_id", type=int, default=0)
+    cfgg.add_argument("--no_dedup_transfer", action="store_true",
+                      help="disable the deduplicated chunk transfer for "
+                           "SNP inference (ship dense per-candidate "
+                           "matrices instead; debug/oracle path)")
     cfgg.add_argument("--profile", action="store_true",
                       help="Capture a jax.profiler trace of the SNP stage "
                            "into OUTPUT/trace (view with XProf).")
@@ -146,6 +150,7 @@ def config_from_args(argv=None):
         shard_index=args.shard_index, coordinator=args.coordinator,
         num_processes=args.num_processes, process_id=args.process_id,
         profile=args.profile, skip_phased_bam=args.skip_phased_bam,
+        dedup_transfer=not args.no_dedup_transfer,
         phased_bam_compression=args.phased_bam_compression)
     cfg._merge_shards = args.merge_shards
     if args.preset:

@@ -56,6 +56,10 @@ class Config:
     enable_whatshap: bool = False
     # framework extras (not in reference)
     batch_size: int = 1024  # padded device batch for SNP inference
+    # deduplicated chunk transfer for the SNP device path (shared
+    # site×read observations shipped once per chunk + on-device gather);
+    # False restores dense per-candidate batches (oracle path)
+    dedup_transfer: bool = True
     suppress_progress: bool = False
     verbose: bool = False
     skip_phased_bam: bool = False  # skip the per-contig phased BAM artifact

@@ -70,16 +70,21 @@ def build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes):
     return (np.concatenate(rid_l), np.concatenate(sidx_l), np.concatenate(al_l))
 
 
-def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8):
+def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8, exact=True):
     """Core MEC phasing. Returns PhaseResult."""
     rids, sidx, alleles = build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes)
     return phase_obs(rids, sidx, alleles, rw.n_reads, sites_pos0,
-                     n_iter=n_iter)
+                     n_iter=n_iter, exact=exact)
 
 
-def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8):
+def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8, exact=True):
     """phase_sites on pre-built sparse observations (also the entry the
-    wMEC differential harness drives on synthetic instances)."""
+    wMEC differential harness drives on synthetic instances).
+
+    exact=True (production default) refines each block's haplotype with
+    the exact wMEC DP over coverage-selected reads (phase/wmec.py,
+    whatshap's algorithm); the descent+switch-repair heuristic remains
+    both the seed and the guaranteed-never-worse fallback."""
     S = len(sites_pos0)
 
     # per-read site lists (CSR by read)
@@ -173,6 +178,12 @@ def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8):
     # to the exact wMEC optimum (the descent's residual errors are
     # switch errors — measured in tools/phase_divergence.py)
     h = _switch_repair(rids, sidx, alleles, h, r_ptr)
+    if exact:
+        # per-block exact wMEC over coverage-selected reads; adopted only
+        # when strictly better on the all-reads objective
+        from .wmec import exact_refine
+
+        h = exact_refine(rids, sidx, alleles, S, comp, h)
     # re-derive the read assignment for the repaired haplotype
     mism = (alleles != h[sidx]).astype(np.int64)
     mis1 = np.bincount(rids, weights=mism, minlength=n_reads)
@@ -393,7 +404,11 @@ def _majority_ps(rw, result: PhaseResult, pos0):
 
 
 def _collect_biallelic(records, want_gts):
-    pos, refc, altc, qual = [], [], [], []
+    """(pos0, ref_code, alt_code) of the biallelic SNP records whose GT
+    is in want_gts, position-sorted. (QUAL is deliberately not
+    collected: the phasing cost model prices genotype changes at the
+    constant --default-gq, advisor finding r2.)"""
+    pos, refc, altc = [], [], []
     for rec in records:
         gt = rec.sample_field("GT")
         if gt not in want_gts:
@@ -405,18 +420,13 @@ def _collect_biallelic(records, want_gts):
         pos.append(rec.pos - 1)
         refc.append(_BASE_CODE[rec.ref])
         altc.append(_BASE_CODE[rec.alt])
-        try:
-            qual.append(float(rec.qual))
-        except (TypeError, ValueError):
-            qual.append(np.nan)
     if not pos:
         return (np.zeros(0, np.int64), np.zeros(0, np.int8),
-                np.zeros(0, np.int8), np.zeros(0, np.float64))
+                np.zeros(0, np.int8))
     order = np.argsort(pos)
     return (np.asarray(pos, np.int64)[order],
             np.asarray(refc, np.int8)[order],
-            np.asarray(altc, np.int8)[order],
-            np.asarray(qual, np.float64)[order])
+            np.asarray(altc, np.int8)[order])
 
 
 def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ):
@@ -426,8 +436,13 @@ def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ):
     (PhaseResult, phase_map {pos1: entry}) where entry is (gt, ps) for
     phased sites — '0|1' (hap1 carries ref) or '1|0' — or, when
     distrust=True changed a genotype, the bare string "0/0"/"1/1".
-    """
-    pos, refc, altc, qual = _collect_biallelic(
+
+    distrust=True (whatshap --distrust-genotypes --include-homozygous,
+    indelCaller.py:228) re-types genotypes JOINTLY inside the per-block
+    exact wMEC DP (phase/wmec.phase_distrust) — whatshap's actual
+    formulation; the post-hoc `regenotype` pass below remains as its
+    differential twin for tests."""
+    pos, refc, altc = _collect_biallelic(
         records, ("0/1", "0|1", "1/0", "1|0"))
     if not len(pos):
         empty = PhaseResult(
@@ -436,17 +451,18 @@ def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ):
             read_hp=np.zeros(rw.n_reads, np.int8),
             read_ps=np.full(rw.n_reads, -1, np.int64))
         return empty, {}
+    if distrust:
+        from .wmec import phase_distrust
+
+        hpos, href, halt = _collect_biallelic(records, ("1/1", "1|1"))
+        return phase_distrust(rw, pos, refc, altc, hpos, href, halt,
+                              default_gq=default_gq)
     result = phase_sites(rw, pos, refc, altc)
     phase_map = {}
     for j in range(len(pos)):
         if result.block_ps[j] >= 0:
             gt = "1|0" if result.hap_allele[j] == 1 else "0|1"
             phase_map[int(pos[j]) + 1] = (gt, int(result.block_ps[j]))
-    if distrust:
-        hpos, href, halt, _hqual = _collect_biallelic(records, ("1/1", "1|1"))
-        changes = regenotype(rw, result, pos, refc, altc, hpos, href, halt,
-                             default_gq=default_gq)
-        phase_map.update(changes)
     return result, phase_map
 
 

@@ -229,7 +229,32 @@ def assemble_matrices_np(batch: SnpBatch):
     return data.astype(np.float32)
 
 
-def get_snp_candidates(
+@dataclass
+class SnpChunkScan:
+    """Shared intermediates of the candidate scan (before tensor assembly).
+
+    Produced once per chunk by `_scan_chunk`; consumed by the legacy dense
+    assembly (`get_snp_candidates`) and the deduplicated chunk-transfer
+    assembly (`get_snp_chunk_features`)."""
+
+    contig: str
+    scan_start: int
+    ref_codes: np.ndarray  # int8 over the scan window
+    cand_pos: np.ndarray  # int64[B]
+    nbr_counts: np.ndarray  # int32[B]
+    union_sites: np.ndarray  # int64[S] sorted (nbr ∪ cand)
+    sc: "SiteCodes"
+    rw: "ReadWindow"
+    cand_site_i: np.ndarray  # int64[B] index into union_sites
+    nbr_site_of_col: np.ndarray  # int64[B, 41]; -1 pad, center untouched(-2→set)
+    dp: np.ndarray  # int32[B]
+    freq: np.ndarray  # float32[B]
+    fwd_dp: np.ndarray  # int32[B, 4]
+    rev_dp: np.ndarray  # int32[B, 4]
+    counts_c: np.ndarray  # int64[B] raw center depth (pre-sampling)
+
+
+def _scan_chunk(
     bam,
     fasta,
     chunk,
@@ -244,10 +269,10 @@ def get_snp_candidates(
     exclude=None,
     rw: ReadWindow = None,
 ):
-    """Scan one chunk and build the SNP candidate batch.
+    """Candidate scan shared by both assembly paths; None when empty.
 
     chunk: dict with 'chrom', 'start', 'end' (1-based inclusive, like the
-    reference's chunk dicts). Returns SnpBatch (possibly empty).
+    reference's chunk dicts).
     """
     contig = chunk["chrom"]
     # 0-based scan window, 1-based parity with :137/:156
@@ -291,11 +316,10 @@ def get_snp_candidates(
 
     nbr_pos = pos_all[nbr_mask]
     cand_pos = pos_all[cand_mask]
-    empty = _empty_batch(contig)
     if len(cand_pos) == 0:
         if dd is not None:
             dd.close()
-        return empty
+        return None
 
     nbr_idx_mat, n_left, n_right = select_neighbors(cand_pos, nbr_pos, seq_type)
     nbr_counts = (1 + n_left + n_right).astype(np.int32)
@@ -303,7 +327,7 @@ def get_snp_candidates(
     if not keep.any():
         if dd is not None:
             dd.close()
-        return empty
+        return None
     cand_pos = cand_pos[keep]
     nbr_idx_mat = nbr_idx_mat[keep]
     nbr_counts = nbr_counts[keep]
@@ -325,12 +349,6 @@ def get_snp_candidates(
         nbr_site_of_col = np.full_like(nbr_idx_mat, -1)
 
     B = len(cand_pos)
-    Rmax = maxcov
-    codes = np.full((B, Rmax, WIDTH), 4, dtype=np.int8)
-    read_mask = np.zeros((B, Rmax), dtype=bool)
-    col_ref = np.full((B, WIDTH), 4, dtype=np.int8)
-    col_valid = np.zeros((B, WIDTH), dtype=bool)
-    rid_mat = np.full((B, Rmax), -1, dtype=np.int64)
 
     # strand-split counts + per-candidate read lists, vectorized over the
     # SiteCodes CSR (a per-candidate python loop here was ~35% of host
@@ -359,6 +377,69 @@ def get_snp_candidates(
 
     counts_c = (sc.indptr[cand_site_i + 1]
                 - sc.indptr[cand_site_i]).astype(np.int64)
+    return SnpChunkScan(
+        contig=contig, scan_start=scan_start, ref_codes=ref_codes,
+        cand_pos=cand_pos, nbr_counts=nbr_counts, union_sites=union_sites,
+        sc=sc, rw=rw, cand_site_i=cand_site_i,
+        nbr_site_of_col=nbr_site_of_col,
+        dp=n_aligned[cand_mask][keep].astype(np.int32),
+        freq=alt_freq[cand_mask][keep].astype(np.float32),
+        fwd_dp=fwd_dp, rev_dp=rev_dp, counts_c=counts_c)
+
+
+def get_snp_candidates(
+    bam,
+    fasta,
+    chunk,
+    *,
+    seq_type="ont",
+    mincov=4,
+    maxcov=160,
+    min_allele_freq=0.15,
+    min_nbr_sites=1,
+    threshold=(0.4, 0.6),
+    ploidy="diploid",
+    exclude=None,
+    rw: ReadWindow = None,
+):
+    """Scan one chunk and build the dense SNP candidate batch.
+
+    Returns SnpBatch (possibly empty). This is the oracle/training path;
+    production streaming uses `get_snp_chunk_features` (deduplicated
+    chunk transfer) which is probability-identical by construction
+    (tests/test_snp_dedup.py)."""
+    scan = _scan_chunk(
+        bam, fasta, chunk, seq_type=seq_type, mincov=mincov, maxcov=maxcov,
+        min_allele_freq=min_allele_freq, min_nbr_sites=min_nbr_sites,
+        threshold=threshold, ploidy=ploidy, exclude=exclude, rw=rw)
+    if scan is None:
+        return _empty_batch(chunk["chrom"])
+    return _assemble_dense(scan, maxcov)
+
+
+def _assemble_dense(scan: SnpChunkScan, maxcov) -> SnpBatch:
+    """Materialize the per-candidate (R, 41) code matrices on the host
+    (the oracle/training representation; mirrors
+    generate_SNP_pileups.py:221-254)."""
+    contig = scan.contig
+    scan_start = scan.scan_start
+    ref_codes = scan.ref_codes
+    cand_pos = scan.cand_pos
+    union_sites = scan.union_sites
+    sc = scan.sc
+    rw = scan.rw
+    cand_site_i = scan.cand_site_i
+    nbr_site_of_col = scan.nbr_site_of_col
+    counts_c = scan.counts_c
+    B = len(cand_pos)
+    from .engine import _ragged_arange
+
+    Rmax = maxcov
+    codes = np.full((B, Rmax, WIDTH), 4, dtype=np.int8)
+    read_mask = np.zeros((B, Rmax), dtype=bool)
+    col_ref = np.full((B, WIDTH), 4, dtype=np.int8)
+    col_valid = np.zeros((B, WIDTH), dtype=bool)
+    rid_mat = np.full((B, Rmax), -1, dtype=np.int64)
     take = counts_c.copy()
     deep = counts_c > maxcov
     take[deep] = 0  # deep sites handled by the seeded-downsampling loop
@@ -420,12 +501,167 @@ def get_snp_candidates(
         col_ref=col_ref,
         col_valid=col_valid,
         center_ref=col_ref[:, CENTER].copy(),
-        dp=n_aligned[cand_mask][keep].astype(np.int32),
-        freq=alt_freq[cand_mask][keep].astype(np.float32),
-        fwd_dp=fwd_dp,
-        rev_dp=rev_dp,
+        dp=scan.dp,
+        freq=scan.freq,
+        fwd_dp=scan.fwd_dp,
+        rev_dp=scan.rev_dp,
         sampled_depth=sampled_depth,
-        nbr_counts=nbr_counts,
+        nbr_counts=scan.nbr_counts,
+    )
+
+
+@dataclass
+class SnpChunkFeatures:
+    """Deduplicated chunk transfer for the SNP device path.
+
+    The dense SnpBatch re-ships each neighbor site's read-code column
+    once per candidate although neighbor sites are shared by up to 41
+    candidates in a chunk (generate_SNP_pileups.py:221-254 has the same
+    redundancy on the host). This representation ships the chunk's
+    unique (site × read) observations once, as CSR arrays; the device
+    scatters them into a dense site×read code table and gathers each
+    candidate's (R, 41) matrix from per-candidate site-index vectors
+    (snp_caller._snp_forward_gather). Cuts host→device traffic by
+    roughly the neighbor reuse factor and removes the host-side
+    per-candidate assembly entirely. Probability-identical to the dense
+    path by construction (tests/test_snp_dedup.py).
+    """
+
+    contig: str
+    # --- device payload, per chunk (shipped once) ---
+    ev_rid: np.ndarray  # int16/int32[E] read id per observation (CSR data)
+    ev_code: np.ndarray  # int8[E] base code per observation
+    indptr: np.ndarray  # int32[S+1] CSR row pointers over union sites
+    site_ref: np.ndarray  # int8[S] reference code per union site
+    n_reads: int
+    # --- device payload, per candidate ---
+    cand_site: np.ndarray  # int32[B] union-site index of the candidate
+    site_of_col: np.ndarray  # int16/int32[B, 41]; -1 pad; center = cand_site
+    # deep (depth > maxcov) candidates: explicit sampled CSR offsets
+    deep_idx: np.ndarray  # int64[Bd] candidate indices (sorted)
+    deep_offsets: np.ndarray  # int32[Bd, maxcov] offsets into ev_rid
+    # --- host-side decode fields (SnpBatch-compatible) ---
+    pos: np.ndarray
+    center_ref: np.ndarray
+    dp: np.ndarray
+    freq: np.ndarray
+    fwd_dp: np.ndarray
+    rev_dp: np.ndarray
+    sampled_depth: np.ndarray
+    nbr_counts: np.ndarray
+    maxcov: int = 160
+
+    @property
+    def coverage(self):
+        return float(np.mean(self.sampled_depth)) if len(self.pos) else 0.0
+
+    def __len__(self):
+        return len(self.pos)
+
+
+# dense site×read tables beyond this many cells fall back to the dense
+# per-candidate representation (monster chunks; keeps device memory and
+# scatter cost bounded)
+_TABLE_CELL_CAP = 1 << 27
+
+
+def get_snp_chunk_features(
+    bam,
+    fasta,
+    chunk,
+    *,
+    seq_type="ont",
+    mincov=4,
+    maxcov=160,
+    min_allele_freq=0.15,
+    min_nbr_sites=1,
+    threshold=(0.4, 0.6),
+    ploidy="diploid",
+    exclude=None,
+    rw: ReadWindow = None,
+):
+    """Scan one chunk and build the deduplicated transfer representation.
+
+    Returns SnpChunkFeatures, or a dense SnpBatch when the chunk's
+    site×read table would exceed _TABLE_CELL_CAP cells (fallback path).
+    """
+    scan = _scan_chunk(
+        bam, fasta, chunk, seq_type=seq_type, mincov=mincov, maxcov=maxcov,
+        min_allele_freq=min_allele_freq, min_nbr_sites=min_nbr_sites,
+        threshold=threshold, ploidy=ploidy, exclude=exclude, rw=rw)
+    if scan is None:
+        return _empty_chunk_features(chunk["chrom"], maxcov)
+    sc = scan.sc
+    S = len(scan.union_sites)
+    n_reads = scan.rw.n_reads
+    if (S + 1) * max(n_reads, 1) > _TABLE_CELL_CAP:
+        return _assemble_dense(scan, maxcov)
+
+    rid_dtype = np.int16 if n_reads < (1 << 15) else np.int32
+    site_dtype = np.int16 if S < (1 << 15) else np.int32
+    site_ref = scan.ref_codes[scan.union_sites - scan.scan_start].astype(
+        np.int8)
+    cand_site = scan.cand_site_i.astype(np.int32)
+    site_of_col = scan.nbr_site_of_col.astype(site_dtype)
+    site_of_col[:, CENTER] = cand_site.astype(site_dtype)
+
+    counts_c = scan.counts_c
+    deep_idx = np.flatnonzero(counts_c > maxcov)
+    deep_offsets = np.zeros((len(deep_idx), maxcov), np.int32)
+    for k, i in enumerate(deep_idx):
+        # maxcov downsampling (deterministic, position-keyed — same RNG
+        # stream as the dense path so both sample identical read sets)
+        v = scan.cand_pos[i]
+        lo = int(sc.indptr[scan.cand_site_i[i]])
+        rng = np.random.default_rng((812 << 32) | int(v))
+        pick = rng.choice(int(counts_c[i]), size=maxcov, replace=False)
+        pick.sort()
+        deep_offsets[k] = lo + pick
+
+    return SnpChunkFeatures(
+        contig=scan.contig,
+        ev_rid=sc.rid.astype(rid_dtype),
+        ev_code=sc.code.astype(np.int8, copy=False),
+        indptr=sc.indptr.astype(np.int32),
+        site_ref=site_ref,
+        n_reads=n_reads,
+        cand_site=cand_site,
+        site_of_col=site_of_col,
+        deep_idx=deep_idx,
+        deep_offsets=deep_offsets,
+        pos=scan.cand_pos,
+        center_ref=site_ref[scan.cand_site_i].copy(),
+        dp=scan.dp,
+        freq=scan.freq,
+        fwd_dp=scan.fwd_dp,
+        rev_dp=scan.rev_dp,
+        sampled_depth=np.minimum(counts_c, maxcov).astype(np.int32),
+        nbr_counts=scan.nbr_counts,
+        maxcov=maxcov,
+    )
+
+
+def _empty_chunk_features(contig, maxcov):
+    return SnpChunkFeatures(
+        contig=contig,
+        ev_rid=np.zeros(0, np.int16),
+        ev_code=np.zeros(0, np.int8),
+        indptr=np.zeros(1, np.int32),
+        site_ref=np.zeros(0, np.int8),
+        n_reads=0,
+        cand_site=np.zeros(0, np.int32),
+        site_of_col=np.zeros((0, WIDTH), np.int16),
+        deep_idx=np.zeros(0, np.int64),
+        deep_offsets=np.zeros((0, maxcov), np.int32),
+        pos=np.zeros(0, np.int64),
+        center_ref=np.zeros(0, np.int8),
+        dp=np.zeros(0, np.int32),
+        freq=np.zeros(0, np.float32),
+        fwd_dp=np.zeros((0, 4), np.int32),
+        rev_dp=np.zeros((0, 4), np.int32),
+        sampled_depth=np.zeros(0, np.int32),
+        nbr_counts=np.zeros(0, np.int32),
+        maxcov=maxcov,
     )
 
 

@@ -36,12 +36,19 @@ def _bam_for(path):
 
 
 def snp_features_worker(task):
-    """(idx, chunk) → (idx, SnpBatch)."""
+    """(idx, chunk) → (idx, SnpChunkFeatures | SnpBatch).
+
+    Default production representation is the deduplicated chunk transfer
+    (SnpChunkFeatures); cfg['dedup_transfer']=False restores the dense
+    per-candidate batches (oracle path)."""
     idx, chunk = task
-    from ..pileup.snp_features import get_snp_candidates
+    from ..pileup.snp_features import (get_snp_candidates,
+                                       get_snp_chunk_features)
 
     cfg = _G["cfg"]
-    batch = get_snp_candidates(
+    builder = get_snp_chunk_features if cfg.get("dedup_transfer", True) \
+        else get_snp_candidates
+    batch = builder(
         _G["bam"], _G["fasta"], chunk,
         seq_type=cfg["sequencing"], mincov=cfg["mincov"],
         maxcov=cfg["maxcov"], min_allele_freq=cfg["min_allele_freq"],
@@ -97,4 +104,5 @@ def cfg_kwargs_for_workers(cfg):
         threshold=cfg.threshold, ins_threshold=cfg.ins_threshold,
         del_threshold=cfg.del_threshold, win_size=cfg.win_size,
         small_win_size=cfg.small_win_size,
-        impute_indel_phase=cfg.impute_indel_phase)
+        impute_indel_phase=cfg.impute_indel_phase,
+        dedup_transfer=getattr(cfg, "dedup_transfer", True))

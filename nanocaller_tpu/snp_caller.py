@@ -110,6 +110,119 @@ def _snp_forward_dense(params, codes, read_mask, col_ref, col_valid,
     return probs[:, :, 1]
 
 
+def _pow2_pad(n, lo=256):
+    """Smallest power-of-two bucket ≥ n (bounds jit recompiles across
+    chunks: steady-state runs hit one or two buckets)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _bucket15(n, lo=1024):
+    """Half-octave buckets (1024, 1536, 2048, 3072, ...): ≤33% pad waste
+    on the event arrays — the term that dominates the deduplicated
+    transfer — at ~2 jit shapes per octave."""
+    b = lo
+    while True:
+        if n <= b:
+            return b
+        if n <= b * 3 // 2:
+            return b * 3 // 2
+        b *= 2
+
+
+def _build_site_table_impl(ev_rid, ev_code, indptr, e_real, s_pad, n_pad):
+    """Scatter CSR (site × read) observations into a dense int8 code
+    table of shape (s_pad + 1, n_pad). Row s_pad is the trash row for
+    padded/invalid lookups; default cell value 4 = read absent at site
+    (the reference's 'other/missing' code, generate_SNP_pileups.py:104).
+    """
+    E = ev_rid.shape[0]
+    e = jnp.arange(E, dtype=jnp.int32)
+    site = jnp.searchsorted(indptr, e, side="right").astype(jnp.int32) - 1
+    site = jnp.where(e < e_real, jnp.clip(site, 0, s_pad - 1), s_pad)
+    rid = jnp.clip(ev_rid.astype(jnp.int32), 0, n_pad - 1)
+    table = jnp.full((s_pad + 1, n_pad), 4, dtype=jnp.int8)
+    return table.at[site, rid].set(ev_code)
+
+
+_build_site_table = partial(jax.jit, static_argnames=("s_pad", "n_pad"))(
+    _build_site_table_impl)
+
+
+def _gather_forward_impl(params, table, site_ref, cand_site, site_of_col,
+                         rid, read_mask, norm, haploid):
+    """Shared tail of the gather kernels: dense (B, R, 41) code gather
+    from the site table + CNN forward. Reads with read_mask=False may
+    carry garbage codes — they contribute exactly 0 to the einsum
+    (grp is masked), so probabilities are bitwise-identical to the
+    dense path."""
+    soc = site_of_col.astype(jnp.int32)
+    col_valid = soc >= 0
+    s_trash = table.shape[0] - 1
+    site_sel = jnp.where(col_valid, soc, s_trash)
+    codes = table[site_sel[:, None, :], rid[:, :, None]]  # (B, R, 41)
+    soc_c = jnp.clip(soc, 0, site_ref.shape[0] - 1)
+    col_ref = jnp.where(col_valid, site_ref[soc_c], 4).astype(jnp.int8)
+    center_ref = site_ref[jnp.clip(cand_site, 0, site_ref.shape[0] - 1)]
+    return _snp_forward_dense(params, codes, read_mask, col_ref, col_valid,
+                              center_ref, norm, haploid)
+
+
+@partial(jax.jit, static_argnames=("R", "haploid"))
+def _snp_forward_gather(params, table, ev_rid, indptr, site_ref, cand_site,
+                        site_of_col, norm, R, haploid=False):
+    """Forward one candidate batch from the deduplicated chunk
+    representation (normal-depth candidates: reads are the CSR row of
+    the candidate site, first min(depth, R))."""
+    cand_site = cand_site.astype(jnp.int32)
+    start = indptr[cand_site]
+    depth = indptr[cand_site + 1] - start
+    r = jnp.arange(R, dtype=jnp.int32)
+    read_mask = r[None, :] < jnp.minimum(depth, R)[:, None]
+    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_rid.shape[0] - 1)
+    rid = ev_rid[eidx].astype(jnp.int32)
+    return _gather_forward_impl(params, table, site_ref, cand_site,
+                                site_of_col, rid, read_mask, norm, haploid)
+
+
+@partial(jax.jit, static_argnames=("R", "haploid"))
+def _snp_forward_gather_offsets(params, table, ev_rid, site_ref, cand_site,
+                                site_of_col, offsets, n_valid, norm, R,
+                                haploid=False):
+    """Gather-kernel variant for deep (depth > maxcov) candidates: the
+    sampled read set is an explicit offset matrix into the CSR data
+    (host picks the deterministic position-keyed sample)."""
+    cand_site = cand_site.astype(jnp.int32)
+    r = jnp.arange(R, dtype=jnp.int32)
+    read_mask = r[None, :] < n_valid[:, None]
+    eidx = jnp.clip(offsets, 0, ev_rid.shape[0] - 1)
+    rid = ev_rid[eidx].astype(jnp.int32)
+    return _gather_forward_impl(params, table, site_ref, cand_site,
+                                site_of_col, rid, read_mask, norm, haploid)
+
+
+@partial(jax.jit, static_argnames=("s_pad", "n_pad", "R", "haploid"))
+def _snp_forward_chunk_fused(params, ev_rid, ev_code, indptr, site_ref,
+                             e_real, cand_site, site_of_col, norm,
+                             s_pad, n_pad, R, haploid=False):
+    """Single-launch table build + forward — the flagship forward step
+    (used by __graft_entry__/bench; production splits the two so the
+    table amortizes over many batches of one chunk)."""
+    table = _build_site_table_impl(ev_rid, ev_code, indptr, e_real,
+                                   s_pad, n_pad)
+    cand_site32 = cand_site.astype(jnp.int32)
+    start = indptr[cand_site32]
+    depth = indptr[cand_site32 + 1] - start
+    r = jnp.arange(R, dtype=jnp.int32)
+    read_mask = r[None, :] < jnp.minimum(depth, R)[:, None]
+    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_rid.shape[0] - 1)
+    rid = ev_rid[eidx].astype(jnp.int32)
+    return _gather_forward_impl(params, table, site_ref, cand_site32,
+                                site_of_col, rid, read_mask, norm, haploid)
+
+
 @dataclass
 class SnpCallerState:
     params: dict
@@ -218,6 +331,120 @@ def infer_snp_batch(state: SnpCallerState, batch: SnpBatch, cfg, ploidy):
 _R_BUCKETS = (32, 64, 96, 128, 160)
 
 
+def _pick_r_bucket(max_depth, cap):
+    for b in _R_BUCKETS:
+        if b >= max_depth and b <= cap:
+            return b
+    return cap
+
+
+def infer_snp_chunk(state, feats, cfg, ploidy):
+    """Run the model over one chunk via the deduplicated representation.
+
+    Ships the chunk's unique (site × read) observations once, builds the
+    dense site×read code table on-device, then streams candidate batches
+    as (cand_site, site_of_col, norm) index vectors only — the h2d
+    volume per candidate drops by the neighbor-column reuse factor
+    (VERDICT r2 item 1). Deep (depth > maxcov) candidates go through the
+    offsets kernel with their host-sampled read sets.
+    """
+    from .runtime.sharding import dp_scale, replicated, shard_batch
+
+    B = len(feats)
+    train_cov = state.train_coverage if ploidy == "diploid" \
+        else state.hap_train_coverage
+    haploid = ploidy == "haploid"
+    params = state.params if ploidy == "diploid" else state.hap_params
+    if cfg.disable_coverage_normalization:
+        norm = train_cov / np.maximum(feats.dp.astype(np.float32), 1e-6)
+    else:
+        cov = feats.coverage
+        norm = np.full(B, train_cov / cov if cov > 0 else 1.0, np.float32)
+
+    # pad + ship the chunk payload once (power-of-two buckets bound
+    # recompiles; pad events route to the table's trash row)
+    E = len(feats.ev_rid)
+    S = len(feats.indptr) - 1
+    e_pad = _bucket15(E, 1024)
+    s_pad = _bucket15(S, 256)
+    n_pad = _pow2_pad(max(feats.n_reads, 1), 256)
+    ev_rid = np.zeros(e_pad, feats.ev_rid.dtype)
+    ev_rid[:E] = feats.ev_rid
+    ev_code = np.full(e_pad, 4, np.int8)
+    ev_code[:E] = feats.ev_code
+    indptr = np.full(s_pad + 1, E, np.int32)
+    indptr[:S + 1] = feats.indptr
+    site_ref = np.full(s_pad, 4, np.int8)
+    site_ref[:S] = feats.site_ref
+    mesh = state.mesh
+    put = (lambda a: jax.device_put(a, replicated(mesh))) if mesh is not None \
+        else jax.device_put
+    ev_rid_d = put(ev_rid)
+    ev_code_d = put(ev_code)
+    indptr_d = put(indptr)
+    site_ref_d = put(site_ref)
+    e_real = put(np.int32(E))
+    table = _build_site_table(ev_rid_d, ev_code_d, indptr_d, e_real,
+                              s_pad=s_pad, n_pad=n_pad)
+
+    out = np.zeros((B, 4), np.float32)
+    deep_mask = np.zeros(B, bool)
+    deep_mask[feats.deep_idx] = True
+    normal_idx = np.flatnonzero(~deep_mask)
+    dpn = mesh.shape["dp"] if mesh is not None else 1
+
+    def padded(a, sel, pad, fill):
+        if pad == 0:
+            return a[sel]
+        padding = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a[sel], padding, constant_values=fill)
+
+    if len(normal_idx):
+        max_depth = int(feats.sampled_depth[normal_idx].max())
+        R_b = _pick_r_bucket(max_depth, feats.maxcov)
+        bs = dp_scale(cfg.batch_size, mesh)
+        for lo in range(0, len(normal_idx), bs):
+            sel = normal_idx[lo:lo + bs]
+            pad = bs - len(sel)
+            args = shard_batch(
+                (padded(feats.cand_site, sel, pad, 0),
+                 padded(feats.site_of_col, sel, pad, -1),
+                 padded(norm, sel, pad, 1.0)), mesh)
+            probs = _snp_forward_gather(
+                params, table, ev_rid_d, indptr_d, site_ref_d, *args,
+                R=R_b, haploid=haploid)
+            out[sel] = np.asarray(probs)[: len(sel)]
+
+    if len(feats.deep_idx):
+        Bd = len(feats.deep_idx)
+        import math as _math
+
+        bd = dpn * _pow2_pad(_math.ceil(Bd / dpn), 8)
+        sel = feats.deep_idx
+        pad = bd - Bd
+        n_valid = np.full(Bd, feats.maxcov, np.int32)
+        args = shard_batch(
+            (padded(feats.cand_site, sel, pad, 0),
+             padded(feats.site_of_col, sel, pad, -1),
+             padded(feats.deep_offsets, np.arange(Bd), pad, 0),
+             padded(n_valid, np.arange(Bd), pad, 0),
+             padded(norm, sel, pad, 1.0)), mesh)
+        probs = _snp_forward_gather_offsets(
+            params, table, ev_rid_d, site_ref_d, *args,
+            R=feats.maxcov, haploid=haploid)
+        out[sel] = np.asarray(probs)[:Bd]
+    return out
+
+
+def infer_snp_any(state, batch, cfg, ploidy):
+    """Dispatch on the batch representation (dense oracle vs dedup)."""
+    from .pileup.snp_features import SnpChunkFeatures
+
+    if isinstance(batch, SnpChunkFeatures):
+        return infer_snp_chunk(state, batch, cfg, ploidy)
+    return infer_snp_batch(state, batch, cfg, ploidy)
+
+
 def decode_diploid(batch: SnpBatch, probs):
     """Genotype decision tree → VCF body lines (snpCaller.py:113-163)."""
     lines = []
@@ -309,15 +536,19 @@ def decode_haploid(batch: SnpBatch, probs):
 
 def call_chunk(state, bam, fasta, chunk, cfg, exclude=None):
     """Feature-gen + inference + decode for one chunk → VCF body lines."""
+    from .pileup.snp_features import get_snp_chunk_features
+
     ploidy = chunk.get("ploidy", "diploid")
-    batch = get_snp_candidates(
+    builder = get_snp_chunk_features \
+        if getattr(cfg, "dedup_transfer", True) else get_snp_candidates
+    batch = builder(
         bam, fasta, chunk,
         seq_type=cfg.sequencing, mincov=cfg.mincov, maxcov=cfg.maxcov,
         min_allele_freq=cfg.min_allele_freq, min_nbr_sites=cfg.min_nbr_sites,
         threshold=cfg.threshold, ploidy=ploidy, exclude=exclude)
     if len(batch) == 0:
         return []
-    probs = infer_snp_batch(state, batch, cfg, ploidy)
+    probs = infer_snp_any(state, batch, cfg, ploidy)
     if ploidy == "haploid":
         return decode_haploid(batch, probs)
     return decode_diploid(batch, probs)
@@ -387,7 +618,7 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
         if len(batch) == 0:
             results[idx] = []
         else:
-            probs = infer_snp_batch(state, batch, cfg, ploidy_of[idx])
+            probs = infer_snp_any(state, batch, cfg, ploidy_of[idx])
             if ploidy_of[idx] == "haploid":
                 results[idx] = decode_haploid(batch, probs)
             else:

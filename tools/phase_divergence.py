@@ -67,22 +67,30 @@ def switch_errors(ha, hb):
 
 
 def run_config(rng, blocks, n_sites, depth, err, min_span, max_span):
-    out = {"n": 0, "optimal": 0, "gaps": [], "sw_vs_exact": [],
-           "sw_heur_truth": [], "sw_exact_truth": [], "skipped": 0}
+    out = {"n": 0, "optimal": 0, "optimal_prod": 0, "gaps": [],
+           "sw_vs_exact": [], "sw_heur_truth": [], "sw_exact_truth": [],
+           "skipped": 0}
     for _ in range(blocks):
         rids, sidx, al, n_reads, truth = gen_block(
             rng, n_sites, depth, err, min_span, max_span)
-        res = phase_obs(rids, sidx, al, n_reads,
-                        np.arange(n_sites, dtype=np.int64) * 100)
+        pos = np.arange(n_sites, dtype=np.int64) * 100
+        # heuristic-only (descent + switch repair) vs PRODUCTION
+        # (heuristic + per-block exact DP over selected reads, the
+        # phase_obs default since round 3)
+        res = phase_obs(rids, sidx, al, n_reads, pos, exact=False)
+        res_prod = phase_obs(rids, sidx, al, n_reads, pos)
         try:
             c_exact, h_exact, _ = wmec_exact(rids, sidx, al, n_sites)
         except ValueError:  # active coverage blew the DP cap
             out["skipped"] += 1
             continue
         c_heur = cost_of_h(rids, sidx, al, res.hap_allele)
+        c_prod = cost_of_h(rids, sidx, al, res_prod.hap_allele)
         assert c_heur >= c_exact - 1e-9, (c_heur, c_exact)
+        assert c_prod >= c_exact - 1e-9, (c_prod, c_exact)
         out["n"] += 1
         out["optimal"] += int(abs(c_heur - c_exact) < 1e-9)
+        out["optimal_prod"] += int(abs(c_prod - c_exact) < 1e-9)
         out["gaps"].append((c_heur - c_exact) / max(c_exact, 1.0))
         out["sw_vs_exact"].append(switch_errors(res.hap_allele, h_exact))
         out["sw_heur_truth"].append(switch_errors(res.hap_allele, truth))
@@ -113,6 +121,7 @@ def main():
         row = {
             "depth": d, "err": e, "span": [lo, hi], "n": r["n"],
             "optimal_rate": r["optimal"] / n,
+            "optimal_rate_prod": r["optimal_prod"] / n,
             "gap_mean": float(gaps.mean()),
             "gap_max": float(gaps.max()),
             "sw_vs_exact_mean": float(np.mean(r["sw_vs_exact"])),
@@ -129,6 +138,8 @@ def main():
     agg = {
         "blocks_per_config": args.blocks,
         "optimal_rate": float(np.mean([r["optimal_rate"] for r in summary])),
+        "optimal_rate_prod": float(np.mean([r["optimal_rate_prod"]
+                                            for r in summary])),
         "gap_mean": float(np.mean([r["gap_mean"] for r in summary])),
         "sw_vs_exact_mean": float(np.mean([r["sw_vs_exact_mean"]
                                            for r in summary])),
