@@ -24,6 +24,13 @@ def feature_stream(chunks, worker_fn, init_args, n_workers, ordered=False):
 
     n_workers <= 1 runs inline (no processes). Uses the 'spawn' start
     method so worker processes never inherit TPU/JAX state.
+
+    Failure detection (SURVEY.md §5.3 — the reference hangs on
+    worker-death joins): a crashed/killed worker surfaces as
+    BrokenProcessPool; the unfinished chunks are requeued ONCE in a
+    fresh pool, and a second failure raises a clean RuntimeError (the
+    run manifest still points at all completed shards) instead of
+    hanging.
     """
     from . import workers
 
@@ -34,14 +41,48 @@ def feature_stream(chunks, worker_fn, init_args, n_workers, ordered=False):
             yield worker_fn(task)
         workers._G.clear()
         return
-    ctx = mp.get_context("spawn")
-    with ctx.Pool(processes=min(n_workers, len(tasks)),
-                  initializer=workers.init_worker,
-                  initargs=init_args) as pool:
-        it = pool.imap(worker_fn, tasks) if ordered else \
-            pool.imap_unordered(worker_fn, tasks)
-        for result in it:
-            yield result
+    yield from _pool_stream(tasks, worker_fn, init_args, n_workers, ordered)
+
+
+def _pool_stream(tasks, worker_fn, init_args, n_workers, ordered):
+    import sys
+    from concurrent.futures import ProcessPoolExecutor, as_completed
+    from concurrent.futures.process import BrokenProcessPool
+
+    from . import workers
+
+    remaining = list(tasks)
+    for attempt in (1, 2):
+        delivered = set()
+        try:
+            ctx = mp.get_context("spawn")
+            with ProcessPoolExecutor(
+                    max_workers=min(n_workers, len(remaining)),
+                    mp_context=ctx, initializer=workers.init_worker,
+                    initargs=init_args) as ex:
+                futs = [(ex.submit(worker_fn, t), t) for t in remaining]
+                pairs = futs if ordered else (
+                    (f, t) for f, t in _completed_pairs(futs, as_completed))
+                for f, t in pairs:
+                    result = f.result()  # raises BrokenProcessPool on death
+                    delivered.add(t[0])
+                    yield result
+            return
+        except BrokenProcessPool:
+            remaining = [t for t in remaining if t[0] not in delivered]
+            if attempt == 2 or not remaining:
+                raise RuntimeError(
+                    "feature worker died (killed/OOM?); %d chunk(s) "
+                    "unfinished after retry — completed chunks are in the "
+                    "run manifest, rerun with --resume" % len(remaining))
+            print("warning: feature worker died; requeueing %d chunk(s) "
+                  "in a fresh pool" % len(remaining), file=sys.stderr)
+
+
+def _completed_pairs(futs, as_completed):
+    by_fut = dict(futs)
+    for f in as_completed(by_fut):
+        yield f, by_fut[f]
 
 
 class RunManifest:

@@ -97,6 +97,58 @@ def indel_features_worker(task):
     return idx, batch
 
 
+def phase_contig_worker(task):
+    """(idx, job) → phase one contig inside a feature worker (numpy-only;
+    the per-contig phase→indel DAG fans these out so a contig's indel
+    chunks can start the moment it phases, while other contigs are still
+    phasing — the reference's dual-role worker unlock,
+    indelCaller.py:253-262,320-336).
+
+    job keys: chrom, start, end (1-based), snp_vcf, out_vcf, lowq_vcf,
+    tags_path. Writes the phased VCF (+ low-qual passthrough when any)
+    and the qname→(hp,ps) sidecar; returns (idx, summary dict)."""
+    import time
+
+    idx, job = task
+    t0 = time.perf_counter()
+    from ..io.vcf import VcfReader, VcfWriter
+    from ..phase.mec import haplotag_reads, phase_contig, write_phased_vcf
+    from ..pileup.engine import decode_reads
+
+    cfg = _G["cfg"]
+    reader = VcfReader(job["snp_vcf"])
+    recs = list(reader.fetch(job["chrom"], job["start"], job["end"]))
+    hiq = [r for r in recs if r.qual_value >= cfg["phase_qual_score"]]
+    lowq = [r for r in recs if r.qual_value < cfg["phase_qual_score"]]
+    het_sites = sorted(r.pos - 1 for r in hiq)
+    rw = decode_reads(_G["bam"], job["chrom"], max(0, job["start"] - 1),
+                      job["end"], keep_seq=False, sites=het_sites)
+    result, phase_map = phase_contig(hiq, rw,
+                                     distrust=cfg["enable_whatshap"])
+    tags = haplotag_reads(rw, result)
+
+    class _Recs:
+        header_lines = reader.header_lines
+
+        def __iter__(self):
+            return iter(hiq)
+
+    files = []
+    write_phased_vcf(_Recs(), job["out_vcf"], phase_map)
+    files.append(job["out_vcf"])
+    if lowq:
+        with VcfWriter(job["lowq_vcf"], reader.header_lines) as w:
+            for r in lowq:
+                w.write(r)
+        files.append(job["lowq_vcf"])
+    with open(job["tags_path"], "w") as fh:
+        for qn, t in tags.items():
+            fh.write("%s\t%d\t%d\n" % (qn, t[0], t[1]))
+    return idx, {"chrom": job["chrom"], "files": files,
+                 "tags_path": job["tags_path"], "n_tags": len(tags),
+                 "seconds": time.perf_counter() - t0}
+
+
 def cfg_kwargs_for_workers(cfg):
     return dict(
         sequencing=cfg.sequencing, mincov=cfg.mincov, maxcov=cfg.maxcov,
@@ -105,4 +157,6 @@ def cfg_kwargs_for_workers(cfg):
         del_threshold=cfg.del_threshold, win_size=cfg.win_size,
         small_win_size=cfg.small_win_size,
         impute_indel_phase=cfg.impute_indel_phase,
-        dedup_transfer=getattr(cfg, "dedup_transfer", True))
+        dedup_transfer=getattr(cfg, "dedup_transfer", True),
+        phase_qual_score=cfg.phase_qual_score,
+        enable_whatshap=cfg.enable_whatshap)
