@@ -130,7 +130,8 @@ def run(cfg: Config, progress=None):
                 os.path.join(cfg.output, "trace"), enabled=cfg.profile):
             snp_vcf = call_snps(cfg, bam, fasta, regions_list, chunks,
                                 cfg.output, exclude=exclude, progress=progress,
-                                exclude_path=exclude_path, manifest=manifest)
+                                exclude_path=exclude_path, manifest=manifest,
+                                metrics=metrics)
         metrics.count("snp_chunks", len(chunks))
         outputs["snps"] = snp_vcf
 
@@ -363,6 +364,7 @@ def run(cfg: Config, progress=None):
 
             for sub_idx, batch in stream:
                 idx = todo[sub_idx]
+                metrics.count("indel_candidates", len(batch))
                 if len(batch) == 0:
                     results[idx] = []
                     _write_shard(idx)
@@ -570,6 +572,7 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                             {"stage": "indel_chunk_done",
                              "contig": ordered_chunks[idx]["chrom"],
                              "t": round(time.perf_counter() - t_start, 4)})
+                    metrics.count("indel_candidates", len(batch))
                     if len(batch) == 0:
                         results[idx] = []
                         _write_shard(idx)

@@ -399,9 +399,12 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
         padding = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         return np.pad(a[sel], padding, constant_values=fill)
 
+    # read-axis bucket: max over ALL candidates (deep ones sample to
+    # maxcov), exactly as the dense path chooses it — the reduction tree
+    # width must match for bitwise-identical probabilities
+    R_b = _pick_r_bucket(int(feats.sampled_depth.max()) if B else 1,
+                         feats.maxcov)
     if len(normal_idx):
-        max_depth = int(feats.sampled_depth[normal_idx].max())
-        R_b = _pick_r_bucket(max_depth, feats.maxcov)
         bs = dp_scale(cfg.batch_size, mesh)
         for lo in range(0, len(normal_idx), bs):
             sel = normal_idx[lo:lo + bs]
@@ -416,23 +419,31 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
             out[sel] = np.asarray(probs)[: len(sel)]
 
     if len(feats.deep_idx):
+        # same padded batch size AND read-axis bucket as the normal/
+        # dense paths: the XLA program's reduction/fusion layout depends
+        # on both shapes, and bitwise-identical probabilities require
+        # matching them (tests/test_downsampling.py pins this)
         Bd = len(feats.deep_idx)
-        import math as _math
-
-        bd = dpn * _pow2_pad(_math.ceil(Bd / dpn), 8)
-        sel = feats.deep_idx
-        pad = bd - Bd
-        n_valid = np.full(Bd, feats.maxcov, np.int32)
-        args = shard_batch(
-            (padded(feats.cand_site, sel, pad, 0),
-             padded(feats.site_of_col, sel, pad, -1),
-             padded(feats.deep_offsets, np.arange(Bd), pad, 0),
-             padded(n_valid, np.arange(Bd), pad, 0),
-             padded(norm, sel, pad, 1.0)), mesh)
-        probs = _snp_forward_gather_offsets(
-            params, table, ev_rid_d, site_ref_d, *args,
-            R=feats.maxcov, haploid=haploid)
-        out[sel] = np.asarray(probs)[:Bd]
+        bs = dp_scale(cfg.batch_size, mesh)
+        n_valid_all = np.full(Bd, feats.maxcov, np.int32)
+        offs_all = feats.deep_offsets
+        if R_b > offs_all.shape[1]:
+            offs_all = np.pad(offs_all,
+                              [(0, 0), (0, R_b - offs_all.shape[1])])
+        for lo in range(0, Bd, bs):
+            dsel = np.arange(lo, min(lo + bs, Bd))
+            sel = feats.deep_idx[dsel]
+            pad = bs - len(dsel)
+            args = shard_batch(
+                (padded(feats.cand_site, sel, pad, 0),
+                 padded(feats.site_of_col, sel, pad, -1),
+                 padded(offs_all, dsel, pad, 0),
+                 padded(n_valid_all, dsel, pad, 0),
+                 padded(norm, sel, pad, 1.0)), mesh)
+            probs = _snp_forward_gather_offsets(
+                params, table, ev_rid_d, site_ref_d, *args,
+                R=R_b, haploid=haploid)
+            out[sel] = np.asarray(probs)[: len(dsel)]
     return out
 
 
@@ -555,7 +566,7 @@ def call_chunk(state, bam, fasta, chunk, cfg, exclude=None):
 
 
 def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
-              progress=None, exclude_path=None, manifest=None):
+              progress=None, exclude_path=None, manifest=None, metrics=None):
     """Run SNP calling over all chunks; write unfiltered + PASS VCFs.
 
     Feature generation fans out over cfg.cpu worker processes while this
@@ -615,6 +626,8 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
                                          snp_features_worker, init_args,
                                          cfg.cpu):
         idx = todo[sub_idx]
+        if metrics is not None:
+            metrics.count("snp_candidates", len(batch))
         if len(batch) == 0:
             results[idx] = []
         else:

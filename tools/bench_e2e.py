@@ -66,7 +66,7 @@ def evaluate(calls, truth, fasta, vtype, bed=None):
     return best or {}
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=20, help="fixture Mb")
     ap.add_argument("--depth", type=int, default=45)
@@ -79,7 +79,7 @@ def main():
     ap.add_argument("--workdir", default=None,
                     help="reuse an existing fixture/work directory")
     ap.add_argument("--skip_phased_bam", action="store_true")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from simulate import main as sim_main
@@ -108,11 +108,25 @@ def main():
     wall = run_cli(bam, fasta, out_dir, args.cpu, args.platform, extra)
 
     stages = {}
+    counts = {}
+    rates = {}
     mpath = os.path.join(out_dir, "metrics.json")
     if os.path.exists(mpath):
         with open(mpath) as f:
             m = json.load(f)
         stages = {k: round(v, 2) for k, v in m.get("timers_s", {}).items()}
+        counts = m.get("counts", {})
+        # stage-budget rates (VERDICT r2 item 9): candidate throughput
+        # per stage; the indel stage is the phase_indel_dag wall when the
+        # DAG ran (indel features+inference overlap phasing there)
+        if counts.get("snp_candidates") and stages.get("snp_calling"):
+            rates["snp_sites_per_s"] = round(
+                counts["snp_candidates"] / stages["snp_calling"], 1)
+        indel_wall = stages.get("indel_calling") or stages.get(
+            "phase_indel_dag")
+        if counts.get("indel_candidates") and indel_wall:
+            rates["indel_sites_per_s"] = round(
+                counts["indel_candidates"] / indel_wall, 1)
     calls = os.path.join(out_dir, "v.vcf.gz")
     rows = {"snp": evaluate(calls, truth, fasta, "snp"),
             "indel": evaluate(calls, truth, fasta, "indel")}
@@ -126,6 +140,7 @@ def main():
     print(f"\n== bench_e2e {args.mb:g} Mb @{args.depth}x "
           f"({args.platform}, cpu={args.cpu}) ==")
     print(f"wall: {wall:.1f}s   stages: {stages}")
+    print(f"counts: {counts}   rates: {rates}")
     for name, r in rows.items():
         print(f"{name:>12}: best F1 {r.get('f1', 0):.4f} "
               f"(P={r.get('precision', 0):.4f} R={r.get('recall', 0):.4f} "
@@ -134,6 +149,7 @@ def main():
         "mb": args.mb, "depth": args.depth, "platform": args.platform,
         "cpu": args.cpu, "seed": args.seed, "hp_profile": args.hp_profile,
         "wall_s": round(wall, 1), "stages": stages,
+        "counts": counts, "rates": rates,
         "results": {k: {kk: r.get(kk) for kk in
                         ("f1", "precision", "recall", "threshold")}
                     for k, r in rows.items()},

@@ -60,6 +60,11 @@ CONFIGS = {
     "haploid_chrXYM": {
         "mode": "snps", "preset": "ont", "regions": "chrY chrM",
         "extra": ["--haploid_genome"], "eval": ["snp"]},
+    # whole-input smoke config: no region pin, used by the CI-style
+    # readiness test against the synthetic simulator fixture so the kit
+    # cannot bit-rot before real data appears (VERDICT r2 item 6)
+    "smoke": {
+        "mode": "all", "preset": "ont", "eval": ["snp", "indel"]},
 }
 DEFAULT = ["ont_chr22_slice", "ont_chr22_snps", "ont_chr22_all"]
 
@@ -109,7 +114,7 @@ def run_config(name, cfg, args):
     return {"wall_s": round(wall, 1), "results": results}
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--bam", required=True)
     ap.add_argument("--ref", required=True)
@@ -125,7 +130,7 @@ def main():
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--configs", nargs="*", default=DEFAULT,
                     choices=list(CONFIGS), metavar="CONFIG")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     for p in (args.bam, args.ref, args.truth):
         if not os.path.exists(p):
