@@ -247,6 +247,7 @@ class SnpChunkScan:
     rw: "ReadWindow"
     cand_site_i: np.ndarray  # int64[B] index into union_sites
     nbr_site_of_col: np.ndarray  # int64[B, 41]; -1 pad, center untouched(-2→set)
+    nbr_pos: np.ndarray  # int64[M] neighbor-eligible site positions (sorted)
     dp: np.ndarray  # int32[B]
     freq: np.ndarray  # float32[B]
     fwd_dp: np.ndarray  # int32[B, 4]
@@ -381,7 +382,7 @@ def _scan_chunk(
         contig=contig, scan_start=scan_start, ref_codes=ref_codes,
         cand_pos=cand_pos, nbr_counts=nbr_counts, union_sites=union_sites,
         sc=sc, rw=rw, cand_site_i=cand_site_i,
-        nbr_site_of_col=nbr_site_of_col,
+        nbr_site_of_col=nbr_site_of_col, nbr_pos=nbr_pos,
         dp=n_aligned[cand_mask][keep].astype(np.int32),
         freq=alt_freq[cand_mask][keep].astype(np.float32),
         fwd_dp=fwd_dp, rev_dp=rev_dp, counts_c=counts_c)
@@ -529,17 +530,26 @@ class SnpChunkFeatures:
 
     contig: str
     # --- device payload, per chunk (shipped once) ---
-    ev_rid: np.ndarray  # int16/int32[E] read id per observation (CSR data)
-    ev_code: np.ndarray  # int8[E] base code per observation
+    # fused CSR observation array: (read_id << 3) | base_code per
+    # observation — uint16 when n_reads < 2^13 (one transfer byte per
+    # 8 bits of entropy), uint32 otherwise
+    ev_packed: np.ndarray
     indptr: np.ndarray  # int32[S+1] CSR row pointers over union sites
     site_ref: np.ndarray  # int8[S] reference code per union site
     n_reads: int
     # --- device payload, per candidate ---
     cand_site: np.ndarray  # int32[B] union-site index of the candidate
-    site_of_col: np.ndarray  # int16/int32[B, 41]; -1 pad; center = cand_site
+    cand_pos32: np.ndarray  # int32[B] 0-based genomic position
+    # neighbor-eligible sites for ON-DEVICE band-quota selection
+    # (snp_caller._device_select_neighbors twins select_neighbors above):
+    # per-candidate neighbor columns are recomputed on-chip from these,
+    # so nothing per-candidate×41 is ever shipped
+    nbr_pos: np.ndarray  # int32[M] sorted neighbor site positions
+    nbr_union: np.ndarray  # int32[M] union-site index of each neighbor
+    seq_type: str
     # deep (depth > maxcov) candidates: explicit sampled CSR offsets
     deep_idx: np.ndarray  # int64[Bd] candidate indices (sorted)
-    deep_offsets: np.ndarray  # int32[Bd, maxcov] offsets into ev_rid
+    deep_offsets: np.ndarray  # int32[Bd, maxcov] offsets into ev_packed
     # --- host-side decode fields (SnpBatch-compatible) ---
     pos: np.ndarray
     center_ref: np.ndarray
@@ -597,13 +607,13 @@ def get_snp_chunk_features(
     if (S + 1) * max(n_reads, 1) > _TABLE_CELL_CAP:
         return _assemble_dense(scan, maxcov)
 
-    rid_dtype = np.int16 if n_reads < (1 << 15) else np.int32
-    site_dtype = np.int16 if S < (1 << 15) else np.int32
+    ev_dtype = np.uint16 if n_reads < (1 << 13) else np.uint32
     site_ref = scan.ref_codes[scan.union_sites - scan.scan_start].astype(
         np.int8)
     cand_site = scan.cand_site_i.astype(np.int32)
-    site_of_col = scan.nbr_site_of_col.astype(site_dtype)
-    site_of_col[:, CENTER] = cand_site.astype(site_dtype)
+    nbr_pos = scan.nbr_pos.astype(np.int32)
+    nbr_union = np.searchsorted(scan.union_sites,
+                                scan.nbr_pos).astype(np.int32)
 
     counts_c = scan.counts_c
     deep_idx = np.flatnonzero(counts_c > maxcov)
@@ -620,13 +630,16 @@ def get_snp_chunk_features(
 
     return SnpChunkFeatures(
         contig=scan.contig,
-        ev_rid=sc.rid.astype(rid_dtype),
-        ev_code=sc.code.astype(np.int8, copy=False),
+        ev_packed=((sc.rid.astype(np.int64) << 3)
+                   | sc.code.astype(np.int64)).astype(ev_dtype),
         indptr=sc.indptr.astype(np.int32),
         site_ref=site_ref,
         n_reads=n_reads,
         cand_site=cand_site,
-        site_of_col=site_of_col,
+        cand_pos32=scan.cand_pos.astype(np.int32),
+        nbr_pos=nbr_pos,
+        nbr_union=nbr_union,
+        seq_type=seq_type,
         deep_idx=deep_idx,
         deep_offsets=deep_offsets,
         pos=scan.cand_pos,
@@ -644,13 +657,15 @@ def get_snp_chunk_features(
 def _empty_chunk_features(contig, maxcov):
     return SnpChunkFeatures(
         contig=contig,
-        ev_rid=np.zeros(0, np.int16),
-        ev_code=np.zeros(0, np.int8),
+        ev_packed=np.zeros(0, np.uint16),
         indptr=np.zeros(1, np.int32),
         site_ref=np.zeros(0, np.int8),
         n_reads=0,
         cand_site=np.zeros(0, np.int32),
-        site_of_col=np.zeros((0, WIDTH), np.int16),
+        cand_pos32=np.zeros(0, np.int32),
+        nbr_pos=np.zeros(0, np.int32),
+        nbr_union=np.zeros(0, np.int32),
+        seq_type="ont",
         deep_idx=np.zeros(0, np.int64),
         deep_offsets=np.zeros((0, maxcov), np.int32),
         pos=np.zeros(0, np.int64),

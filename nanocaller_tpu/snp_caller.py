@@ -25,7 +25,8 @@ import numpy as np
 from .io.vcf import VcfWriter, standard_snp_header, view_filter
 from .models import HaploidSNPModel, SNPModel, load_model
 from .models.registry import HAPLOID_TRAIN_COVERAGE
-from .pileup.snp_features import CENTER, WIDTH, SnpBatch, get_snp_candidates
+from .pileup.snp_features import (BAND_SCHEDULES, CENTER, WIDTH, SnpBatch,
+                                  get_snp_candidates)
 
 NUM_TO_BASE = "AGTC"  # snpCaller.py:14
 
@@ -121,8 +122,7 @@ def _pow2_pad(n, lo=256):
 
 def _bucket15(n, lo=1024):
     """Half-octave buckets (1024, 1536, 2048, 3072, ...): ≤33% pad waste
-    on the event arrays — the term that dominates the deduplicated
-    transfer — at ~2 jit shapes per octave."""
+    at ~2 jit shapes per octave."""
     b = lo
     while True:
         if n <= b:
@@ -132,23 +132,85 @@ def _bucket15(n, lo=1024):
         b *= 2
 
 
-def _build_site_table_impl(ev_rid, ev_code, indptr, e_real, s_pad, n_pad):
+def _bucket_q(n, lo=1024):
+    """Quarter-octave buckets (1, 1.25, 1.5, 1.75)×2^k: ≤25% pad waste
+    on the fused event array — the term that dominates the deduplicated
+    transfer — at ~4 jit shapes per octave."""
+    b = lo
+    while True:
+        for num in (4, 5, 6, 7):
+            if n <= b * num // 4:
+                return b * num // 4
+        b *= 2
+
+
+def _build_site_table_impl(ev_packed, indptr, e_real, s_pad, n_pad):
     """Scatter CSR (site × read) observations into a dense int8 code
-    table of shape (s_pad + 1, n_pad). Row s_pad is the trash row for
-    padded/invalid lookups; default cell value 4 = read absent at site
-    (the reference's 'other/missing' code, generate_SNP_pileups.py:104).
-    """
-    E = ev_rid.shape[0]
+    table of shape (s_pad + 1, n_pad). ev_packed fuses (read_id << 3) |
+    base_code per observation (uint16/uint32). Row s_pad is the trash
+    row for padded/invalid lookups; default cell value 4 = read absent
+    at site (the reference's 'other/missing' code,
+    generate_SNP_pileups.py:104)."""
+    E = ev_packed.shape[0]
+    ev = ev_packed.astype(jnp.int32)
     e = jnp.arange(E, dtype=jnp.int32)
     site = jnp.searchsorted(indptr, e, side="right").astype(jnp.int32) - 1
     site = jnp.where(e < e_real, jnp.clip(site, 0, s_pad - 1), s_pad)
-    rid = jnp.clip(ev_rid.astype(jnp.int32), 0, n_pad - 1)
+    rid = jnp.clip(ev >> 3, 0, n_pad - 1)
+    code = (ev & 7).astype(jnp.int8)
     table = jnp.full((s_pad + 1, n_pad), 4, dtype=jnp.int8)
-    return table.at[site, rid].set(ev_code)
+    return table.at[site, rid].set(code)
 
 
 _build_site_table = partial(jax.jit, static_argnames=("s_pad", "n_pad"))(
     _build_site_table_impl)
+
+
+def _device_select_neighbors(cand_site, cand_pos, nbr_pos, nbr_union,
+                             seq_type):
+    """On-device twin of pileup.snp_features.select_neighbors: band-quota
+    neighbor selection (generate_SNP_pileups.py:6-101) from the chunk's
+    neighbor-site positions, mapped to union-site indices. Exact-match
+    parity with the host function is pinned in tests/test_snp_dedup.py.
+
+    Returns (B, 41) int32 union-site indices, -1 padding, center column
+    = cand_site. Shipping nbr_pos/nbr_union (O(sites)) instead of the
+    per-candidate (B, 41) matrix removes the last per-candidate×41 term
+    from the host→device transfer."""
+    sched = BAND_SCHEDULES[seq_type]
+    B = cand_site.shape[0]
+    M = nbr_union.shape[0]
+    # one extra trash column absorbs invalid-slot scatters
+    soc = jnp.full((B, WIDTH + 1), -1, jnp.int32)
+    for side in ("left", "right"):
+        sel_parts, val_parts = [], []
+        for lo_off, hi_off, k, take in sched[side]:
+            i0 = jnp.searchsorted(nbr_pos, cand_pos + lo_off, side="left")
+            i1 = jnp.searchsorted(nbr_pos, cand_pos + hi_off, side="left")
+            cnt = jnp.minimum(i1 - i0, k).astype(jnp.int32)
+            start = i0 if take == "first" else i1 - cnt
+            ranks = jnp.arange(k, dtype=jnp.int32)
+            idx = start[:, None].astype(jnp.int32) + ranks[None, :]
+            valid = ranks[None, :] < cnt[:, None]
+            sel_parts.append(jnp.where(valid, idx, 0))
+            val_parts.append(valid)
+        sel = jnp.concatenate(sel_parts, axis=1)  # (B, 20)
+        val = jnp.concatenate(val_parts, axis=1)
+        order = jnp.argsort(~val, axis=1, stable=True)
+        sel = jnp.take_along_axis(sel, order, axis=1)
+        val = jnp.take_along_axis(val, order, axis=1)
+        n = val.sum(axis=1).astype(jnp.int32)
+        ranks = jnp.arange(sel.shape[1], dtype=jnp.int32)
+        if side == "left":
+            cols = CENTER - n[:, None] + ranks[None, :]
+        else:
+            cols = jnp.broadcast_to(CENTER + 1 + ranks[None, :], sel.shape)
+        uni = nbr_union[jnp.clip(sel, 0, max(M - 1, 0))].astype(jnp.int32)
+        cols_w = jnp.where(val, cols, WIDTH)  # invalid → trash column
+        soc = soc.at[jnp.arange(B)[:, None], cols_w].set(
+            jnp.where(val, uni, -1))
+    soc = soc[:, :WIDTH]
+    return soc.at[:, CENTER].set(cand_site.astype(jnp.int32))
 
 
 def _gather_forward_impl(params, table, site_ref, cand_site, site_of_col,
@@ -170,55 +232,63 @@ def _gather_forward_impl(params, table, site_ref, cand_site, site_of_col,
                               center_ref, norm, haploid)
 
 
-@partial(jax.jit, static_argnames=("R", "haploid"))
-def _snp_forward_gather(params, table, ev_rid, indptr, site_ref, cand_site,
-                        site_of_col, norm, R, haploid=False):
+@partial(jax.jit, static_argnames=("R", "seq_type", "haploid"))
+def _snp_forward_gather(params, table, ev_packed, indptr, site_ref, nbr_pos,
+                        nbr_union, cand_site, cand_pos, norm, R, seq_type,
+                        haploid=False):
     """Forward one candidate batch from the deduplicated chunk
     representation (normal-depth candidates: reads are the CSR row of
-    the candidate site, first min(depth, R))."""
+    the candidate site, first min(depth, R)); neighbor columns are
+    selected on-device from the chunk's neighbor-site arrays."""
     cand_site = cand_site.astype(jnp.int32)
+    site_of_col = _device_select_neighbors(cand_site, cand_pos, nbr_pos,
+                                           nbr_union, seq_type)
     start = indptr[cand_site]
     depth = indptr[cand_site + 1] - start
     r = jnp.arange(R, dtype=jnp.int32)
     read_mask = r[None, :] < jnp.minimum(depth, R)[:, None]
-    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_rid.shape[0] - 1)
-    rid = ev_rid[eidx].astype(jnp.int32)
+    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_packed.shape[0] - 1)
+    rid = ev_packed[eidx].astype(jnp.int32) >> 3
     return _gather_forward_impl(params, table, site_ref, cand_site,
                                 site_of_col, rid, read_mask, norm, haploid)
 
 
-@partial(jax.jit, static_argnames=("R", "haploid"))
-def _snp_forward_gather_offsets(params, table, ev_rid, site_ref, cand_site,
-                                site_of_col, offsets, n_valid, norm, R,
-                                haploid=False):
+@partial(jax.jit, static_argnames=("R", "seq_type", "haploid"))
+def _snp_forward_gather_offsets(params, table, ev_packed, site_ref, nbr_pos,
+                                nbr_union, cand_site, cand_pos, offsets,
+                                n_valid, norm, R, seq_type, haploid=False):
     """Gather-kernel variant for deep (depth > maxcov) candidates: the
     sampled read set is an explicit offset matrix into the CSR data
     (host picks the deterministic position-keyed sample)."""
     cand_site = cand_site.astype(jnp.int32)
+    site_of_col = _device_select_neighbors(cand_site, cand_pos, nbr_pos,
+                                           nbr_union, seq_type)
     r = jnp.arange(R, dtype=jnp.int32)
     read_mask = r[None, :] < n_valid[:, None]
-    eidx = jnp.clip(offsets, 0, ev_rid.shape[0] - 1)
-    rid = ev_rid[eidx].astype(jnp.int32)
+    eidx = jnp.clip(offsets, 0, ev_packed.shape[0] - 1)
+    rid = ev_packed[eidx].astype(jnp.int32) >> 3
     return _gather_forward_impl(params, table, site_ref, cand_site,
                                 site_of_col, rid, read_mask, norm, haploid)
 
 
-@partial(jax.jit, static_argnames=("s_pad", "n_pad", "R", "haploid"))
-def _snp_forward_chunk_fused(params, ev_rid, ev_code, indptr, site_ref,
-                             e_real, cand_site, site_of_col, norm,
-                             s_pad, n_pad, R, haploid=False):
-    """Single-launch table build + forward — the flagship forward step
-    (used by __graft_entry__/bench; production splits the two so the
-    table amortizes over many batches of one chunk)."""
-    table = _build_site_table_impl(ev_rid, ev_code, indptr, e_real,
-                                   s_pad, n_pad)
+@partial(jax.jit,
+         static_argnames=("s_pad", "n_pad", "R", "seq_type", "haploid"))
+def _snp_forward_chunk_fused(params, ev_packed, indptr, site_ref, nbr_pos,
+                             nbr_union, e_real, cand_site, cand_pos, norm,
+                             s_pad, n_pad, R, seq_type="ont", haploid=False):
+    """Single-launch table build + neighbor selection + forward — the
+    flagship forward step (used by __graft_entry__/bench; production
+    splits table build out so it amortizes over a chunk's batches)."""
+    table = _build_site_table_impl(ev_packed, indptr, e_real, s_pad, n_pad)
     cand_site32 = cand_site.astype(jnp.int32)
+    site_of_col = _device_select_neighbors(cand_site32, cand_pos, nbr_pos,
+                                           nbr_union, seq_type)
     start = indptr[cand_site32]
     depth = indptr[cand_site32 + 1] - start
     r = jnp.arange(R, dtype=jnp.int32)
     read_mask = r[None, :] < jnp.minimum(depth, R)[:, None]
-    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_rid.shape[0] - 1)
-    rid = ev_rid[eidx].astype(jnp.int32)
+    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_packed.shape[0] - 1)
+    rid = ev_packed[eidx].astype(jnp.int32) >> 3
     return _gather_forward_impl(params, table, site_ref, cand_site32,
                                 site_of_col, rid, read_mask, norm, haploid)
 
@@ -363,28 +433,35 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
 
     # pad + ship the chunk payload once (power-of-two buckets bound
     # recompiles; pad events route to the table's trash row)
-    E = len(feats.ev_rid)
+    E = len(feats.ev_packed)
     S = len(feats.indptr) - 1
-    e_pad = _bucket15(E, 1024)
+    e_pad = _bucket_q(E, 1024)
     s_pad = _bucket15(S, 256)
     n_pad = _pow2_pad(max(feats.n_reads, 1), 256)
-    ev_rid = np.zeros(e_pad, feats.ev_rid.dtype)
-    ev_rid[:E] = feats.ev_rid
-    ev_code = np.full(e_pad, 4, np.int8)
-    ev_code[:E] = feats.ev_code
+    ev_packed = np.full(e_pad, 4, feats.ev_packed.dtype)  # pad: rid 0, code 4
+    ev_packed[:E] = feats.ev_packed
     indptr = np.full(s_pad + 1, E, np.int32)
     indptr[:S + 1] = feats.indptr
     site_ref = np.full(s_pad, 4, np.int8)
     site_ref[:S] = feats.site_ref
+    # neighbor-site arrays for on-device selection; position pads sit far
+    # outside every band so they can never be selected
+    M = len(feats.nbr_pos)
+    m_pad = _pow2_pad(max(M, 1), 256)
+    nbr_pos = np.full(m_pad, np.int32(1 << 30), np.int32)
+    nbr_pos[:M] = feats.nbr_pos
+    nbr_union = np.zeros(m_pad, np.int32)
+    nbr_union[:M] = feats.nbr_union
     mesh = state.mesh
     put = (lambda a: jax.device_put(a, replicated(mesh))) if mesh is not None \
         else jax.device_put
-    ev_rid_d = put(ev_rid)
-    ev_code_d = put(ev_code)
+    ev_packed_d = put(ev_packed)
     indptr_d = put(indptr)
     site_ref_d = put(site_ref)
+    nbr_pos_d = put(nbr_pos)
+    nbr_union_d = put(nbr_union)
     e_real = put(np.int32(E))
-    table = _build_site_table(ev_rid_d, ev_code_d, indptr_d, e_real,
+    table = _build_site_table(ev_packed_d, indptr_d, e_real,
                               s_pad=s_pad, n_pad=n_pad)
 
     out = np.zeros((B, 4), np.float32)
@@ -411,11 +488,12 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
             pad = bs - len(sel)
             args = shard_batch(
                 (padded(feats.cand_site, sel, pad, 0),
-                 padded(feats.site_of_col, sel, pad, -1),
+                 padded(feats.cand_pos32, sel, pad, -(1 << 30)),
                  padded(norm, sel, pad, 1.0)), mesh)
             probs = _snp_forward_gather(
-                params, table, ev_rid_d, indptr_d, site_ref_d, *args,
-                R=R_b, haploid=haploid)
+                params, table, ev_packed_d, indptr_d, site_ref_d,
+                nbr_pos_d, nbr_union_d, *args,
+                R=R_b, seq_type=feats.seq_type, haploid=haploid)
             out[sel] = np.asarray(probs)[: len(sel)]
 
     if len(feats.deep_idx):
@@ -436,13 +514,14 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
             pad = bs - len(dsel)
             args = shard_batch(
                 (padded(feats.cand_site, sel, pad, 0),
-                 padded(feats.site_of_col, sel, pad, -1),
+                 padded(feats.cand_pos32, sel, pad, -(1 << 30)),
                  padded(offs_all, dsel, pad, 0),
                  padded(n_valid_all, dsel, pad, 0),
                  padded(norm, sel, pad, 1.0)), mesh)
             probs = _snp_forward_gather_offsets(
-                params, table, ev_rid_d, site_ref_d, *args,
-                R=R_b, haploid=haploid)
+                params, table, ev_packed_d, site_ref_d,
+                nbr_pos_d, nbr_union_d, *args,
+                R=R_b, seq_type=feats.seq_type, haploid=haploid)
             out[sel] = np.asarray(probs)[: len(dsel)]
     return out
 

@@ -109,6 +109,42 @@ class TestRepresentationParity:
         assert len(feats) == 0
 
 
+class TestDeviceNeighborSelection:
+    @pytest.mark.parametrize(
+        "seq_type", ["ont", "short_ont", "ul_ont", "ul_ont_extreme",
+                     "pacbio"])
+    def test_matches_host_select_neighbors(self, seq_type):
+        """The on-device band-quota selection must produce EXACTLY the
+        host select_neighbors output (mapped to union-site indices) for
+        every band schedule."""
+        import jax
+
+        from nanocaller_tpu.pileup.snp_features import (CENTER,
+                                                        select_neighbors)
+        from nanocaller_tpu.snp_caller import _device_select_neighbors
+
+        rng = np.random.default_rng(3)
+        # irregular site spacing spanning every band of every schedule
+        gaps = rng.integers(40, 9000, 900)
+        pos_all = np.cumsum(gaps).astype(np.int64)
+        is_nbr = rng.random(len(pos_all)) < 0.7
+        nbr_pos = pos_all[is_nbr]
+        cand_pos = np.sort(rng.choice(pos_all, 160, replace=False))
+        union = np.union1d(nbr_pos, cand_pos)
+        host_mat, _, _ = select_neighbors(cand_pos, nbr_pos, seq_type)
+        host_soc = np.where(
+            host_mat >= 0,
+            np.searchsorted(union, nbr_pos[np.maximum(host_mat, 0)]), -1)
+        cand_site = np.searchsorted(union, cand_pos).astype(np.int32)
+        host_soc[:, CENTER] = cand_site
+        nbr_union = np.searchsorted(union, nbr_pos).astype(np.int32)
+        dev_soc = np.asarray(jax.jit(
+            _device_select_neighbors, static_argnames=("seq_type",))(
+                cand_site, cand_pos.astype(np.int32),
+                nbr_pos.astype(np.int32), nbr_union, seq_type=seq_type))
+        np.testing.assert_array_equal(dev_soc, host_soc)
+
+
 class TestEndToEnd:
     def test_vcf_identical_dedup_vs_dense(self, fixture_paths, tmp_path):
         from nanocaller_tpu.cli import main
