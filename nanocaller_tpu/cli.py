@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import os
 import sys
 import time
 
@@ -57,6 +58,10 @@ def build_parser():
                            "process 0 merges the final VCFs.")
     cfgg.add_argument("--num_processes", type=int, default=1)
     cfgg.add_argument("--process_id", type=int, default=0)
+    cfgg.add_argument("--watchdog", type=int, default=0, metavar="SECONDS",
+                      help="supervise the run: if no pipeline progress "
+                           "happens for SECONDS, kill and relaunch with "
+                           "--resume (TPU-tunnel stall recovery)")
     cfgg.add_argument("--no_dedup_transfer", action="store_true",
                       help="disable the deduplicated chunk transfer for "
                            "SNP inference (ship dense per-candidate "
@@ -150,7 +155,7 @@ def config_from_args(argv=None):
         shard_index=args.shard_index, coordinator=args.coordinator,
         num_processes=args.num_processes, process_id=args.process_id,
         profile=args.profile, skip_phased_bam=args.skip_phased_bam,
-        dedup_transfer=not args.no_dedup_transfer,
+        dedup_transfer=not args.no_dedup_transfer, watchdog=args.watchdog,
         phased_bam_compression=args.phased_bam_compression)
     cfg._merge_shards = args.merge_shards
     if args.preset:
@@ -192,6 +197,18 @@ def enable_compilation_cache():
 def main(argv=None):
     t0 = time.time()
     cfg = config_from_args(argv)
+    if cfg.watchdog > 0 and not os.environ.get("NC_TPU_WATCHDOG_CHILD"):
+        # stall supervision: re-exec self as a monitored child; a hung
+        # device call cannot be interrupted in-process (runtime/watchdog)
+        from .runtime.watchdog import wrap_cli
+
+        rc = wrap_cli(list(sys.argv[1:] if argv is None else argv),
+                      cfg.watchdog, cfg.output or ".")
+        if rc != 0:
+            raise SystemExit(rc)
+        return {
+            "snps": os.path.join(cfg.output or ".",
+                                 "%s.snps.vcf.gz" % cfg.prefix)}
     print("%s: Starting nanocaller-tpu." % datetime.datetime.now(), flush=True)
     if getattr(cfg, "_merge_shards", False):
         from .runtime.distributed import merge_host_outputs

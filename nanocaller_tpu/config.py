@@ -70,6 +70,10 @@ class Config:
     phased_bam_compression: int = 1
     device_alignment: bool = True  # batch indel NW alignments on the TPU
     resume: bool = False  # reuse completed chunks from a prior run's manifest
+    # >0: supervise the run and re-exec with --resume when no pipeline
+    # progress is made for this many seconds (axon tunnel freeze
+    # recovery; runtime/watchdog.py)
+    watchdog: int = 0
     # multi-host region sharding: each process handles chunks where
     # chunk_index % num_shards == shard_index and writes suffix-tagged
     # outputs; merge with tools/merge_shards.py (or any shard can merge

@@ -116,6 +116,9 @@ class RunManifest:
         return self.done.get(self.chunk_key(stage, chunk))
 
     def mark_done(self, stage, chunk, shard_path):
+        from .watchdog import beat
+
+        beat()
         self.done[self.chunk_key(stage, chunk)] = shard_path
         tmp = self.path + ".tmp"
         with open(tmp, "w") as fh:
@@ -141,6 +144,9 @@ class Progress:
                 pass
 
     def update(self, k=1):
+        from .watchdog import beat
+
+        beat()
         self.n += k
         if self._bar is not None:
             self._bar.update(k)

@@ -668,28 +668,6 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
     ordered_chunks = [chunks[i] for i in order]
     ploidy_of = [c.get("ploidy", "diploid") for c in ordered_chunks]
 
-    # probe depth on a small window → prewarm the matching read-axis
-    # bucket while feature workers run (overlaps compilation with host
-    # work). Skipped on the axon backend: its remote-compile channel
-    # does not tolerate a concurrent background compile.
-    try:
-        import jax
-
-        if jax.default_backend() == "axon":
-            raise RuntimeError("prewarm disabled on axon")
-        from .runtime.chunker import get_coverage
-
-        c0 = ordered_chunks[0]
-        cov = get_coverage(bam, c0["chrom"], c0["start"],
-                           min(c0["end"], c0["start"] + 20000))
-        bucket = next((b for b in _R_BUCKETS
-                       if b >= min(1.6 * cov, cfg.maxcov)), _R_BUCKETS[-1])
-        prewarm_snp_model(state, cfg, buckets=(bucket,),
-                          diploid=any(p == "diploid" for p in ploidy_of),
-                          haploid=any(p == "haploid" for p in ploidy_of))
-    except Exception:
-        pass
-
     results = {}
     todo = []
     for idx, chunk in enumerate(ordered_chunks):
@@ -700,6 +678,33 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
                 progress(1)
         else:
             todo.append(idx)
+
+    # probe depth on a small window → prewarm the matching read-axis
+    # bucket while feature workers run (overlaps compilation with host
+    # work). Skipped on the axon backend (its remote-compile channel
+    # does not tolerate a concurrent background compile) and on fully-
+    # resumed runs (nothing to infer). The thread is joined before
+    # returning: letting the interpreter tear down mid-compile
+    # segfaults at exit.
+    prewarm_thread = None
+    try:
+        import jax
+
+        if not todo or jax.default_backend() == "axon":
+            raise RuntimeError("prewarm not needed")
+        from .runtime.chunker import get_coverage
+
+        c0 = ordered_chunks[todo[0]]
+        cov = get_coverage(bam, c0["chrom"], c0["start"],
+                           min(c0["end"], c0["start"] + 20000))
+        bucket = next((b for b in _R_BUCKETS
+                       if b >= min(1.6 * cov, cfg.maxcov)), _R_BUCKETS[-1])
+        prewarm_thread = prewarm_snp_model(
+            state, cfg, buckets=(bucket,),
+            diploid=any(p == "diploid" for p in ploidy_of),
+            haploid=any(p == "haploid" for p in ploidy_of))
+    except Exception:
+        pass
     init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg), exclude_path)
     for sub_idx, batch in feature_stream([ordered_chunks[i] for i in todo],
                                          snp_features_worker, init_args,
@@ -726,6 +731,8 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
         if progress:
             progress(1)
 
+    if prewarm_thread is not None:
+        prewarm_thread.join()
     header = standard_snp_header(contigs, cfg.sample)
     all_path = os.path.join(out_dir, "%s.unfiltered.snps.vcf.gz" % cfg.prefix)
     pass_path = os.path.join(out_dir, "%s.snps.vcf.gz" % cfg.prefix)
