@@ -144,6 +144,25 @@ def _bucket_q(n, lo=1024):
         b *= 2
 
 
+# event-array buckets this process has already compiled kernels for
+_EV_BUCKETS_USED = set()
+
+
+def _bucket_ev(n, lo=1024):
+    """Compile-aware event-array bucket: reuse an already-compiled
+    bucket when one fits within 1.75× (axon remote compiles cost
+    20-40 s each and there is no usable compile cache there); otherwise
+    take the fine quarter-octave bucket and remember it. Steady-state
+    runs converge to 1-3 compiled event shapes while transfer pad waste
+    stays bounded."""
+    fits = [b for b in _EV_BUCKETS_USED if n <= b <= n * 7 // 4]
+    if fits:
+        return min(fits)
+    b = _bucket_q(n, lo)
+    _EV_BUCKETS_USED.add(b)
+    return b
+
+
 def _build_site_table_impl(ev_packed, indptr, e_real, s_pad, n_pad):
     """Scatter CSR (site × read) observations into a dense int8 code
     table of shape (s_pad + 1, n_pad). ev_packed fuses (read_id << 3) |
@@ -435,7 +454,7 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     # recompiles; pad events route to the table's trash row)
     E = len(feats.ev_packed)
     S = len(feats.indptr) - 1
-    e_pad = _bucket_q(E, 1024)
+    e_pad = _bucket_ev(E, 1024)
     s_pad = _bucket15(S, 256)
     n_pad = _pow2_pad(max(feats.n_reads, 1), 256)
     ev_packed = np.full(e_pad, 4, feats.ev_packed.dtype)  # pad: rid 0, code 4
