@@ -144,23 +144,36 @@ def _bucket_q(n, lo=1024):
         b *= 2
 
 
-# event-array buckets this process has already compiled kernels for
-_EV_BUCKETS_USED = set()
+class _CompileAwareBucket:
+    """Compile-aware size buckets: reuse an already-chosen bucket when
+    one fits within `ratio`× of the requested size; otherwise take the
+    fine bucket and remember it. Axon remote compiles cost 20-40 s each
+    with no usable compile cache, so every distinct jit shape is ~30 s
+    of wall — runs must converge to one or two shape combos. Wire-cost
+    dims (the event array) use a tight ratio; HBM-only dims (table
+    rows/columns) a generous one."""
+
+    def __init__(self, fine_fn, lo, ratio_num, ratio_den=1):
+        self.fine = fine_fn
+        self.lo = lo
+        self.num = ratio_num
+        self.den = ratio_den
+        self.used = set()
+
+    def __call__(self, n):
+        n = max(n, 1)
+        fits = [b for b in self.used if n <= b <= n * self.num // self.den]
+        if fits:
+            return min(fits)
+        b = self.fine(n, self.lo)
+        self.used.add(b)
+        return b
 
 
-def _bucket_ev(n, lo=1024):
-    """Compile-aware event-array bucket: reuse an already-compiled
-    bucket when one fits within 1.75× (axon remote compiles cost
-    20-40 s each and there is no usable compile cache there); otherwise
-    take the fine quarter-octave bucket and remember it. Steady-state
-    runs converge to 1-3 compiled event shapes while transfer pad waste
-    stays bounded."""
-    fits = [b for b in _EV_BUCKETS_USED if n <= b <= n * 7 // 4]
-    if fits:
-        return min(fits)
-    b = _bucket_q(n, lo)
-    _EV_BUCKETS_USED.add(b)
-    return b
+_bucket_ev = _CompileAwareBucket(_bucket_q, 1024, 7, 4)  # ≤1.75× wire pad
+_bucket_sites = _CompileAwareBucket(_pow2_pad, 256, 4)  # table rows (HBM)
+_bucket_reads = _CompileAwareBucket(_pow2_pad, 256, 4)  # table cols (HBM)
+_bucket_nbr = _CompileAwareBucket(_pow2_pad, 256, 4)  # nbr arrays (small)
 
 
 def _build_site_table_impl(ev_packed, indptr, e_real, s_pad, n_pad):
@@ -454,9 +467,9 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     # recompiles; pad events route to the table's trash row)
     E = len(feats.ev_packed)
     S = len(feats.indptr) - 1
-    e_pad = _bucket_ev(E, 1024)
-    s_pad = _bucket15(S, 256)
-    n_pad = _pow2_pad(max(feats.n_reads, 1), 256)
+    e_pad = _bucket_ev(E)
+    s_pad = _bucket_sites(S)
+    n_pad = _bucket_reads(feats.n_reads)
     ev_packed = np.full(e_pad, 4, feats.ev_packed.dtype)  # pad: rid 0, code 4
     ev_packed[:E] = feats.ev_packed
     indptr = np.full(s_pad + 1, E, np.int32)
@@ -466,7 +479,7 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     # neighbor-site arrays for on-device selection; position pads sit far
     # outside every band so they can never be selected
     M = len(feats.nbr_pos)
-    m_pad = _pow2_pad(max(M, 1), 256)
+    m_pad = _bucket_nbr(M)
     nbr_pos = np.full(m_pad, np.int32(1 << 30), np.int32)
     nbr_pos[:M] = feats.nbr_pos
     nbr_union = np.zeros(m_pad, np.int32)

@@ -26,6 +26,24 @@ Each config writes <out>/<name>/ with the standard output contract
 and one JSON line aggregate everything. Nothing here needs network
 access; rtg vcfeval numbers from docs/ONT_Case_Study.md:137-265 are the
 comparison targets (BASELINE.md).
+
+External cross-checks (VERDICT r2 weak 7) — run these the moment the
+real tools are available next to real data; they close the validation
+loops that have no in-image oracle (printed by --print_crosschecks):
+
+  # 1. rtg vcfeval vs tools/vcf_compare --ref (same calls + truth):
+  rtg vcfeval -b TRUTH.vcf.gz -c <out>/<cfg>/v.vcf.gz -t GRCh38.sdf \
+      -e TRUTH.bed -o rtg_out   # compare f1 vs eval_*.json
+  # 2. rtg vcfdecompose vs the in-repo decomposition (indel records):
+  rtg vcfdecompose -i <undecomposed.vcf.gz> -o rtg_dec.vcf.gz
+  #    diff against indel_caller.decompose_record on the same records
+  # 3. samtools round-trips of the in-repo writers:
+  samtools quickcheck <out>/intermediate_phase_files/*.phased.bam
+  samtools view -c <phased.bam>; samtools flagstat <phased.bam>
+  samtools view -C -T ref.fa in.bam | python -c "(reread via io.cram)"
+  # 4. whatshap compare of phased blocks (switch/flip rates):
+  whatshap compare --names ours,whatshap <ours.phased.vcf.gz> \
+      <whatshap.phased.vcf.gz>
 """
 
 from __future__ import annotations
