@@ -79,6 +79,9 @@ def main(argv=None):
     ap.add_argument("--workdir", default=None,
                     help="reuse an existing fixture/work directory")
     ap.add_argument("--skip_phased_bam", action="store_true")
+    ap.add_argument("--watchdog", type=int, default=0,
+                    help="pass through to the CLI: supervise the run and "
+                         "resume in a fresh process on tunnel stalls")
     args = ap.parse_args(argv)
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -105,6 +108,8 @@ def main(argv=None):
 
     out_dir = os.path.join(wd, "out")
     extra = ["--skip_phased_bam"] if args.skip_phased_bam else []
+    if args.watchdog:
+        extra += ["--watchdog", str(args.watchdog)]
     wall = run_cli(bam, fasta, out_dir, args.cpu, args.platform, extra)
 
     stages = {}
