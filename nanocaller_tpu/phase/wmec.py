@@ -204,12 +204,13 @@ def wmec_exact_gt(rids, sidx, alleles, n_sites, g_in, gq, max_active=18):
     for r, s, a in zip(rr, ss, aa):
         obs_at[int(s)].append((int(r), int(a)))
 
+    active_lists = _active_sweep(first, last, n_sites)
     prev_active: list = []
     prev_dp = np.zeros(1, np.float64)
     trellis = []
     dp = prev_dp
     for j in range(n_sites):
-        active = [int(r) for r in range(R) if first[r] <= j <= last[r]]
+        active = active_lists[j]
         A = len(active)
         if A > max_active:
             raise ValueError(
@@ -424,3 +425,30 @@ def phase_distrust(rw, het_pos, het_ref, het_alt, hom_pos, hom_ref, hom_alt,
         block_ps=block_ps[het_idx], read_hp=read_hp, read_ps=read_ps,
         n_blocks=n_blocks, mec_cost=mec)
     return result, phase_map
+
+
+def _active_sweep(first, last, n_sites):
+    """Per-column active read lists via an incremental sweep.
+
+    Equivalent to `[r for r in range(R) if first[r] <= j <= last[r]]`
+    per column but O(sites + reads·span) instead of O(sites × reads) —
+    the naive rebuild dominated whole-contig phasing wall time.
+    Preserves the ascending-read-id order of the naive scan (the DP's
+    state-bit layout depends on it)."""
+    import collections
+
+    R = len(first)
+    starts = [[] for _ in range(n_sites)]
+    for r in range(R):
+        if 0 <= first[r] < n_sites:
+            starts[int(first[r])].append(r)
+    active = collections.OrderedDict()
+    out = []
+    for j in range(n_sites):
+        for r in starts[j]:
+            active[r] = None
+        dead = [r for r in active if last[r] < j]
+        for r in dead:
+            del active[r]
+        out.append(sorted(active.keys()))
+    return out

@@ -71,13 +71,14 @@ def wmec_exact(rids, sidx, alleles, n_sites, weights=None, max_active=18):
     for r, s, a, w in zip(rr, ss, aa, ww):
         obs_at[int(s)].append((int(r), int(a), float(w)))
 
+    active_lists = _active_sweep(first, last, n_sites)
     prev_active: list[int] = []
     prev_dp = np.zeros(1, np.float64)  # dp over all masks of prev column
     # trellis[j] = (active list, parent int64[2^A] into prev column masks)
     trellis = []
     dp = prev_dp
     for j in range(n_sites):
-        active = [int(r) for r in range(R) if first[r] <= j <= last[r]]
+        active = active_lists[j]
         A = len(active)
         if A > max_active:
             raise ValueError(
@@ -222,3 +223,30 @@ def phase_sites_exact(rw, sites_pos0, ref_codes, alt_codes, max_active=18):
     return PhaseResult(site_pos=np.asarray(sites_pos0), hap_allele=h,
                        block_ps=block_ps, read_hp=read_hp, read_ps=read_ps,
                        n_blocks=n_blocks, mec_cost=int(mec)), cost
+
+
+def _active_sweep(first, last, n_sites):
+    """Per-column active read lists via an incremental sweep.
+
+    Equivalent to `[r for r in range(R) if first[r] <= j <= last[r]]`
+    per column but O(sites + reads·span) instead of O(sites × reads) —
+    the naive rebuild dominated whole-contig phasing wall time.
+    Preserves the ascending-read-id order of the naive scan (the DP's
+    state-bit layout depends on it)."""
+    import collections
+
+    R = len(first)
+    starts = [[] for _ in range(n_sites)]
+    for r in range(R):
+        if 0 <= first[r] < n_sites:
+            starts[int(first[r])].append(r)
+    active = collections.OrderedDict()
+    out = []
+    for j in range(n_sites):
+        for r in starts[j]:
+            active[r] = None
+        dead = [r for r in active if last[r] < j]
+        for r in dead:
+            del active[r]
+        out.append(sorted(active.keys()))
+    return out
