@@ -42,9 +42,11 @@ class TestSupervise:
             open({str(out)!r}, "w").write("ok")
         """)
         logs = []
+        # timeout must exceed worst-case interpreter startup under a
+        # loaded machine, or healthy attempts get killed mid-boot
         rc = supervise([sys.executable, str(script)],
-                       str(tmp_path / "hb"), timeout=2, poll=0.3,
-                       max_retries=2, log=logs.append)
+                       str(tmp_path / "hb"), timeout=8, poll=0.3,
+                       max_retries=3, log=logs.append)
         assert rc == 0
         assert out.read_text() == "ok"
         assert any("killing the run" in m for m in logs)
