@@ -97,6 +97,15 @@ def get_lib():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.ncio_nw_free.argtypes = [ctypes.c_void_p]
+        lib.ncio_wmec.restype = ctypes.c_int32
+        lib.ncio_wmec.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double)]
         lib.ncio_msa_project.restype = ctypes.c_void_p
         lib.ncio_msa_project.argtypes = [
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
@@ -597,3 +606,41 @@ def rans_compress_native(data, order):
     if rc != 0:
         return None
     return out[: int(out_len[0])].tobytes()
+
+
+def wmec_native(first, last, col_start, obs_read, obs_allele, g_in, gq,
+                max_active, cell_budget):
+    """Exact wMEC + joint genotype DP (phase/wmec.py core) in C++.
+
+    Inputs are the renumbered multi-read form (see wmec.wmec_exact_gt):
+    first/last int32[R] site spans, col_start int64[S+1] CSR of
+    observations sorted by site, obs_read int32[K], obs_allele int8[K],
+    g_in int8[S]. Returns (cost, a1, a2, part) or None when the native
+    library is unavailable or the instance is infeasible (caller falls
+    back to the Python DP)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    S = len(g_in)
+    R = len(first)
+    first = np.ascontiguousarray(first, np.int32)
+    last = np.ascontiguousarray(last, np.int32)
+    col_start = np.ascontiguousarray(col_start, np.int64)
+    obs_read = np.ascontiguousarray(obs_read, np.int32)
+    obs_allele = np.ascontiguousarray(obs_allele, np.int8)
+    g_in = np.ascontiguousarray(g_in, np.int8)
+    a1 = np.zeros(S, np.int8)
+    a2 = np.zeros(S, np.int8)
+    part = np.zeros(max(R, 1), np.int8)
+    cost = ctypes.c_double(0.0)
+    i8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    rc = lib.ncio_wmec(
+        S, R, i32p(first), i32p(last), i64p(col_start), i32p(obs_read),
+        i8p(obs_allele), i8p(g_in), float(gq), int(max_active),
+        int(cell_budget), i8p(a1), i8p(a2), i8p(part),
+        ctypes.byref(cost))
+    if rc != 0:
+        return None
+    return float(cost.value), a1, a2, part[:R]

@@ -110,12 +110,13 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
                  max_cov=15, cell_budget=20_000_000):
     """Per-block exact wMEC on coverage-selected reads.
 
-    For every phase block, runs the exact DP (wmec_oracle.wmec_exact)
-    over the selected observations and adopts the exact haplotype iff it
+    For every phase block, runs the exact DP (het-pinned wmec_exact_gt,
+    native C++ trellis when available) over the selected observations
+    and adopts the exact haplotype iff it
     strictly lowers the block's MEC cost over ALL observations — the
     production result is exact wherever the DP wins and never worse than
     the heuristic h elsewhere. Returns the (possibly updated) h."""
-    from .wmec_oracle import cost_of_h, wmec_exact
+    from .wmec_oracle import cost_of_h
 
     if len(rids) == 0:
         return h
@@ -147,7 +148,11 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
         ss = local[sidx[sel]]
         aa = alleles[sel]
         try:
-            _c_sel, h_ex, _part = wmec_exact(rr, ss, aa, nb, max_active=cap)
+            # het-pinned joint DP (huge gq) = plain exact wMEC; runs the
+            # native trellis when available
+            _c_sel, h_ex, _a2, _part = wmec_exact_gt(
+                rr, ss, aa, nb, np.ones(nb, np.int8), 1e30,
+                max_active=cap)
         except ValueError:
             continue  # selection failed to bound the active width
         rr_all = rids[in_c]
@@ -160,7 +165,8 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
     return h
 
 
-def wmec_exact_gt(rids, sidx, alleles, n_sites, g_in, gq, max_active=18):
+def wmec_exact_gt(rids, sidx, alleles, n_sites, g_in, gq, max_active=18,
+                  native=True, cell_budget=64_000_000):
     """Exact joint wMEC + genotype re-typing DP (PedMEC-G analog of
     whatshap --distrust-genotypes --include-homozygous).
 
@@ -199,6 +205,31 @@ def wmec_exact_gt(rids, sidx, alleles, n_sites, g_in, gq, max_active=18):
     last = np.full(R, -1, np.int64)
     np.minimum.at(first, rr, ss)
     np.maximum.at(last, rr, ss)
+
+    if native:
+        # C++ trellis (io/native ncio_wmec): identical state-bit layout,
+        # tie rules and double arithmetic — bit-for-bit the same result,
+        # ~100× faster on whole-contig blocks (differential-tested in
+        # tests/test_wmec_prod.py). Falls through to the Python DP when
+        # the library is unavailable or the instance is infeasible.
+        try:
+            from ..io.native import wmec_native
+
+            order_o = np.argsort(ss, kind="stable")
+            ss_s = ss[order_o]
+            col_start = np.searchsorted(ss_s, np.arange(n_sites + 1))
+            res = wmec_native(
+                first.astype(np.int32), last.astype(np.int32),
+                col_start.astype(np.int64),
+                rr[order_o].astype(np.int32),
+                aa[order_o].astype(np.int8),
+                np.asarray(g_in, np.int8), gq, max_active, cell_budget)
+        except Exception:
+            res = None
+        if res is not None:
+            cost, a1n, a2n, partn = res
+            part = {int(multi[r]): int(partn[r]) for r in range(R)}
+            return cost, a1n, a2n, part
 
     obs_at = [[] for _ in range(n_sites)]
     for r, s, a in zip(rr, ss, aa):
