@@ -494,9 +494,10 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
         pending = []
         pend_n = 0
 
-    with ProcessPoolExecutor(max_workers=cfg.cpu, mp_context=ctx,
+    ex = ProcessPoolExecutor(max_workers=cfg.cpu, mp_context=ctx,
                              initializer=W.init_worker,
-                             initargs=init_args) as ex:
+                             initargs=init_args)
+    try:
 
         def submit(fn, arg, kind):
             f = ex.submit(fn, arg)
@@ -582,6 +583,9 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                         if pend_n >= flush_at:
                             _flush()
         _flush()
+    finally:
+        # device/consumer errors must not wait out the queued backlog
+        ex.shutdown(wait=True, cancel_futures=True)
 
     for th in artifact_threads:
         th.join()

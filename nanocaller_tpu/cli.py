@@ -196,6 +196,15 @@ def enable_compilation_cache():
 def main(argv=None):
     t0 = time.time()
     cfg = config_from_args(argv)
+    if os.environ.get("NC_TPU_PLATFORM"):
+        # platform choice propagated by a supervising watchdog parent
+        import jax
+
+        try:
+            jax.config.update("jax_platforms",
+                              os.environ["NC_TPU_PLATFORM"])
+        except Exception:
+            pass
     if cfg.watchdog > 0 and not os.environ.get("NC_TPU_WATCHDOG_CHILD"):
         # stall supervision: re-exec self as a monitored child; a hung
         # device call cannot be interrupted in-process (runtime/watchdog)
@@ -205,9 +214,17 @@ def main(argv=None):
                       cfg.watchdog, cfg.output or ".")
         if rc != 0:
             raise SystemExit(rc)
-        return {
-            "snps": os.path.join(cfg.output or ".",
-                                 "%s.snps.vcf.gz" % cfg.prefix)}
+        out_dir = cfg.output or "."
+        paths = {
+            "snps": "%s.snps.vcf.gz",
+            "phased_snps": "%s.snps.phased.vcf.gz",
+            "indels": "%s.indels.vcf.gz",
+            "final": "%s.vcf.gz",
+        }
+        return {k: p for k, p in
+                ((k, os.path.join(out_dir, pat % cfg.prefix))
+                 for k, pat in paths.items())
+                if os.path.exists(p)}
     print("%s: Starting nanocaller-tpu." % datetime.datetime.now(), flush=True)
     if getattr(cfg, "_merge_shards", False):
         from .runtime.distributed import merge_host_outputs

@@ -128,18 +128,22 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
     keep = select_reads(rids, sidx, n_reads, max_cov=max_cov)
     sizes = np.bincount(comp, minlength=n_sites)
     comp_of_obs = comp[sidx]
-    for c in np.flatnonzero(np.bincount(comp, minlength=n_sites) >= 2):
-        if sizes[c] < 2:
-            continue
+    for c in np.flatnonzero(sizes >= 2):
         mem = np.flatnonzero(comp == c)
         nb = len(mem)
         in_c = comp_of_obs == c
         cap = _block_cap(nb, max_cov, cell_budget)
         sel = keep & in_c
         if cap < max_cov:
-            sel = in_c & select_reads(
-                np.where(in_c, rids, 0), np.where(in_c, sidx, 0),
-                n_reads, max_cov=cap)
+            # re-select THIS block's observations only at the lower cap
+            # (selecting over a masked copy of the full arrays would
+            # merge every out-of-block observation into read 0 and
+            # corrupt its count/span)
+            idx_c = np.flatnonzero(in_c)
+            sub = select_reads(rids[idx_c], sidx[idx_c], n_reads,
+                               max_cov=cap)
+            sel = np.zeros_like(in_c)
+            sel[idx_c[sub]] = True
         if not sel.any():
             continue
         local = np.full(n_sites, -1, np.int64)
@@ -234,6 +238,8 @@ def wmec_exact_gt(rids, sidx, alleles, n_sites, g_in, gq, max_active=18,
     obs_at = [[] for _ in range(n_sites)]
     for r, s, a in zip(rr, ss, aa):
         obs_at[int(s)].append((int(r), int(a)))
+
+    from .wmec_oracle import _active_sweep
 
     active_lists = _active_sweep(first, last, n_sites)
     prev_active: list = []
@@ -374,9 +380,11 @@ def phase_distrust(rw, het_pos, het_ref, het_alt, hom_pos, hom_ref, hom_alt,
         cap = _block_cap(nb, max_cov, cell_budget)
         sel = keep & in_c
         if cap < max_cov:
-            sel = in_c & select_reads(
-                np.where(in_c, rids, 0), np.where(in_c, sidx, 0),
-                rw.n_reads, max_cov=cap)
+            idx_c = np.flatnonzero(in_c)
+            sub = select_reads(rids[idx_c], sidx[idx_c], rw.n_reads,
+                               max_cov=cap)
+            sel = np.zeros_like(in_c)
+            sel[idx_c[sub]] = True
         if not sel.any():
             continue
         local = np.full(S, -1, np.int64)
@@ -457,29 +465,3 @@ def phase_distrust(rw, het_pos, het_ref, het_alt, hom_pos, hom_ref, hom_alt,
         n_blocks=n_blocks, mec_cost=mec)
     return result, phase_map
 
-
-def _active_sweep(first, last, n_sites):
-    """Per-column active read lists via an incremental sweep.
-
-    Equivalent to `[r for r in range(R) if first[r] <= j <= last[r]]`
-    per column but O(sites + reads·span) instead of O(sites × reads) —
-    the naive rebuild dominated whole-contig phasing wall time.
-    Preserves the ascending-read-id order of the naive scan (the DP's
-    state-bit layout depends on it)."""
-    import collections
-
-    R = len(first)
-    starts = [[] for _ in range(n_sites)]
-    for r in range(R):
-        if 0 <= first[r] < n_sites:
-            starts[int(first[r])].append(r)
-    active = collections.OrderedDict()
-    out = []
-    for j in range(n_sites):
-        for r in starts[j]:
-            active[r] = None
-        dead = [r for r in active if last[r] < j]
-        for r in dead:
-            del active[r]
-        out.append(sorted(active.keys()))
-    return out

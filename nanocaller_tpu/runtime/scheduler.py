@@ -56,10 +56,11 @@ def _pool_stream(tasks, worker_fn, init_args, n_workers, ordered):
         delivered = set()
         try:
             ctx = mp.get_context("spawn")
-            with ProcessPoolExecutor(
-                    max_workers=min(n_workers, len(remaining)),
-                    mp_context=ctx, initializer=workers.init_worker,
-                    initargs=init_args) as ex:
+            ex = ProcessPoolExecutor(
+                max_workers=min(n_workers, len(remaining)),
+                mp_context=ctx, initializer=workers.init_worker,
+                initargs=init_args)
+            try:
                 futs = [(ex.submit(worker_fn, t), t) for t in remaining]
                 pairs = futs if ordered else (
                     (f, t) for f, t in _completed_pairs(futs, as_completed))
@@ -67,6 +68,10 @@ def _pool_stream(tasks, worker_fn, init_args, n_workers, ordered):
                     result = f.result()  # raises BrokenProcessPool on death
                     delivered.add(t[0])
                     yield result
+            finally:
+                # consumer errors / Ctrl-C / generator close must not
+                # wait out the whole queued feature backlog
+                ex.shutdown(wait=True, cancel_futures=True)
             return
         except BrokenProcessPool:
             remaining = [t for t in remaining if t[0] not in delivered]

@@ -98,7 +98,12 @@ def supervise(cmd, heartbeat_path, timeout, max_retries=3, poll=2.0,
 
 def wrap_cli(argv, timeout, output_dir):
     """Supervise `python -m nanocaller_tpu.cli <argv>` (watchdog flag
-    stripped; child marked via env). Returns the child's exit code."""
+    stripped; child marked via env). Returns the child's exit code.
+
+    If the supervising process already configured a jax platform (e.g.
+    a harness forced CPU via jax.config), the choice is propagated to
+    the child through NC_TPU_PLATFORM — the re-exec would otherwise
+    silently fall back to the sitecustomize-pinned default backend."""
     clean = []
     skip = False
     for i, tok in enumerate(argv):
@@ -112,6 +117,13 @@ def wrap_cli(argv, timeout, output_dir):
             continue
         clean.append(tok)
     os.makedirs(output_dir, exist_ok=True)
+    if "jax" in sys.modules and "NC_TPU_PLATFORM" not in os.environ:
+        try:
+            plat = sys.modules["jax"].config.jax_platforms
+            if plat:
+                os.environ["NC_TPU_PLATFORM"] = plat
+        except Exception:
+            pass
     hb = os.path.join(output_dir, ".heartbeat")
     cmd = [sys.executable, "-m", "nanocaller_tpu.cli"] + clean
     return supervise(cmd, hb, timeout)

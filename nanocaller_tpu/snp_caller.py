@@ -470,6 +470,12 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     e_pad = _bucket_ev(E)
     s_pad = _bucket_sites(S)
     n_pad = _bucket_reads(feats.n_reads)
+    if (s_pad + 1) * n_pad > (1 << 29):
+        # bucket REUSE must not blow the table allocation past ~512 MB:
+        # drop to exact power-of-two pads (each within 2x of the raw
+        # dims, whose product the builder capped at 2^27)
+        s_pad = _pow2_pad(max(S, 1), 256)
+        n_pad = _pow2_pad(max(feats.n_reads, 1), 256)
     ev_packed = np.full(e_pad, 4, feats.ev_packed.dtype)  # pad: rid 0, code 4
     ev_packed[:E] = feats.ev_packed
     indptr = np.full(s_pad + 1, E, np.int32)
@@ -722,7 +728,11 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
     try:
         import jax
 
-        if not todo or jax.default_backend() == "axon":
+        if not todo or jax.default_backend() == "axon" \
+                or getattr(cfg, "dedup_transfer", True):
+            # dedup runs use the gather kernels whose shapes depend on
+            # per-chunk data (compile-aware buckets + persistent cache
+            # cover them); warming the dense kernel would just contend
             raise RuntimeError("prewarm not needed")
         from .runtime.chunker import get_coverage
 
