@@ -499,8 +499,13 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     nbr_pos_d = put(nbr_pos)
     nbr_union_d = put(nbr_union)
     e_real = put(np.int32(E))
-    table = _build_site_table(ev_packed_d, indptr_d, e_real,
-                              s_pad=s_pad, n_pad=n_pad)
+    # the split table+gather pair only pays off when deep candidates
+    # need the offsets kernel; otherwise one fused executable per batch
+    # (table scatter is trivial) halves kernel loads and launches —
+    # bitwise-identical output either way (tests/test_snp_dedup.py)
+    use_fused = len(feats.deep_idx) == 0
+    table = None if use_fused else _build_site_table(
+        ev_packed_d, indptr_d, e_real, s_pad=s_pad, n_pad=n_pad)
 
     out = np.zeros((B, 4), np.float32)
     deep_mask = np.zeros(B, bool)
@@ -528,10 +533,17 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
                 (padded(feats.cand_site, sel, pad, 0),
                  padded(feats.cand_pos32, sel, pad, -(1 << 30)),
                  padded(norm, sel, pad, 1.0)), mesh)
-            probs = _snp_forward_gather(
-                params, table, ev_packed_d, indptr_d, site_ref_d,
-                nbr_pos_d, nbr_union_d, *args,
-                R=R_b, seq_type=feats.seq_type, haploid=haploid)
+            if use_fused:
+                probs = _snp_forward_chunk_fused(
+                    params, ev_packed_d, indptr_d, site_ref_d,
+                    nbr_pos_d, nbr_union_d, e_real, *args,
+                    s_pad=s_pad, n_pad=n_pad, R=R_b,
+                    seq_type=feats.seq_type, haploid=haploid)
+            else:
+                probs = _snp_forward_gather(
+                    params, table, ev_packed_d, indptr_d, site_ref_d,
+                    nbr_pos_d, nbr_union_d, *args,
+                    R=R_b, seq_type=feats.seq_type, haploid=haploid)
             out[sel] = np.asarray(probs)[: len(sel)]
 
     if len(feats.deep_idx):
