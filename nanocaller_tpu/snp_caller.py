@@ -352,6 +352,118 @@ class SnpCallerState:
                    mesh=mesh)
 
 
+_RECORDED_SHAPES = set()
+
+
+def _shape_memory_path():
+    import os
+
+    base = os.environ.get(
+        "NANOCALLER_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "nanocaller_tpu_jax"))
+    return os.path.join(base, "snp_shape_memory.json")
+
+
+def _record_shape(sig):
+    """Remember a realized dedup-kernel signature (per machine) so the
+    next run can warm its cached executable during feature generation.
+    Best-effort; bounded to the 16 most recent distinct signatures.
+    Only recorded when a persistent compilation cache is configured
+    (otherwise there is nothing to preload, and CPU test runs would
+    pollute the machine-level file)."""
+    import json
+    import os
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            return
+    except Exception:
+        return
+    path = _shape_memory_path()
+    try:
+        entries = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                entries = json.load(fh)
+        entries = [e for e in entries if e != sig]
+        entries.append(sig)
+        entries = entries[-16:]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
+def preload_remembered_shapes(state: SnpCallerState, cfg):
+    """Warm the dedup kernels for this machine's remembered shape
+    signatures on a background thread (loads from the persistent
+    compilation cache — measured ~2 s per executable — concurrently
+    with host feature generation). Also seeds the compile-aware bucket
+    registries so real chunks snap to the warmed shapes. Returns the
+    thread (join before process exit) or None."""
+    import json
+    import os
+    import threading
+
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            return None  # no persistent cache → this would full-compile
+        with open(_shape_memory_path()) as fh:
+            entries = json.load(fh)
+    except Exception:
+        return None
+    if not entries:
+        return None
+    for e in entries:  # seed bucket reuse toward remembered shapes
+        try:
+            _bucket_ev.used.add(int(e["e_pad"]))
+            _bucket_sites.used.add(int(e["s_pad"]))
+            _bucket_reads.used.add(int(e["n_pad"]))
+            _bucket_nbr.used.add(int(e["m_pad"]))
+        except Exception:
+            pass
+
+    def _warm():
+        for e in entries:
+            try:
+                if e.get("bs") != dp_scale_safe(cfg, state):
+                    continue
+                ev = np.zeros(e["e_pad"],
+                              np.uint16 if e["ev16"] else np.uint32)
+                indptr = np.zeros(e["s_pad"] + 1, np.int32)
+                site_ref = np.full(e["s_pad"], 4, np.int8)
+                nbr_pos = np.full(e["m_pad"], np.int32(1 << 30), np.int32)
+                nbr_union = np.zeros(e["m_pad"], np.int32)
+                bs = e["bs"]
+                cand_site = np.zeros(bs, np.int32)
+                cand_pos = np.full(bs, -(1 << 30), np.int32)
+                norm = np.ones(bs, np.float32)
+                params = state.hap_params if e["haploid"] else state.params
+                _snp_forward_chunk_fused(
+                    params, ev, indptr, site_ref, nbr_pos, nbr_union,
+                    np.int32(0), cand_site, cand_pos, norm,
+                    s_pad=e["s_pad"], n_pad=e["n_pad"], R=e["R"],
+                    seq_type=e["seq_type"], haploid=e["haploid"])
+            except Exception:
+                pass  # best-effort
+
+    t = threading.Thread(target=_warm, daemon=True)
+    t.start()
+    return t
+
+
+def dp_scale_safe(cfg, state):
+    from .runtime.sharding import dp_scale
+
+    return dp_scale(cfg.batch_size, state.mesh)
+
+
 def prewarm_snp_model(state: SnpCallerState, cfg, buckets=(64, 96, 128, 160),
                       diploid=True, haploid=False):
     """Kick off jit compilation of the inference shapes in a background
@@ -526,6 +638,15 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
                          feats.maxcov)
     if len(normal_idx):
         bs = dp_scale(cfg.batch_size, mesh)
+        if use_fused:
+            sig = {"e_pad": e_pad, "s_pad": s_pad, "n_pad": n_pad,
+                   "m_pad": m_pad, "R": int(R_b), "bs": int(bs),
+                   "seq_type": feats.seq_type, "haploid": bool(haploid),
+                   "ev16": feats.ev_packed.dtype == np.uint16}
+            key = tuple(sorted(sig.items()))
+            if key not in _RECORDED_SHAPES:
+                _RECORDED_SHAPES.add(key)
+                _record_shape(sig)
         for lo in range(0, len(normal_idx), bs):
             sel = normal_idx[lo:lo + bs]
             pad = bs - len(sel)
@@ -737,6 +858,11 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
     # returning: letting the interpreter tear down mid-compile
     # segfaults at exit.
     prewarm_thread = None
+    preload_thread = None
+    if todo and getattr(cfg, "dedup_transfer", True):
+        # warm this machine's remembered dedup-kernel shapes from the
+        # persistent compilation cache while feature workers run
+        preload_thread = preload_remembered_shapes(state, cfg)
     try:
         import jax
 
@@ -787,6 +913,8 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
 
     if prewarm_thread is not None:
         prewarm_thread.join()
+    if preload_thread is not None:
+        preload_thread.join()
     header = standard_snp_header(contigs, cfg.sample)
     all_path = os.path.join(out_dir, "%s.unfiltered.snps.vcf.gz" % cfg.prefix)
     pass_path = os.path.join(out_dir, "%s.snps.vcf.gz" % cfg.prefix)
