@@ -131,3 +131,39 @@ class TestPhaseIndelDag:
         last_phase = max(e["t"] for e in phase_done)
         assert first_unlock <= last_phase
         assert metrics["timers_s"].get("phasing", 0) > 0
+
+
+class TestDagEdgeCases:
+    def test_all_haploid_contigs_dag(self, tmp_path):
+        """cpu>1 + --haploid_genome: no phase jobs exist, every contig's
+        indel chunks unlock immediately at submit time — the DAG loop
+        must handle a pend-set that starts with only indel futures."""
+        from fixtures import make_diploid_readset, random_seq, write_bam_multi
+        from nanocaller_tpu.cli import main
+        from nanocaller_tpu.io.fasta import write_fasta
+        from nanocaller_tpu.io.vcf import VcfReader
+
+        rng = np.random.default_rng(9)
+        sizes = {"cA": 6000, "cB": 6000}
+        seqs = {c: random_seq(rng, L) for c, L in sizes.items()}
+        reads = {}
+        for c, L in sizes.items():
+            snps = []
+            for pos in range(600, L - 600, 500):
+                rb = seqs[c][pos]
+                snps.append((pos, "ACGT"[("ACGT".index(rb) + 1) % 4], "hom"))
+            reads[c] = make_diploid_readset(rng, seqs[c], snps=snps,
+                                            depth=26, read_len=900,
+                                            error_rate=0.01)
+        fasta_p = str(tmp_path / "hap.fa")
+        write_fasta(fasta_p, seqs)
+        bam_p = str(tmp_path / "hap.bam")
+        write_bam_multi(bam_p, reads, sizes)
+        outs = main([
+            "--bam", bam_p, "--ref", fasta_p, "--mode", "all",
+            "--output", str(tmp_path / "out"), "--prefix", "h",
+            "--sample", "S", "--haploid_genome", "--cpu", "2",
+            "--suppress_progress_bar"])
+        recs = list(VcfReader(outs["snps"]))
+        assert recs and all(r.sample_field("GT") == "1/1" for r in recs)
+        assert outs["final"] and os.path.exists(outs["final"])
