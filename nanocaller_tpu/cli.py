@@ -182,9 +182,9 @@ def enable_compilation_cache():
             return
     except Exception:
         pass
-    cache_dir = os.environ.get(
-        "NANOCALLER_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "nanocaller_tpu_jax"))
+    from .runtime.cache import jax_cache_dir
+
+    cache_dir = jax_cache_dir()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

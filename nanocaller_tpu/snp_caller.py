@@ -355,14 +355,17 @@ class SnpCallerState:
 _RECORDED_SHAPES = set()
 
 
+# bump when kernel signatures change shape semantics (stale entries
+# would full-compile instead of cache-hitting during preload)
+_SHAPE_MEMORY_VERSION = 1
+
+
 def _shape_memory_path():
     import os
 
-    base = os.environ.get(
-        "NANOCALLER_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "nanocaller_tpu_jax"))
-    return os.path.join(base, "snp_shape_memory.json")
+    from .runtime.cache import jax_cache_dir
+
+    return os.path.join(jax_cache_dir(), "snp_shape_memory.json")
 
 
 def _record_shape(sig):
@@ -386,6 +389,7 @@ def _record_shape(sig):
         if os.path.exists(path):
             with open(path) as fh:
                 entries = json.load(fh)
+        sig = dict(sig, v=_SHAPE_MEMORY_VERSION, jax=jax.__version__)
         entries = [e for e in entries if e != sig]
         entries.append(sig)
         entries = entries[-16:]
@@ -398,26 +402,58 @@ def _record_shape(sig):
         pass
 
 
+class _PreloadThread:
+    """Background warm thread with a cooperative stop: a short run must
+    not block at join() behind the remaining warm list."""
+
+    def __init__(self, target):
+        import threading
+
+        self.stop = threading.Event()
+        self._t = threading.Thread(target=target, args=(self.stop,),
+                                   daemon=True)
+        self._t.start()
+
+    def join(self):
+        self.stop.set()  # skip any entries not yet started
+        self._t.join()
+
+
 def preload_remembered_shapes(state: SnpCallerState, cfg):
     """Warm the dedup kernels for this machine's remembered shape
     signatures on a background thread (loads from the persistent
     compilation cache — measured ~2 s per executable — concurrently
     with host feature generation). Also seeds the compile-aware bucket
-    registries so real chunks snap to the warmed shapes. Returns the
-    thread (join before process exit) or None."""
+    registries so real chunks snap to the warmed shapes. Returns a
+    handle with .join() (called before call_snps returns) or None.
+
+    Guards: entries are filtered to this run's batch size, seq type,
+    ploidy and the recording jax version (stale entries would FULL-
+    compile, not cache-hit); the warm loop stops early if an entry
+    takes compile-scale time (>10 s — the cache must have rotated) so
+    it can never spend minutes compiling concurrently with the main
+    thread's own remote compiles."""
     import json
-    import os
-    import threading
+    import time
 
     try:
-        import jax
-
         if jax.config.jax_compilation_cache_dir is None:
             return None  # no persistent cache → this would full-compile
         with open(_shape_memory_path()) as fh:
             entries = json.load(fh)
     except Exception:
         return None
+    bs_run = dp_scale_safe(cfg, state)
+    want_haploid = bool(getattr(cfg, "haploid_genome", False)
+                        or getattr(cfg, "haploid_X", False))
+    entries = [
+        e for e in entries
+        if e.get("v") == _SHAPE_MEMORY_VERSION
+        and e.get("jax") == jax.__version__
+        and e.get("bs") == bs_run
+        and e.get("seq_type") == cfg.sequencing
+        and (not e.get("haploid") or want_haploid)
+    ]
     if not entries:
         return None
     for e in entries:  # seed bucket reuse toward remembered shapes
@@ -429,33 +465,46 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
         except Exception:
             pass
 
-    def _warm():
+    # warm with the PRODUCTION shardings: on a multi-device mesh the
+    # executable is keyed on the input shardings, so unsharded warm args
+    # would load/compile a variant production never runs
+    from .runtime.sharding import replicated, shard_batch
+
+    mesh = state.mesh
+    put_rep = (lambda a: jax.device_put(a, replicated(mesh)))         if mesh is not None else jax.device_put
+
+    def _warm(stop):
         for e in entries:
+            if stop.is_set():
+                return
+            t0 = time.monotonic()
             try:
-                if e.get("bs") != dp_scale_safe(cfg, state):
-                    continue
-                ev = np.zeros(e["e_pad"],
-                              np.uint16 if e["ev16"] else np.uint32)
-                indptr = np.zeros(e["s_pad"] + 1, np.int32)
-                site_ref = np.full(e["s_pad"], 4, np.int8)
-                nbr_pos = np.full(e["m_pad"], np.int32(1 << 30), np.int32)
-                nbr_union = np.zeros(e["m_pad"], np.int32)
+                ev = put_rep(np.zeros(
+                    e["e_pad"], np.uint16 if e["ev16"] else np.uint32))
+                indptr = put_rep(np.zeros(e["s_pad"] + 1, np.int32))
+                site_ref = put_rep(np.full(e["s_pad"], 4, np.int8))
+                nbr_pos = put_rep(np.full(e["m_pad"], np.int32(1 << 30),
+                                          np.int32))
+                nbr_union = put_rep(np.zeros(e["m_pad"], np.int32))
+                e_real = put_rep(np.int32(0))
                 bs = e["bs"]
-                cand_site = np.zeros(bs, np.int32)
-                cand_pos = np.full(bs, -(1 << 30), np.int32)
-                norm = np.ones(bs, np.float32)
+                batch = shard_batch(
+                    (np.zeros(bs, np.int32),
+                     np.full(bs, -(1 << 30), np.int32),
+                     np.ones(bs, np.float32)), mesh)
                 params = state.hap_params if e["haploid"] else state.params
-                _snp_forward_chunk_fused(
+                out = _snp_forward_chunk_fused(
                     params, ev, indptr, site_ref, nbr_pos, nbr_union,
-                    np.int32(0), cand_site, cand_pos, norm,
+                    e_real, *batch,
                     s_pad=e["s_pad"], n_pad=e["n_pad"], R=e["R"],
                     seq_type=e["seq_type"], haploid=e["haploid"])
+                jax.block_until_ready(out)
             except Exception:
-                pass  # best-effort
+                return  # best-effort
+            if time.monotonic() - t0 > 10.0:
+                return  # compile-scale, not a cache hit: cache rotated
 
-    t = threading.Thread(target=_warm, daemon=True)
-    t.start()
-    return t
+    return _PreloadThread(_warm)
 
 
 def dp_scale_safe(cfg, state):
@@ -612,10 +661,12 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     nbr_union_d = put(nbr_union)
     e_real = put(np.int32(E))
     # the split table+gather pair only pays off when deep candidates
-    # need the offsets kernel; otherwise one fused executable per batch
-    # (table scatter is trivial) halves kernel loads and launches —
+    # need the offsets kernel or when the per-batch table rebuild would
+    # be expensive (the fused kernel rebuilds the scatter every batch —
+    # trivial for typical ≤8 MB tables, not for the ≥64 MB tail);
     # bitwise-identical output either way (tests/test_snp_dedup.py)
-    use_fused = len(feats.deep_idx) == 0
+    use_fused = len(feats.deep_idx) == 0 \
+        and (s_pad + 1) * n_pad <= (1 << 26)
     table = None if use_fused else _build_site_table(
         ev_packed_d, indptr_d, e_real, s_pad=s_pad, n_pad=n_pad)
 
