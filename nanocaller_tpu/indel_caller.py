@@ -57,6 +57,9 @@ class IndelCallerState:
 
 
 def _run_stacked(forward, params, x, batch_size, mesh=None):
+    from .runtime.watchdog import beat
+
+    beat()
     """Padded fixed-shape device batches over stacked input rows; with a
     mesh, each padded batch is split over the 'dp' axis (params stay
     replicated — device_put'd once by IndelCallerState.create)."""

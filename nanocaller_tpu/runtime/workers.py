@@ -114,17 +114,26 @@ def phase_contig_worker(task):
     from ..io.vcf import VcfReader, VcfWriter
     from ..phase.mec import haplotag_reads, phase_contig, write_phased_vcf
     from ..pileup.engine import decode_reads
+    from .watchdog import beat
 
     cfg = _G["cfg"]
+    # milestone heartbeats: whole-contig decode + phase are legitimate
+    # multi-minute host work at genome scale and must not look like a
+    # device stall to a supervising --watchdog (workers inherit the
+    # heartbeat env; they never touch the device)
+    beat()
     reader = VcfReader(job["snp_vcf"])
     recs = list(reader.fetch(job["chrom"], job["start"], job["end"]))
     hiq = [r for r in recs if r.qual_value >= cfg["phase_qual_score"]]
     lowq = [r for r in recs if r.qual_value < cfg["phase_qual_score"]]
     het_sites = sorted(r.pos - 1 for r in hiq)
+    beat()
     rw = decode_reads(_G["bam"], job["chrom"], max(0, job["start"] - 1),
                       job["end"], keep_seq=False, sites=het_sites)
+    beat()
     result, phase_map = phase_contig(hiq, rw,
                                      distrust=cfg["enable_whatshap"])
+    beat()
     tags = haplotag_reads(rw, result)
 
     class _Recs:

@@ -699,6 +699,13 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
                 _RECORDED_SHAPES.add(key)
                 _record_shape(sig)
         for lo in range(0, len(normal_idx), bs):
+            from .runtime.watchdog import beat
+
+            # liveness beat per device batch: a hung dispatch/compile
+            # stops the beats (stall detected), while a SLOW-but-
+            # progressing compile sequence keeps them coming (no false
+            # kill on cold runs)
+            beat()
             sel = normal_idx[lo:lo + bs]
             pad = bs - len(sel)
             args = shard_batch(
@@ -731,6 +738,9 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
             offs_all = np.pad(offs_all,
                               [(0, 0), (0, R_b - offs_all.shape[1])])
         for lo in range(0, Bd, bs):
+            from .runtime.watchdog import beat
+
+            beat()
             dsel = np.arange(lo, min(lo + bs, Bd))
             sel = feats.deep_idx[dsel]
             pad = bs - len(dsel)

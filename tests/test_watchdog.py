@@ -5,6 +5,8 @@ simulated first-attempt freeze and produces the normal outputs.
 """
 
 import json
+
+import numpy as np
 import os
 import subprocess
 import sys
@@ -168,3 +170,53 @@ class TestCliWatchdog:
                 continue
             stripped.append(tok)
         assert "--watchdog" not in stripped
+
+
+class TestShapeMemory:
+    def test_record_and_preload_filtering(self, tmp_path, monkeypatch):
+        """Shape signatures are recorded only when a persistent cache is
+        configured, and preload filters entries by version/jax/batch/
+        seq_type/ploidy so stale or irrelevant shapes are never warmed."""
+        import jax
+
+        import nanocaller_tpu.snp_caller as sc
+
+        monkeypatch.setenv("NANOCALLER_JAX_CACHE", str(tmp_path))
+        monkeypatch.setattr(sc, "_RECORDED_SHAPES", set())
+        sig = {"e_pad": 2048, "s_pad": 256, "n_pad": 1024, "m_pad": 256,
+               "R": 64, "bs": 128, "seq_type": "ont", "haploid": False,
+               "ev16": True}
+        # no cache configured → not recorded
+        old_cache = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            sc._record_shape(dict(sig))
+            assert not os.path.exists(sc._shape_memory_path())
+            # cache configured → recorded with version + jax stamps
+            jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+            sc._record_shape(dict(sig))
+            entries = json.load(open(sc._shape_memory_path()))
+            assert entries[0]["v"] == sc._SHAPE_MEMORY_VERSION
+            assert entries[0]["jax"] == jax.__version__
+            # stale-jax and wrong-seq entries are filtered by preload
+            entries.append(dict(entries[0], jax="0.0.0"))
+            entries.append(dict(entries[0], seq_type="pacbio"))
+            entries.append(dict(entries[0], haploid=True))
+            json.dump(entries, open(sc._shape_memory_path(), "w"))
+
+            warmed = []
+            monkeypatch.setattr(
+                sc, "_snp_forward_chunk_fused",
+                lambda *a, **k: warmed.append(k) or np.zeros((128, 4)))
+            from nanocaller_tpu.config import Config
+
+            state = sc.SnpCallerState.create("ONT-HG002", mesh=None)
+            cfg = Config(batch_size=128, sequencing="ont")
+            th = sc.preload_remembered_shapes(state, cfg)
+            assert th is not None
+            th._t.join()  # wait out the warm list without the early stop
+            assert len(warmed) == 1  # only the matching entry
+            assert warmed[0]["seq_type"] == "ont"
+            assert not warmed[0]["haploid"]
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old_cache)
