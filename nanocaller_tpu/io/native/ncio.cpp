@@ -83,7 +83,9 @@ const char NIBBLE_CHAR[17] = "=ACMGRSVTWYHKDBN";
 
 class BgzfFile {
  public:
-  explicit BgzfFile(const char* path) : fp_(fopen(path, "rb")) {}
+  explicit BgzfFile(const char* path) : fp_(fopen(path, "rb")) {
+    if (fp_) setvbuf(fp_, nullptr, _IOFBF, 1 << 20);  // fewer read syscalls
+  }
   ~BgzfFile() {
     if (fp_) fclose(fp_);
 #ifdef NCIO_USE_LIBDEFLATE
@@ -141,7 +143,8 @@ class BgzfFile {
     if (got == 0) return false;  // EOF
     if (got < 18 || header[0] != 0x1f || header[1] != 0x8b) return false;
     uint16_t xlen = header[10] | (header[11] << 8);
-    std::vector<uint8_t> extra(xlen);
+    std::vector<uint8_t>& extra = extra_;  // reused across blocks
+    extra.resize(xlen);
     memcpy(extra.data(), header + 12, 6);
     if (xlen > 6 && fread(extra.data() + 6, 1, xlen - 6, fp_) != size_t(xlen - 6))
       return false;
@@ -157,7 +160,8 @@ class BgzfFile {
     }
     if (bsize < 0) return false;
     int cdata_len = bsize - xlen - 20;
-    std::vector<uint8_t> cdata(cdata_len);
+    std::vector<uint8_t>& cdata = cdata_;  // reused across blocks
+    cdata.resize(cdata_len);
     if (fread(cdata.data(), 1, cdata_len, fp_) != size_t(cdata_len)) return false;
     uint8_t footer[8];
     if (fread(footer, 1, 8, fp_) != 8) return false;
@@ -201,6 +205,7 @@ class BgzfFile {
 #ifdef NCIO_USE_LIBDEFLATE
   struct libdeflate_decompressor* ld_ = nullptr;
 #endif
+  std::vector<uint8_t> extra_, cdata_;
   std::vector<uint8_t> block_;
   uint64_t block_coff_ = 0;
   uint64_t next_coff_ = 0;
@@ -340,8 +345,13 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
   w->seq_off.push_back(int64_t(w->seqs.size()));
 
   if (w->defer_events) {
+    // stash only the prefix the emit passes read (header + name + CIGAR
+    // + packed seq) — dropping qual/tags cuts the store (and its
+    // memcpy) roughly in half for long reads
+    size_t keep = 32 + size_t(l_read_name) + size_t(n_cigar) * 4 +
+                  size_t(uint32_t(l_seq) + 1) / 2;
     w->rec_off.push_back(int64_t(w->rec_store.size()));
-    w->rec_store.insert(w->rec_store.end(), data, data + len);
+    w->rec_store.insert(w->rec_store.end(), data, data + keep);
   }
 
   // CIGAR expansion
@@ -357,16 +367,33 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
         if (w->defer_events) {
           // counts only (skipped entirely in the indel path's
           // no-counts defer mode); per-base events are emitted later by
-          // ncio_emit_sites / ncio_emit_qpos once the site list is known
+          // ncio_emit_sites / ncio_emit_qpos once the site list is known.
+          // Bounds are hoisted out of the loop and nibbles decoded
+          // pairwise — this is the single hottest loop of the SNP
+          // feature path (one iteration per aligned base in the window).
           if (!w->counts.empty()) {
-            for (int64_t i = 0; i < l; i++) {
-              int64_t col = rpos + i - w->count_start;
-              if (col >= 0 && size_t(col * 6) < w->counts.size()) {
-                int32_t q = qpos + int32_t(i);
-                uint8_t nib =
-                    (q & 1) ? (seq_p[q / 2] & 0xf) : (seq_p[q / 2] >> 4);
-                w->counts[col * 6 + NIBBLE_CODE[nib]]++;
+            const int64_t cwidth = int64_t(w->counts.size() / 6);
+            int64_t i0 = w->count_start > rpos ? w->count_start - rpos : 0;
+            int64_t i1 = l;
+            if (rpos + i1 > w->count_start + cwidth)
+              i1 = w->count_start + cwidth - rpos;
+            if (i0 < i1) {
+              int32_t q = qpos + int32_t(i0);
+              int32_t* cbase =
+                  w->counts.data() + (rpos + i0 - w->count_start) * 6;
+              int64_t i = i0;
+              if (q & 1) {  // align to an even query position
+                cbase[NIBBLE_CODE[seq_p[q >> 1] & 0xf]]++;
+                i++; q++; cbase += 6;
               }
+              for (; i + 1 < i1; i += 2, q += 2, cbase += 12) {
+                uint8_t b = seq_p[q >> 1];
+                cbase[NIBBLE_CODE[b >> 4]]++;
+                cbase[6 + NIBBLE_CODE[b & 0xf]]++;
+              }
+              if (i < i1)
+                cbase[NIBBLE_CODE[(q & 1) ? (seq_p[q >> 1] & 0xf)
+                                          : (seq_p[q >> 1] >> 4)]]++;
             }
           }
         } else if (n_sites > 0) {
@@ -423,10 +450,15 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
           w->del_start.push_back(int32_t(rpos));
           w->del_len.push_back(int32_t(l));
         }
-        for (int64_t i = 0; i < l; i++) {
-          int64_t col = rpos + i - w->count_start;
-          if (col >= 0 && size_t(col * 6) < w->counts.size())
-            w->counts[col * 6 + 5]++;
+        if (!w->counts.empty()) {
+          const int64_t cwidth = int64_t(w->counts.size() / 6);
+          int64_t i0 = w->count_start > rpos ? w->count_start - rpos : 0;
+          int64_t i1 = l;
+          if (rpos + i1 > w->count_start + cwidth)
+            i1 = w->count_start + cwidth - rpos;
+          int32_t* cbase =
+              w->counts.data() + (rpos + i0 - w->count_start) * 6 + 5;
+          for (int64_t i = i0; i < i1; i++, cbase += 6) (*cbase)++;
         }
         rpos += l;
         break;
@@ -457,6 +489,21 @@ Window* decode_impl(const char* path, int32_t rid, int64_t start, int64_t end,
   if (((defer && want_counts) || (!defer && n_sites == 0)) && end > start &&
       end - start < (int64_t(1) << 31))
     w->counts.assign(size_t(end - start) * 6, 0);
+  if (defer) {
+    // size the record store up front from the index's compressed span
+    // (BGZF for BAM runs ~2-4x; half of each record — qual/tags — is
+    // dropped at stash time): avoids the ~2x geometric-growth memcpy
+    int64_t comp = 0;
+    for (int c = 0; c < n_chunks; c++) {
+      if (chunks[2 * c + 1] == 0) continue;
+      comp += int64_t((chunks[2 * c + 1] >> 16) - (chunks[2 * c] >> 16));
+    }
+    if (comp > 0) {
+      int64_t est = comp * 2;  // ~4x inflate, ~1/2 kept per record
+      if (est > (int64_t(1) << 32)) est = int64_t(1) << 32;
+      w->rec_store.reserve(size_t(est));
+    }
+  }
   BgzfFile f(path);
   if (!f.ok()) {
     w->error = "cannot open file";
