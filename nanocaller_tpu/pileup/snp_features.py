@@ -255,6 +255,119 @@ class SnpChunkScan:
     counts_c: np.ndarray  # int64[B] raw center depth (pre-sampling)
 
 
+@dataclass
+class _ScanP1:
+    """Phase-1 scan result: candidate/neighbor selection from counts
+    alone (no per-read events needed)."""
+
+    cand_pos: np.ndarray
+    nbr_pos: np.ndarray
+    nbr_idx_mat: np.ndarray
+    nbr_counts: np.ndarray
+    dp: np.ndarray
+    freq: np.ndarray
+
+
+def _scan_phase1(counts, ref_codes, scan_start, scan_end, cand_lo, cand_hi,
+                 contig, *, seq_type, mincov, min_allele_freq, min_nbr_sites,
+                 threshold, ploidy, exclude):
+    """Candidate + neighbor selection over [scan_start, scan_end) from
+    per-column counts; None when the chunk yields no candidates."""
+    n_aligned = counts[:, :5].sum(axis=1)
+    base_counts = counts[:, :4].astype(np.float32)
+    ref_valid = ref_codes < 4
+    # max alt count: mask out the ref base channel per column
+    masked = base_counts.copy()
+    cols = np.arange(len(ref_codes))
+    masked[cols[ref_valid], ref_codes[ref_valid].astype(np.int64)] = 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alt_freq = np.where(n_aligned > 0, masked.max(axis=1) / n_aligned, 0.0)
+
+    ok = ref_valid & (n_aligned >= mincov)
+    if exclude is not None:
+        ok &= ~exclude.mask(contig, np.arange(scan_start, scan_end))
+    if ploidy == "haploid":
+        nbr_mask = ok & (alt_freq >= threshold[0])
+    else:
+        nbr_mask = ok & (alt_freq >= threshold[0]) & (alt_freq < threshold[1])
+    pos_all = np.arange(scan_start, scan_end, dtype=np.int64)
+    in_window = (pos_all >= cand_lo) & (pos_all <= cand_hi)
+    cand_mask = ok & in_window & (alt_freq >= min_allele_freq)
+
+    nbr_pos = pos_all[nbr_mask]
+    cand_pos = pos_all[cand_mask]
+    if len(cand_pos) == 0:
+        return None
+
+    nbr_idx_mat, n_left, n_right = select_neighbors(cand_pos, nbr_pos, seq_type)
+    nbr_counts = (1 + n_left + n_right).astype(np.int32)
+    keep = nbr_counts >= min_nbr_sites
+    if not keep.any():
+        return None
+    return _ScanP1(
+        cand_pos=cand_pos[keep],
+        nbr_pos=nbr_pos,
+        nbr_idx_mat=nbr_idx_mat[keep],
+        nbr_counts=nbr_counts[keep],
+        dp=n_aligned[cand_mask][keep].astype(np.int32),
+        freq=alt_freq[cand_mask][keep].astype(np.float32))
+
+
+def _scan_phase2(contig, scan_start, ref_codes, rw, p1: _ScanP1):
+    """Event-dependent tail of the scan: SiteCodes over the union sites,
+    strand-split depths, per-candidate CSR depths → SnpChunkScan."""
+    cand_pos = p1.cand_pos
+    nbr_pos = p1.nbr_pos
+    union_sites = np.union1d(nbr_pos, cand_pos)
+    sc = SiteCodes(rw, union_sites)
+    cand_site_i = np.searchsorted(union_sites, cand_pos)
+    if len(nbr_pos):
+        nbr_site_of_col = np.where(
+            p1.nbr_idx_mat >= 0,
+            np.searchsorted(union_sites,
+                            nbr_pos[np.maximum(p1.nbr_idx_mat, 0)]),
+            -1)
+    else:
+        # no neighbor-band sites anywhere (e.g. hom-only contig):
+        # every non-center column stays padding
+        nbr_site_of_col = np.full_like(p1.nbr_idx_mat, -1)
+
+    B = len(cand_pos)
+
+    # strand-split counts + per-candidate read lists, vectorized over the
+    # SiteCodes CSR (a per-candidate python loop here was ~35% of host
+    # feature time at 45×). Candidate-site observations are selected via
+    # a site→candidate map; counts become two bincounts over fused
+    # (candidate, base) keys; read lists scatter through a ragged arange.
+    S = len(union_sites)
+    cand_of_site = np.full(S, -1, dtype=np.int64)
+    cand_of_site[cand_site_i] = np.arange(B)
+    obs_site = np.repeat(np.arange(S, dtype=np.int64), np.diff(sc.indptr))
+    obs_cand = cand_of_site[obs_site]
+    sel = obs_cand >= 0
+    ci = obs_cand[sel]
+    ccode_all = sc.code[sel].astype(np.int64)
+    crev = rw.strand[sc.rid[sel]].astype(bool)
+    # guard both ends: SNP SiteCodes codes are 0-4 today, but the indel
+    # pseudo-event convention uses -1, and a negative code here would
+    # corrupt the fused bincount key (advisor finding r1)
+    base_ok = (ccode_all >= 0) & (ccode_all < 4)
+    fwd_dp = np.bincount(ci[base_ok & ~crev] * 4 + ccode_all[base_ok & ~crev],
+                         minlength=B * 4).astype(np.int32).reshape(B, 4)
+    rev_dp = np.bincount(ci[base_ok & crev] * 4 + ccode_all[base_ok & crev],
+                         minlength=B * 4).astype(np.int32).reshape(B, 4)
+
+    counts_c = (sc.indptr[cand_site_i + 1]
+                - sc.indptr[cand_site_i]).astype(np.int64)
+    return SnpChunkScan(
+        contig=contig, scan_start=scan_start, ref_codes=ref_codes,
+        cand_pos=cand_pos, nbr_counts=p1.nbr_counts, union_sites=union_sites,
+        sc=sc, rw=rw, cand_site_i=cand_site_i,
+        nbr_site_of_col=nbr_site_of_col, nbr_pos=nbr_pos,
+        dp=p1.dp, freq=p1.freq,
+        fwd_dp=fwd_dp, rev_dp=rev_dp, counts_c=counts_c)
+
+
 def _scan_chunk(
     bam,
     fasta,
@@ -294,98 +407,123 @@ def _scan_chunk(
 
     counts = dd.counts(scan_start, scan_end) if dd is not None \
         else column_counts(rw, scan_start, scan_end)
-    n_aligned = counts[:, :5].sum(axis=1)
-    base_counts = counts[:, :4].astype(np.float32)
-    ref_valid = ref_codes < 4
-    # max alt count: mask out the ref base channel per column
-    masked = base_counts.copy()
-    cols = np.arange(len(ref_codes))
-    masked[cols[ref_valid], ref_codes[ref_valid].astype(np.int64)] = 0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        alt_freq = np.where(n_aligned > 0, masked.max(axis=1) / n_aligned, 0.0)
-
-    ok = ref_valid & (n_aligned >= mincov)
-    if exclude is not None:
-        ok &= ~exclude.mask(contig, np.arange(scan_start, scan_end))
-    if ploidy == "haploid":
-        nbr_mask = ok & (alt_freq >= threshold[0])
-    else:
-        nbr_mask = ok & (alt_freq >= threshold[0]) & (alt_freq < threshold[1])
-    pos_all = np.arange(scan_start, scan_end, dtype=np.int64)
-    in_window = (pos_all >= cand_lo) & (pos_all <= cand_hi)
-    cand_mask = ok & in_window & (alt_freq >= min_allele_freq)
-
-    nbr_pos = pos_all[nbr_mask]
-    cand_pos = pos_all[cand_mask]
-    if len(cand_pos) == 0:
+    p1 = _scan_phase1(
+        counts, ref_codes, scan_start, scan_end, cand_lo, cand_hi, contig,
+        seq_type=seq_type, mincov=mincov, min_allele_freq=min_allele_freq,
+        min_nbr_sites=min_nbr_sites, threshold=threshold, ploidy=ploidy,
+        exclude=exclude)
+    if p1 is None:
         if dd is not None:
             dd.close()
         return None
-
-    nbr_idx_mat, n_left, n_right = select_neighbors(cand_pos, nbr_pos, seq_type)
-    nbr_counts = (1 + n_left + n_right).astype(np.int32)
-    keep = nbr_counts >= min_nbr_sites
-    if not keep.any():
-        if dd is not None:
-            dd.close()
-        return None
-    cand_pos = cand_pos[keep]
-    nbr_idx_mat = nbr_idx_mat[keep]
-    nbr_counts = nbr_counts[keep]
-
-    # per-site read codes over the union of nbr + candidate sites
-    union_sites = np.union1d(nbr_pos, cand_pos)
     if dd is not None:
-        rw = dd.finish(union_sites)
-    sc = SiteCodes(rw, union_sites)
-    cand_site_i = np.searchsorted(union_sites, cand_pos)
-    if len(nbr_pos):
-        nbr_site_of_col = np.where(
-            nbr_idx_mat >= 0,
-            np.searchsorted(union_sites, nbr_pos[np.maximum(nbr_idx_mat, 0)]),
-            -1)
+        rw = dd.finish(np.union1d(p1.nbr_pos, p1.cand_pos))
+    return _scan_phase2(contig, scan_start, ref_codes, rw, p1)
+
+
+def _member_window(rw_g: ReadWindow, contig, m_lo, m_hi):
+    """Restrict a group-decoded ReadWindow to the reads overlapping
+    [m_lo, m_hi), remapping read ids to the member-local position-ordered
+    id space — exactly the reads (and order) a standalone decode of that
+    window accepts, so downstream arrays are element-identical."""
+    mask = (rw_g.read_start < m_hi) & (rw_g.read_end > m_lo)
+    sel = np.flatnonzero(mask)
+    g2l = np.cumsum(mask) - 1  # valid at mask positions only
+    evm = mask[rw_g.ev_rid] if len(rw_g.ev_rid) else np.zeros(0, bool)
+    dm = mask[rw_g.del_rid] if len(rw_g.del_rid) else np.zeros(0, bool)
+    im = mask[rw_g.ins_rid] if len(rw_g.ins_rid) else np.zeros(0, bool)
+    return ReadWindow(
+        contig=contig, start=m_lo, end=m_hi,
+        qnames=[rw_g.qnames[i] for i in sel],
+        flags=rw_g.flags[sel], strand=rw_g.strand[sel],
+        read_start=rw_g.read_start[sel], read_end=rw_g.read_end[sel],
+        hp=rw_g.hp[sel], ps=rw_g.ps[sel],
+        ev_rid=g2l[rw_g.ev_rid[evm]].astype(np.int32),
+        ev_pos=rw_g.ev_pos[evm], ev_code=rw_g.ev_code[evm],
+        ev_qpos=rw_g.ev_qpos[evm],
+        del_rid=g2l[rw_g.del_rid[dm]].astype(np.int32),
+        del_start=rw_g.del_start[dm], del_len=rw_g.del_len[dm],
+        ins_rid=g2l[rw_g.ins_rid[im]].astype(np.int32),
+        ins_pos=rw_g.ins_pos[im], ins_len=rw_g.ins_len[im],
+        seqs=[])
+
+
+def scan_chunk_group(
+    bam,
+    fasta,
+    members,
+    *,
+    seq_type="ont",
+    mincov=4,
+    maxcov=160,
+    min_allele_freq=0.15,
+    min_nbr_sites=1,
+    threshold=(0.4, 0.6),
+    exclude=None,
+):
+    """Scan several coordinate-adjacent chunks off ONE decoded window.
+
+    Adjacent 500 kb chunks each re-decode their ±50 kb halos and pay the
+    per-window BAM/index fixed costs; decoding the group's union window
+    once cuts the dominant host term of the SNP stage (~20% halo
+    re-decode + per-window setup, VERDICT r3 next-1a). Each member's
+    scan still runs over exactly its own ±SNP_HALO window with its own
+    read-id space (see _member_window), so every produced array — and
+    therefore the VCF — is byte-identical to per-chunk scans
+    (tests/test_snp_group.py).
+
+    members: list of chunk dicts (same contig; 'ploidy' per member).
+    Returns a list of SnpChunkScan | None aligned with members.
+    """
+    contig = members[0]["chrom"]
+    g_lo = max(0, min(m["start"] for m in members) - 1 - SNP_HALO)
+    g_hi = max(m["end"] for m in members) + SNP_HALO
+
+    dd = deferred_decode(bam, contig, g_lo, g_hi)
+    rw_g = None
+    ref_str = fasta.fetch(contig, g_lo, g_hi)
+    g_hi = min(g_hi, g_lo + len(ref_str))
+    ref_codes_g = REF_CODE_LUT[np.frombuffer(ref_str.encode(), dtype=np.uint8)]
+    if dd is not None:
+        counts_g = dd.counts(g_lo, g_hi)
     else:
-        # no neighbor-band sites anywhere (e.g. hom-only contig):
-        # every non-center column stays padding
-        nbr_site_of_col = np.full_like(nbr_idx_mat, -1)
+        rw_g = decode_reads(bam, contig, g_lo, g_hi)
+        counts_g = column_counts(rw_g, g_lo, g_hi)
 
-    B = len(cand_pos)
+    p1s = []
+    site_parts = []
+    for m in members:
+        m_lo = max(0, m["start"] - 1 - SNP_HALO)
+        m_hi = min(m["end"] + SNP_HALO, g_hi)
+        counts_m = counts_g[m_lo - g_lo: m_hi - g_lo]
+        ref_m = ref_codes_g[m_lo - g_lo: m_hi - g_lo]
+        p1 = _scan_phase1(
+            counts_m, ref_m, m_lo, m_hi, m["start"] - 1, m["end"] - 1,
+            contig, seq_type=seq_type, mincov=mincov,
+            min_allele_freq=min_allele_freq, min_nbr_sites=min_nbr_sites,
+            threshold=threshold, ploidy=m.get("ploidy", "diploid"),
+            exclude=exclude)
+        p1s.append((m_lo, m_hi, ref_m, p1))
+        if p1 is not None:
+            site_parts.append(p1.nbr_pos)
+            site_parts.append(p1.cand_pos)
 
-    # strand-split counts + per-candidate read lists, vectorized over the
-    # SiteCodes CSR (a per-candidate python loop here was ~35% of host
-    # feature time at 45×). Candidate-site observations are selected via
-    # a site→candidate map; counts become two bincounts over fused
-    # (candidate, base) keys; read lists scatter through a ragged arange.
-    from .engine import _ragged_arange
+    if not site_parts:
+        if dd is not None:
+            dd.close()
+        return [None] * len(members)
+    if dd is not None:
+        all_sites = np.unique(np.concatenate(site_parts))
+        rw_g = dd.finish(all_sites)
 
-    S = len(union_sites)
-    cand_of_site = np.full(S, -1, dtype=np.int64)
-    cand_of_site[cand_site_i] = np.arange(B)
-    obs_site = np.repeat(np.arange(S, dtype=np.int64), np.diff(sc.indptr))
-    obs_cand = cand_of_site[obs_site]
-    sel = obs_cand >= 0
-    ci = obs_cand[sel]
-    ccode_all = sc.code[sel].astype(np.int64)
-    crev = rw.strand[sc.rid[sel]].astype(bool)
-    # guard both ends: SNP SiteCodes codes are 0-4 today, but the indel
-    # pseudo-event convention uses -1, and a negative code here would
-    # corrupt the fused bincount key (advisor finding r1)
-    base_ok = (ccode_all >= 0) & (ccode_all < 4)
-    fwd_dp = np.bincount(ci[base_ok & ~crev] * 4 + ccode_all[base_ok & ~crev],
-                         minlength=B * 4).astype(np.int32).reshape(B, 4)
-    rev_dp = np.bincount(ci[base_ok & crev] * 4 + ccode_all[base_ok & crev],
-                         minlength=B * 4).astype(np.int32).reshape(B, 4)
-
-    counts_c = (sc.indptr[cand_site_i + 1]
-                - sc.indptr[cand_site_i]).astype(np.int64)
-    return SnpChunkScan(
-        contig=contig, scan_start=scan_start, ref_codes=ref_codes,
-        cand_pos=cand_pos, nbr_counts=nbr_counts, union_sites=union_sites,
-        sc=sc, rw=rw, cand_site_i=cand_site_i,
-        nbr_site_of_col=nbr_site_of_col, nbr_pos=nbr_pos,
-        dp=n_aligned[cand_mask][keep].astype(np.int32),
-        freq=alt_freq[cand_mask][keep].astype(np.float32),
-        fwd_dp=fwd_dp, rev_dp=rev_dp, counts_c=counts_c)
+    out = []
+    for m_lo, m_hi, ref_m, p1 in p1s:
+        if p1 is None:
+            out.append(None)
+            continue
+        rw_m = _member_window(rw_g, contig, m_lo, m_hi)
+        out.append(_scan_phase2(contig, m_lo, ref_m, rw_m, p1))
+    return out
 
 
 def get_snp_candidates(
@@ -601,6 +739,12 @@ def get_snp_chunk_features(
         threshold=threshold, ploidy=ploidy, exclude=exclude, rw=rw)
     if scan is None:
         return _empty_chunk_features(chunk["chrom"], maxcov)
+    return _assemble_chunk_features(scan, maxcov, seq_type)
+
+
+def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
+    """Build the deduplicated transfer arrays from a completed scan
+    (dense fallback for monster site×read tables)."""
     sc = scan.sc
     S = len(scan.union_sites)
     n_reads = scan.rw.n_reads
@@ -652,6 +796,41 @@ def get_snp_chunk_features(
         nbr_counts=scan.nbr_counts,
         maxcov=maxcov,
     )
+
+
+def get_snp_group_features(
+    bam,
+    fasta,
+    members,
+    *,
+    seq_type="ont",
+    mincov=4,
+    maxcov=160,
+    min_allele_freq=0.15,
+    min_nbr_sites=1,
+    threshold=(0.4, 0.6),
+    exclude=None,
+    dedup=True,
+):
+    """Scan a group of adjacent chunks off one decoded window and build
+    each member's transfer representation (SnpChunkFeatures by default;
+    dense SnpBatch when dedup=False or a member's site×read table would
+    blow _TABLE_CELL_CAP). Output per member is identical to calling
+    get_snp_chunk_features / get_snp_candidates chunk by chunk."""
+    scans = scan_chunk_group(
+        bam, fasta, members, seq_type=seq_type, mincov=mincov, maxcov=maxcov,
+        min_allele_freq=min_allele_freq, min_nbr_sites=min_nbr_sites,
+        threshold=threshold, exclude=exclude)
+    out = []
+    for m, scan in zip(members, scans):
+        if scan is None:
+            out.append(_empty_chunk_features(m["chrom"], maxcov) if dedup
+                       else _empty_batch(m["chrom"]))
+        elif not dedup:
+            out.append(_assemble_dense(scan, maxcov))
+        else:
+            out.append(_assemble_chunk_features(scan, maxcov, seq_type))
+    return out
 
 
 def _empty_chunk_features(contig, maxcov):

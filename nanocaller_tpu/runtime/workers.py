@@ -57,6 +57,26 @@ def snp_features_worker(task):
     return idx, batch
 
 
+def snp_features_group_worker(task):
+    """(idx, [(orig_idx, chunk), ...]) → (idx, [(orig_idx, feats), ...]).
+
+    Coordinate-adjacent chunks decode their shared window ONCE
+    (pileup/snp_features.scan_chunk_group): same per-member outputs as
+    snp_features_worker, minus the ±50 kb halo re-decode and per-window
+    fixed costs."""
+    idx, group = task
+    from ..pileup.snp_features import get_snp_group_features
+
+    cfg = _G["cfg"]
+    feats = get_snp_group_features(
+        _G["bam"], _G["fasta"], [c for _, c in group],
+        seq_type=cfg["sequencing"], mincov=cfg["mincov"],
+        maxcov=cfg["maxcov"], min_allele_freq=cfg["min_allele_freq"],
+        min_nbr_sites=cfg["min_nbr_sites"], threshold=cfg["threshold"],
+        exclude=_G["exclude"], dedup=cfg.get("dedup_transfer", True))
+    return idx, [(oi, f) for (oi, _), f in zip(group, feats)]
+
+
 def _tags_for(path):
     """Load (and cache per process) a contig's haplotag sidecar:
     qname → (hp, ps) lines written by the phasing stage."""
