@@ -216,13 +216,17 @@ def run(cfg: Config, progress=None):
             with metrics.timer("phase.decode"):
                 # site-filtered decode: phasing only needs read codes at
                 # het sites — memory stays O(reads × hets), making whole-
-                # contig phasing feasible at any contig length
+                # contig phasing feasible at any contig length (split
+                # across threads for big contigs)
+                from .pileup.engine import decode_reads_parallel
+
                 het_sites = sorted(r.pos - 1 for r in hiq)
-                rw = decode_reads(bam, name, max(0, s - 1), e,
-                                  keep_seq=False, sites=het_sites)
+                rw = decode_reads_parallel(bam, name, max(0, s - 1), e,
+                                           keep_seq=False, sites=het_sites)
             with metrics.timer("phase.mec"):
                 result, phase_map = phase_contig(
-                    hiq, rw, distrust=cfg.enable_whatshap)
+                    hiq, rw, distrust=cfg.enable_whatshap,
+                    cell_budget=getattr(cfg, "phase_cell_budget", None))
             tags = haplotag_reads(rw, result)
             hap_tags_by_contig[name] = tags
 

@@ -104,6 +104,11 @@ def build_parser():
 
     phase.add_argument("--phase", action="store_true")
     phase.add_argument("--phase_qual_score", type=float, default=10.0)
+    phase.add_argument("--phase_cell_budget", type=int, default=600_000_000,
+                       help="exact-wMEC trellis cell budget; bigger "
+                            "keeps the whatshap cap-15 selection on "
+                            "larger phase blocks at linear DP cost "
+                            "(tools/phase_cap_study.py)")
     phase.add_argument("--enable_whatshap", action="store_true")
     phase.add_argument("--skip_phased_bam", action="store_true",
                        help="do not write the per-contig haplotagged "
@@ -149,6 +154,7 @@ def config_from_args(argv=None):
         small_win_size=args.small_win_size,
         impute_indel_phase=args.impute_indel_phase, phase=args.phase,
         phase_qual_score=args.phase_qual_score,
+        phase_cell_budget=args.phase_cell_budget,
         enable_whatshap=args.enable_whatshap,
         suppress_progress=args.suppress_progress_bar, verbose=args.verbose,
         resume=args.resume, num_shards=args.num_shards,

@@ -54,6 +54,13 @@ class Config:
     phase: bool = False
     phase_qual_score: float = 10.0
     enable_whatshap: bool = False
+    # exact-wMEC trellis cell budget: the active-read cap of a block is
+    # lowered until sites × 2^cap fits (phase/wmec._block_cap). The
+    # default gives whatshap's cap 15 to blocks ≤ ~18k het sites and
+    # cap 13 to a 70k-site whole-contig block (~2.4 GB parent storage,
+    # ~4 s native DP); tools/phase_cap_study.py has the quality/time
+    # curves behind this choice.
+    phase_cell_budget: int = 600_000_000
     # framework extras (not in reference)
     batch_size: int = 1024  # padded device batch for SNP inference
     # deduplicated chunk transfer for the SNP device path (shared

@@ -97,6 +97,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.ncio_nw_free.argtypes = [ctypes.c_void_p]
+        lib.ncio_select_greedy.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
         lib.ncio_wmec.restype = ctypes.c_int32
         lib.ncio_wmec.argtypes = [
             ctypes.c_int32, ctypes.c_int32,
@@ -606,6 +610,27 @@ def rans_compress_native(data, order):
     if rc != 0:
         return None
     return out[: int(out_len[0])].tobytes()
+
+
+def select_greedy_native(order, first, last, S, max_cov, n_reads):
+    """C++ greedy coverage-selection loop (phase/wmec.select_reads);
+    returns taken bool[n_reads] or None when the library is unavailable.
+    Bit-identical to the Python greedy loop (same visit order/predicate;
+    pinned by tests/test_wmec_prod.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    order = np.ascontiguousarray(order, np.int64)
+    first = np.ascontiguousarray(first, np.int64)
+    last = np.ascontiguousarray(last, np.int64)
+    taken = np.zeros(n_reads, np.uint8)
+    lib.ncio_select_greedy(
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(order),
+        first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        last.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(S), int(max_cov),
+        taken.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return taken.astype(bool)
 
 
 def wmec_native(first, last, col_start, obs_read, obs_allele, g_in, gq,

@@ -2846,6 +2846,30 @@ int32_t ncio_haplotag(const char* in_path, const char* out_path,
 
 extern "C" {
 
+// Greedy whatshap-style coverage selection (phase/wmec.select_reads
+// hot loop): visit reads in the given priority order; take a read iff
+// every column of its [first, last] site span currently has fewer than
+// max_cov active selected reads. Bit-identical to the Python loop by
+// construction (same order, same predicate).
+void ncio_select_greedy(const int64_t* order, int64_t n_order,
+                        const int64_t* first, const int64_t* last,
+                        int64_t S, int32_t max_cov, uint8_t* taken) {
+  std::vector<int32_t> active(size_t(S), 0);
+  for (int64_t i = 0; i < n_order; i++) {
+    const int64_t r = order[i];
+    int64_t f = first[r], l = last[r] + 1;
+    if (f < 0) f = 0;
+    if (l > S) l = S;
+    int32_t mx = 0;
+    for (int64_t j = f; j < l; j++)
+      if (active[j] > mx) mx = active[j];
+    if (mx < max_cov) {
+      for (int64_t j = f; j < l; j++) active[j]++;
+      taken[r] = 1;
+    }
+  }
+}
+
 // returns 0 on success; -1 infeasible (active width > max_active or
 // trellis cells > cell_budget). Outputs: a1/a2 (alleles on hap1/hap2
 // per site), part (side 0/1 per read), cost.

@@ -70,14 +70,16 @@ def build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes):
     return (np.concatenate(rid_l), np.concatenate(sidx_l), np.concatenate(al_l))
 
 
-def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8, exact=True):
+def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8, exact=True,
+                cell_budget=None):
     """Core MEC phasing. Returns PhaseResult."""
     rids, sidx, alleles = build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes)
     return phase_obs(rids, sidx, alleles, rw.n_reads, sites_pos0,
-                     n_iter=n_iter, exact=exact)
+                     n_iter=n_iter, exact=exact, cell_budget=cell_budget)
 
 
-def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8, exact=True):
+def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8, exact=True,
+              cell_budget=None):
     """phase_sites on pre-built sparse observations (also the entry the
     wMEC differential harness drives on synthetic instances).
 
@@ -183,7 +185,8 @@ def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8, exact=True):
         # when strictly better on the all-reads objective
         from .wmec import exact_refine
 
-        h = exact_refine(rids, sidx, alleles, S, comp, h)
+        kw = {} if cell_budget is None else {"cell_budget": cell_budget}
+        h = exact_refine(rids, sidx, alleles, S, comp, h, **kw)
     # re-derive the read assignment for the repaired haplotype
     mism = (alleles != h[sidx]).astype(np.int64)
     mis1 = np.bincount(rids, weights=mism, minlength=n_reads)
@@ -258,15 +261,15 @@ def _switch_repair(rids, sidx, alleles, h, r_ptr, max_flips=50):
     nxt_site[:-1] = sidx[1:]
     nxt_site[-1] = 0
     # longest read span in site-index space bounds flip interaction
+    # (observations are (rid, sidx)-sorted here, so per-read span is an
+    # O(1) slice through r_ptr — no scatter-reduce)
     span = 0
     if K:
-        f = np.full(len(r_ptr) - 1, S, np.int64)
-        l = np.zeros(len(r_ptr) - 1, np.int64)
-        np.minimum.at(f, rids, sidx)
-        np.maximum.at(l, rids, sidx)
         nz = obs_per_read > 0
         if nz.any():
-            span = int((l[nz] - f[nz]).max()) + 1
+            f = sidx[r_ptr[:-1][nz]]
+            l = sidx[r_ptr[1:][nz] - 1]
+            span = int((l - f).max()) + 1
 
     for _ in range(max_flips):
         mism = (alleles != h[sidx]).astype(np.int64)
@@ -285,10 +288,11 @@ def _switch_repair(rids, sidx, alleles, h, r_ptr, max_flips=50):
         # float64); cast back so the int64 difference array is explicit
         contrib = (np.minimum(new_mis, T_r[r] - new_mis)
                    - cur_min[r]).astype(np.int64)
-        D = np.zeros(S + 2, np.int64)
-        np.add.at(D, sidx[i] + 1, contrib)
-        np.add.at(D, nxt_site[i] + 1, -contrib)
-        delta = np.cumsum(D[: S + 1])
+        # difference array via two bincounts (np.add.at is ~10x slower
+        # on millions of scattered indices)
+        D = np.bincount(sidx[i] + 1, weights=contrib, minlength=S + 2)
+        D -= np.bincount(nxt_site[i] + 1, weights=contrib, minlength=S + 2)
+        delta = np.cumsum(D[: S + 1]).astype(np.int64)
         neg = np.flatnonzero(delta < 0)
         if not len(neg):
             break
@@ -429,7 +433,8 @@ def _collect_biallelic(records, want_gts):
             np.asarray(altc, np.int8)[order])
 
 
-def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ):
+def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ,
+                 cell_budget=None):
     """Phase the biallelic het SNPs of one contig.
 
     records: list of VcfRecord (the high-QUAL SNP calls). Returns
@@ -455,9 +460,10 @@ def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ):
         from .wmec import phase_distrust
 
         hpos, href, halt = _collect_biallelic(records, ("1/1", "1|1"))
+        kw = {} if cell_budget is None else {"cell_budget": cell_budget}
         return phase_distrust(rw, pos, refc, altc, hpos, href, halt,
-                              default_gq=default_gq)
-    result = phase_sites(rw, pos, refc, altc)
+                              default_gq=default_gq, **kw)
+    result = phase_sites(rw, pos, refc, altc, cell_budget=cell_budget)
     phase_map = {}
     for j in range(len(pos)):
         if result.block_ps[j] >= 0:

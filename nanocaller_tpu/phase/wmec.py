@@ -34,6 +34,28 @@ import numpy as np
 # this module lazily from phase_obs/phase_contig.
 
 
+def _read_spans(rids, sidx, n_reads):
+    """(first, last, cnt) per read. Fast path: observations sorted by
+    (rid, sidx) — the layout phase_obs/exact_refine produce — reduce to
+    three O(K) passes; otherwise fall back to scatter-reduce."""
+    cnt = np.bincount(rids, minlength=n_reads)
+    d = np.diff(rids)
+    sorted_by_read = bool((d >= 0).all()) and bool(
+        ((d > 0) | (np.diff(sidx) >= 0)).all()) if len(rids) > 1 else True
+    first = np.full(n_reads, np.iinfo(np.int64).max, np.int64)
+    last = np.full(n_reads, -1, np.int64)
+    if sorted_by_read:
+        r_ptr = np.searchsorted(rids, np.arange(n_reads + 1,
+                                                dtype=np.int64))
+        nz = r_ptr[:-1] < r_ptr[1:]
+        first[nz] = sidx[r_ptr[:-1][nz]]
+        last[nz] = sidx[r_ptr[1:][nz] - 1]
+    else:
+        np.minimum.at(first, rids, sidx)
+        np.maximum.at(last, rids, sidx)
+    return first, last, cnt
+
+
 def select_reads(rids, sidx, n_reads, max_cov=15):
     """Greedy whatshap-style read selection (coverage reduction).
 
@@ -45,30 +67,36 @@ def select_reads(rids, sidx, n_reads, max_cov=15):
     likewise phases on multi-site reads only).
 
     Returns a bool mask over the observations (True = read selected).
+    The greedy loop runs in C++ (io/native ncio_select_greedy) when
+    available; the Python loop below is the differential oracle.
     """
     K = len(rids)
     if K == 0:
         return np.zeros(0, bool)
     rids = np.asarray(rids)
     sidx = np.asarray(sidx)
-    first = np.full(n_reads, np.iinfo(np.int64).max, np.int64)
-    last = np.full(n_reads, -1, np.int64)
-    cnt = np.bincount(rids, minlength=n_reads)
-    np.minimum.at(first, rids, sidx)
-    np.maximum.at(last, rids, sidx)
+    first, last, cnt = _read_spans(rids, sidx, n_reads)
     multi = np.flatnonzero(cnt >= 2)
     if not len(multi):
         return np.zeros(K, bool)
     span = last[multi] - first[multi]
     order = multi[np.lexsort((multi, -span, -cnt[multi]))]
     S = int(sidx.max()) + 1
-    active = np.zeros(S, np.int32)
-    taken = np.zeros(n_reads, bool)
-    for r in order:
-        f, l = int(first[r]), int(last[r]) + 1
-        if active[f:l].max() < max_cov:
-            active[f:l] += 1
-            taken[r] = True
+    try:
+        from ..io.native import select_greedy_native
+
+        taken = select_greedy_native(order, first, last, S, max_cov,
+                                     n_reads)
+    except Exception:
+        taken = None
+    if taken is None:
+        active = np.zeros(S, np.int32)
+        taken = np.zeros(n_reads, bool)
+        for r in order:
+            f, l = int(first[r]), int(last[r]) + 1
+            if active[f:l].max() < max_cov:
+                active[f:l] += 1
+                taken[r] = True
     return taken[rids]
 
 
@@ -107,7 +135,7 @@ def _block_cap(n_block_sites, max_cov, cell_budget):
 
 
 def exact_refine(rids, sidx, alleles, n_sites, comp, h,
-                 max_cov=15, cell_budget=20_000_000):
+                 max_cov=15, cell_budget=600_000_000):
     """Per-block exact wMEC on coverage-selected reads.
 
     For every phase block, runs the exact DP (het-pinned wmec_exact_gt,
@@ -128,6 +156,8 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
     keep = select_reads(rids, sidx, n_reads, max_cov=max_cov)
     sizes = np.bincount(comp, minlength=n_sites)
     comp_of_obs = comp[sidx]
+
+    jobs = []
     for c in np.flatnonzero(sizes >= 2):
         mem = np.flatnonzero(comp == c)
         nb = len(mem)
@@ -148,17 +178,40 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
             continue
         local = np.full(n_sites, -1, np.int64)
         local[mem] = np.arange(nb)
-        rr = rids[sel]
-        ss = local[sidx[sel]]
-        aa = alleles[sel]
+        jobs.append((mem, nb, in_c, cap, sel, local))
+
+    def solve(job):
+        mem, nb, in_c, cap, sel, local = job
         try:
             # het-pinned joint DP (huge gq) = plain exact wMEC; runs the
-            # native trellis when available
+            # native trellis when available. The native budget must
+            # admit what _block_cap admitted (sites × 2^cap cells).
             _c_sel, h_ex, _a2, _part = wmec_exact_gt(
-                rr, ss, aa, nb, np.ones(nb, np.int8), 1e30,
-                max_active=cap)
+                rids[sel], local[sidx[sel]], alleles[sel], nb,
+                np.ones(nb, np.int8), 1e30, max_active=cap,
+                cell_budget=max(cell_budget, 64_000_000))
         except ValueError:
-            continue  # selection failed to bound the active width
+            return None  # selection failed to bound the active width
+        return h_ex
+
+    # blocks are independent; the native trellis releases the GIL, so
+    # thread-parallel block solves scale with spare cores (whole-contig
+    # phasing is one worker's task in the per-contig DAG)
+    if len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import os
+
+        with ThreadPoolExecutor(min(len(jobs),
+                                    max(2, os.cpu_count() or 2))) as ex:
+            solved = list(ex.map(solve, jobs))
+    else:
+        solved = [solve(j) for j in jobs]
+
+    for job, h_ex in zip(jobs, solved):
+        if h_ex is None:
+            continue
+        mem, nb, in_c, cap, sel, local = job
         rr_all = rids[in_c]
         ss_all = local[sidx[in_c]]
         aa_all = alleles[in_c]
@@ -330,7 +383,7 @@ def wmec_exact_gt(rids, sidx, alleles, n_sites, g_in, gq, max_active=18,
 
 def phase_distrust(rw, het_pos, het_ref, het_alt, hom_pos, hom_ref, hom_alt,
                    default_gq=30.0, eps=0.1, max_cov=15,
-                   cell_budget=20_000_000):
+                   cell_budget=600_000_000):
     """whatshap `--distrust-genotypes --include-homozygous` equivalent
     with genotype re-typing JOINTLY inside the per-block exact wMEC DP
     (indelCaller.py:228). Sites = called het SNPs ∪ hom-alt SNPs; each
@@ -391,7 +444,8 @@ def phase_distrust(rw, het_pos, het_ref, het_alt, hom_pos, hom_ref, hom_alt,
         local[mem] = np.arange(nb)
         _cost, b1, b2, _part = wmec_exact_gt(
             rids[sel], local[sidx[sel]], alleles[sel], nb, g_in[mem],
-            gq_units, max_active=cap)
+            gq_units, max_active=cap,
+            cell_budget=max(cell_budget, 64_000_000))
         a1[mem], a2[mem] = b1, b2
 
     # block PS ids (position of the block's first variant, whatshap

@@ -207,6 +207,94 @@ def decode_reads(bam, contig, start, end, flag_exclude=None, keep_seq=False,
     return rw_out
 
 
+def decode_reads_parallel(bam, contig, start, end, sites=None, keep_seq=False,
+                          flag_exclude=None, min_span=10_000_000, n_parts=2):
+    """Window decode split across threads; output identical to
+    decode_reads (tests/test_native.py::TestParallelDecode).
+
+    The whole-contig site-filtered decode of the phasing stage is a
+    single ~O(contig) native call on one core while the other feature
+    workers idle (the per-contig DAG hands one contig to one worker);
+    splitting the window lets the C decoder (which releases the GIL) use
+    the spare cores. Reads overlapping a boundary are decoded by both
+    parts; the right part's duplicates are a position-sorted PREFIX of
+    its read list (BAM is coordinate-sorted) and are dropped before the
+    merge, so the merged read order and id space equal the single-window
+    decode's. Falls back to one decode for small windows, non-BAM
+    inputs, or when the native library is unavailable."""
+    use_split = (end - start >= min_span and n_parts >= 2
+                 and getattr(bam, "format", "BAM") == "BAM"
+                 and hasattr(bam, "path"))
+    if use_split:
+        try:
+            from ..io.native import get_lib
+
+            use_split = get_lib() is not None
+        except Exception:
+            use_split = False
+    if not use_split:
+        return decode_reads(bam, contig, start, end,
+                            flag_exclude=flag_exclude, keep_seq=keep_seq,
+                            sites=sites)
+    from concurrent.futures import ThreadPoolExecutor
+
+    bounds = [start + (end - start) * i // n_parts for i in range(n_parts + 1)]
+    with ThreadPoolExecutor(n_parts) as ex:
+        parts = list(ex.map(
+            lambda b: decode_reads(bam, contig, b[0], b[1],
+                                   flag_exclude=flag_exclude,
+                                   keep_seq=keep_seq, sites=sites),
+            zip(bounds[:-1], bounds[1:])))
+
+    # drop each non-first part's boundary-duplicate read prefix, remap
+    # ids, concatenate
+    qnames, seqs = [], []
+    flags, strand, rstart, rend, hp, ps = [], [], [], [], [], []
+    ev = {k: [] for k in ("ev_rid", "ev_pos", "ev_code", "ev_qpos",
+                          "del_rid", "del_start", "del_len",
+                          "ins_rid", "ins_pos", "ins_len")}
+    offset = 0
+    for i, p in enumerate(parts):
+        ndrop = int(np.searchsorted(p.read_start, bounds[i])) if i else 0
+        shift = offset - ndrop
+        qnames.extend(p.qnames[ndrop:])
+        if p.seqs:
+            seqs.extend(p.seqs[ndrop:])
+        flags.append(p.flags[ndrop:])
+        strand.append(p.strand[ndrop:])
+        rstart.append(p.read_start[ndrop:])
+        rend.append(p.read_end[ndrop:])
+        hp.append(p.hp[ndrop:])
+        ps.append(p.ps[ndrop:])
+        for rid_k, val_ks in (("ev_rid", ("ev_pos", "ev_code", "ev_qpos")),
+                              ("del_rid", ("del_start", "del_len")),
+                              ("ins_rid", ("ins_pos", "ins_len"))):
+            rids = getattr(p, rid_k)
+            m = rids >= ndrop
+            ev[rid_k].append((rids[m] + shift).astype(np.int32))
+            for k in val_ks:
+                ev[k].append(getattr(p, k)[m])
+        offset += p.n_reads - ndrop
+
+    cat = lambda parts_l, dt: (np.concatenate(parts_l).astype(dt, copy=False)
+                               if parts_l else np.zeros(0, dt))
+    return ReadWindow(
+        contig=contig, start=start, end=end, qnames=qnames,
+        flags=cat(flags, np.int32), strand=cat(strand, np.int8),
+        read_start=cat(rstart, np.int64), read_end=cat(rend, np.int64),
+        hp=cat(hp, np.int8), ps=cat(ps, np.int64),
+        ev_rid=cat(ev["ev_rid"], np.int32), ev_pos=cat(ev["ev_pos"], np.int32),
+        ev_code=cat(ev["ev_code"], np.int8),
+        ev_qpos=cat(ev["ev_qpos"], np.int32),
+        del_rid=cat(ev["del_rid"], np.int32),
+        del_start=cat(ev["del_start"], np.int32),
+        del_len=cat(ev["del_len"], np.int32),
+        ins_rid=cat(ev["ins_rid"], np.int32),
+        ins_pos=cat(ev["ins_pos"], np.int32),
+        ins_len=cat(ev["ins_len"], np.int32),
+        seqs=seqs)
+
+
 class DeferredReadWindow:
     """Two-phase decode handle: counts now, site-filtered events later.
 

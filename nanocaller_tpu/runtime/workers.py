@@ -133,7 +133,7 @@ def phase_contig_worker(task):
     t0 = time.perf_counter()
     from ..io.vcf import VcfReader, VcfWriter
     from ..phase.mec import haplotag_reads, phase_contig, write_phased_vcf
-    from ..pileup.engine import decode_reads
+    from ..pileup.engine import decode_reads_parallel
     from .watchdog import beat
 
     cfg = _G["cfg"]
@@ -148,11 +148,15 @@ def phase_contig_worker(task):
     lowq = [r for r in recs if r.qual_value < cfg["phase_qual_score"]]
     het_sites = sorted(r.pos - 1 for r in hiq)
     beat()
-    rw = decode_reads(_G["bam"], job["chrom"], max(0, job["start"] - 1),
-                      job["end"], keep_seq=False, sites=het_sites)
+    # threaded split decode: whole-contig phasing is one worker's task
+    # in the per-contig DAG, so the spare cores are free for the decode
+    rw = decode_reads_parallel(_G["bam"], job["chrom"],
+                               max(0, job["start"] - 1), job["end"],
+                               keep_seq=False, sites=het_sites)
     beat()
-    result, phase_map = phase_contig(hiq, rw,
-                                     distrust=cfg["enable_whatshap"])
+    result, phase_map = phase_contig(
+        hiq, rw, distrust=cfg["enable_whatshap"],
+        cell_budget=cfg.get("phase_cell_budget"))
     beat()
     tags = haplotag_reads(rw, result)
 
@@ -188,4 +192,5 @@ def cfg_kwargs_for_workers(cfg):
         impute_indel_phase=cfg.impute_indel_phase,
         dedup_transfer=getattr(cfg, "dedup_transfer", True),
         phase_qual_score=cfg.phase_qual_score,
+        phase_cell_budget=getattr(cfg, "phase_cell_budget", None),
         enable_whatshap=cfg.enable_whatshap)

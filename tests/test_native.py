@@ -234,6 +234,43 @@ class TestNativeDecode:
         assert nat.n_reads > 0
 
 
+class TestParallelDecode:
+    """decode_reads_parallel (threaded split whole-contig decode) must
+    be identical to the single-window decode: same read set, order, id
+    space, events."""
+
+    @pytest.mark.parametrize("n_parts", [2, 3])
+    def test_split_identical(self, bam_fixture, n_parts):
+        from nanocaller_tpu.pileup.engine import decode_reads_parallel
+
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        sites = np.arange(40, 5000, 37, dtype=np.int64)
+        single = decode_reads(bam, "chr_t", 0, 5000, sites=sites)
+        split = decode_reads_parallel(bam, "chr_t", 0, 5000, sites=sites,
+                                      min_span=1, n_parts=n_parts)
+        assert_windows_equal(split, single)
+
+    def test_split_keep_seq(self, bam_fixture):
+        from nanocaller_tpu.pileup.engine import decode_reads_parallel
+
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        single = decode_reads(bam, "chr_t", 100, 4700, keep_seq=True)
+        split = decode_reads_parallel(bam, "chr_t", 100, 4700,
+                                      keep_seq=True, min_span=1)
+        assert_windows_equal(split, single)
+
+    def test_small_window_falls_back(self, bam_fixture):
+        from nanocaller_tpu.pileup.engine import decode_reads_parallel
+
+        fasta_p, bam_p, _, _ = bam_fixture
+        bam = BamReader(bam_p)
+        single = decode_reads(bam, "chr_t", 0, 2000)
+        out = decode_reads_parallel(bam, "chr_t", 0, 2000)  # < min_span
+        assert_windows_equal(out, single)
+
+
 class TestNativeMsaProject:
     """C++ star-MSA column projection vs the numpy oracle (bit-identical:
     float32 division order replicated, first-max argmax consensus)."""

@@ -63,6 +63,33 @@ class TestSelectReads:
         multi_obs = (cnt >= 2)[rids]
         assert np.array_equal(keep, multi_obs)
 
+    @pytest.mark.parametrize("seed", range(6))
+    def test_native_greedy_matches_python(self, seed):
+        """C++ greedy loop (ncio_select_greedy) vs the Python oracle,
+        on sorted and unsorted observation layouts."""
+        import nanocaller_tpu.phase.wmec as wm
+        from nanocaller_tpu.io.native import select_greedy_native
+
+        if select_greedy_native(np.zeros(0, np.int64),
+                                np.zeros(0, np.int64),
+                                np.zeros(0, np.int64), 1, 1, 1) is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(seed)
+        rids, sidx, al, n_reads, _ = gen_block(
+            rng, 40, 30 + 10 * (seed % 3), 0.05, 3, 12)
+        perm = rng.permutation(len(rids))
+        for rr, ss in ((rids, sidx), (rids[perm], sidx[perm])):
+            native = select_reads(rr, ss, n_reads, max_cov=8)
+            import nanocaller_tpu.io.native as ion
+
+            orig = ion.select_greedy_native
+            ion.select_greedy_native = lambda *a, **k: None
+            try:
+                python = select_reads(rr, ss, n_reads, max_cov=8)
+            finally:
+                ion.select_greedy_native = orig
+            np.testing.assert_array_equal(native, python)
+
 
 def brute_force_gt(rids, sidx, alleles, n_sites, g_in, gq):
     """Enumerate all bipartitions of multi-obs reads; per column the
