@@ -32,6 +32,11 @@ from .pileup.engine import decode_reads
 from .runtime.chunker import get_chunks, get_regions_list
 from .snp_caller import call_snps
 
+# shared-decode group span for 100 kb indel chunks: ~16 chunks per worker
+# task amortizes the per-window decode while keeping dozens of tasks in
+# flight for load balance
+_INDEL_GROUP_SPAN = 1_600_000
+
 
 def run(cfg: Config, progress=None):
     """Execute the configured pipeline; returns dict of output paths."""
@@ -275,8 +280,7 @@ def run(cfg: Config, progress=None):
         from .indel_caller import (decode_diploid_indels, decode_haploid_indels,
                                    infer_haploid_indel_batch, infer_indel_batch)
         from .runtime.scheduler import feature_stream
-        from .runtime.workers import (cfg_kwargs_for_workers,
-                                      indel_features_worker)
+        from .runtime.workers import cfg_kwargs_for_workers
 
         state = IndelCallerState.create(cfg.indel_model)
         order = sorted(range(len(indel_chunks)),
@@ -303,17 +307,28 @@ def run(cfg: Config, progress=None):
                 todo.append(idx)
         todo_chunks = [ordered_chunks[i] for i in todo]
         if parallel:
+            from .runtime.chunker import group_adjacent_chunks
+            from .runtime.workers import indel_features_group_worker
+
             init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg),
                          resolve_exclude_bed(cfg.exclude_bed) if cfg.exclude_bed else None)
-            stream = feature_stream(todo_chunks, indel_features_worker,
-                                    init_args, cfg.cpu)
+            group_tasks = group_adjacent_chunks(ordered_chunks, todo,
+                                                _INDEL_GROUP_SPAN)
+
+            def _grouped():
+                for _gi, members in feature_stream(
+                        group_tasks, indel_features_group_worker,
+                        init_args, cfg.cpu):
+                    yield from members
+
+            stream = _grouped()
         else:
             def _inline():
                 from .pileup.indel_features import get_indel_candidates
 
                 for i, chunk in enumerate(todo_chunks):
                     tags = hap_tags_by_contig.get(chunk["chrom"])
-                    yield i, get_indel_candidates(
+                    yield todo[i], get_indel_candidates(
                         bam, fasta, chunk, seq_type=cfg.sequencing,
                         mincov=cfg.mincov, maxcov=cfg.maxcov,
                         ins_t=cfg.ins_threshold, del_t=cfg.del_threshold,
@@ -366,8 +381,7 @@ def run(cfg: Config, progress=None):
                 pending = []
                 pend_n = 0
 
-            for sub_idx, batch in stream:
-                idx = todo[sub_idx]
+            for idx, batch in stream:
                 metrics.count("indel_candidates", len(batch))
                 if len(batch) == 0:
                     results[idx] = []
@@ -434,7 +448,7 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                                infer_haploid_indel_many, infer_indel_many)
     from .runtime import workers as W
     from .runtime.workers import (cfg_kwargs_for_workers,
-                                  indel_features_worker, phase_contig_worker)
+                                  phase_contig_worker)
 
     t_start = time.perf_counter()
     timeline = []
@@ -516,11 +530,21 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                 timeline.append({"stage": "indels_unlocked", "contig": contig,
                                  "n_chunks": len(todo),
                                  "t": round(time.perf_counter() - t_start, 4)})
-            for idx in todo:
-                chunk = dict(ordered_chunks[idx])
-                if tags_path and chunk.get("ploidy") != "haploid":
-                    chunk["tags_path"] = tags_path
-                submit(indel_features_worker, (idx, chunk), "indel")
+            # adjacent 100 kb chunks share one decode + pseudo-event emit
+            # per worker task (pileup.indel_features group path)
+            from .runtime.chunker import group_adjacent_chunks
+            from .runtime.workers import indel_features_group_worker
+
+            for g in group_adjacent_chunks(ordered_chunks, todo,
+                                           _INDEL_GROUP_SPAN):
+                members = []
+                for idx, _ in g:
+                    chunk = dict(ordered_chunks[idx])
+                    if tags_path and chunk.get("ploidy") != "haploid":
+                        chunk["tags_path"] = tags_path
+                    members.append((idx, chunk))
+                submit(indel_features_group_worker, (members[0][0], members),
+                       "indel_group")
 
         for name, (c, s, e, ploidy) in contigs.items():
             out_vcf = os.path.join(phase_dir, "%s.snps.phased.vcf.gz" % name)
@@ -571,21 +595,23 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                         artifact_threads.append(th)
                     unlock_indels(name, info["tags_path"])
                 else:
-                    idx, batch = res
+                    _gi, members = res
                     if len(timeline) < 2000:
                         timeline.append(
-                            {"stage": "indel_chunk_done",
-                             "contig": ordered_chunks[idx]["chrom"],
+                            {"stage": "indel_group_done",
+                             "contig": ordered_chunks[_gi]["chrom"],
+                             "n_chunks": len(members),
                              "t": round(time.perf_counter() - t_start, 4)})
-                    metrics.count("indel_candidates", len(batch))
-                    if len(batch) == 0:
-                        results[idx] = []
-                        _write_shard(idx)
-                    else:
-                        pending.append((idx, batch))
-                        pend_n += len(batch)
-                        if pend_n >= flush_at:
-                            _flush()
+                    for idx, batch in members:
+                        metrics.count("indel_candidates", len(batch))
+                        if len(batch) == 0:
+                            results[idx] = []
+                            _write_shard(idx)
+                        else:
+                            pending.append((idx, batch))
+                            pend_n += len(batch)
+                            if pend_n >= flush_at:
+                                _flush()
         _flush()
     finally:
         # device/consumer errors must not wait out the queued backlog
@@ -616,11 +642,13 @@ def _start_artifact_writer(cfg, contig, start0, end0, tags, out_path,
     import time as _time
 
     # deflate-thread budget: when indel calling overlaps this write
-    # (mode=all) leave the worker cores alone; otherwise let the pool
-    # auto-size
+    # (mode=all) mostly leave the worker cores alone — but keep at least
+    # 2 deflate threads: the main process idles between device batches
+    # and deflate soaks those gaps (measured 24 s -> 16 s on the 50 Mb
+    # artifact), while the OS keeps the busy feature workers ahead
     threads = 0
     if cfg.mode == "all":
-        threads = max(1, (os.cpu_count() or 2) - cfg.cpu)
+        threads = max(2, (os.cpu_count() or 2) - cfg.cpu)
 
     def _write():
         t0 = _time.perf_counter()

@@ -40,27 +40,34 @@ for _b in "AGTC":
     REF_N_LUT[ord(_b)] = 1
 
 
-def sliding_distinct_counts(event_rids, event_cols, n_cols, win):
+def sliding_distinct_counts(event_rids, event_cols, n_cols, win,
+                            presorted=False):
     """#distinct reads with ≥1 event in the win-column window ending at c.
 
     event_cols are 0-based ranks in the scan-column space. Returns
-    int32[n_cols].
+    int32[n_cols]. presorted=True asserts the events are already
+    (rid, col)-lexsorted — true for decode-order event arrays filtered
+    by a boolean mask (reads emit in id order, anchors ascending within
+    a read), skipping the per-call lexsort.
     """
-    out = np.zeros(n_cols + 1, dtype=np.int32)
     if len(event_rids) == 0:
-        return out[:-1]
-    order = np.lexsort((event_cols, event_rids))
-    rid = np.asarray(event_rids)[order]
-    col = np.asarray(event_cols)[order]
+        return np.zeros(n_cols, dtype=np.int32)
+    if presorted:
+        rid = np.asarray(event_rids)
+        col = np.asarray(event_cols)
+    else:
+        order = np.lexsort((event_cols, event_rids))
+        rid = np.asarray(event_rids)[order]
+        col = np.asarray(event_cols)[order]
     new_iv = np.ones(len(rid), dtype=bool)
     new_iv[1:] = (rid[1:] != rid[:-1]) | (col[1:] > col[:-1] + win)
     starts_idx = np.flatnonzero(new_iv)
     ends_idx = np.append(starts_idx[1:], len(rid)) - 1
     iv_start = col[starts_idx]
     iv_end = np.minimum(col[ends_idx] + win - 1, n_cols - 1)
-    np.add.at(out, iv_start, 1)
-    np.add.at(out, iv_end + 1, -1)
-    return np.cumsum(out)[:-1]
+    out = np.bincount(iv_start, minlength=n_cols + 1).astype(np.int64)
+    out -= np.bincount(iv_end + 1, minlength=n_cols + 1)
+    return np.cumsum(out)[:-1].astype(np.int32)
 
 
 def coverage_per_column(rw: ReadWindow, cols, rid_subset=None):
@@ -72,10 +79,10 @@ def coverage_per_column(rw: ReadWindow, cols, rid_subset=None):
         ends = ends[rid_subset]
     lo = np.searchsorted(cols, starts, side="left")
     hi = np.searchsorted(cols, ends, side="left")
-    out = np.zeros(len(cols) + 1, dtype=np.int32)
-    np.add.at(out, lo, 1)
-    np.add.at(out, hi, -1)
-    return np.cumsum(out)[:-1]
+    n = len(cols)
+    out = np.bincount(lo, minlength=n + 1).astype(np.int64)
+    out -= np.bincount(hi, minlength=n + 1)
+    return np.cumsum(out)[:-1].astype(np.int32)
 
 
 def _anchor_events(rw: ReadWindow, kind):
@@ -136,8 +143,13 @@ def _compute_triggers(rw, scan_cols, *, win_size, small_win_size, mincov,
             base = on_scan & hap_mask[rids]
             big = base & (lens > 2) & (lens <= 50)
             small = base & (lens <= 10)
-            cnt_big = sliding_distinct_counts(rids[big], rank[big], n, win_size)
-            cnt_small = sliding_distinct_counts(rids[small], rank[small], n, small_win_size)
+            # decode-order ins/del events are (rid, anchor)-sorted and
+            # boolean masks preserve that — skip the per-call lexsort
+            cnt_big = sliding_distinct_counts(rids[big], rank[big], n,
+                                              win_size, presorted=True)
+            cnt_small = sliding_distinct_counts(rids[small], rank[small], n,
+                                                small_win_size,
+                                                presorted=True)
             denom = np.maximum(cov[hap_i], 1)
             freqs[(kind, hap_i, "big")] = np.where(cov[hap_i] > 0, cnt_big / denom, 0.0)
             freqs[(kind, hap_i, "small")] = np.where(cov[hap_i] > 0, cnt_small / denom, 0.0)
@@ -222,18 +234,17 @@ def _count_at(scan_cols, anchors):
     rank = np.searchsorted(scan_cols, anchors)
     ok = rank < len(scan_cols)
     ok[ok] = scan_cols[rank[ok]] == anchors[ok]
-    out = np.zeros(len(scan_cols), dtype=np.int32)
-    np.add.at(out, rank[ok], 1)
-    return out
+    return np.bincount(rank[ok],
+                       minlength=len(scan_cols)).astype(np.int32)
 
 
 def _span_counts(scan_cols, starts, ends):
     lo = np.searchsorted(scan_cols, starts, side="left")
     hi = np.searchsorted(scan_cols, ends, side="left")
-    out = np.zeros(len(scan_cols) + 1, dtype=np.int32)
-    np.add.at(out, lo, 1)
-    np.add.at(out, hi, -1)
-    return np.cumsum(out)[:-1]
+    n = len(scan_cols)
+    out = np.bincount(lo, minlength=n + 1).astype(np.int64)
+    out -= np.bincount(hi, minlength=n + 1)
+    return np.cumsum(out)[:-1].astype(np.int32)
 
 
 def _impute_split(groups, rw, mincov):
@@ -501,6 +512,146 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
             rw, scan_cols, triggers, win_size, mincov,
             sig_provider=None if haploid else cview.signature_groups)
 
+    return _tensorize_candidates(
+        rw, cview, variants, extra, fasta, contig, chrom_len, scan_lo,
+        window_after=window_after, win_size=win_size, mincov=mincov,
+        maxcov=maxcov, haploid=haploid,
+        use_device_alignment=use_device_alignment)
+
+
+def _member_indel_window(rw_g: ReadWindow, contig, m_lo, m_hi):
+    """Restrict a group-decoded phase-1 indel window (metadata + seqs +
+    ins/del events, no aligned events yet) to the reads overlapping
+    [m_lo, m_hi), remapping ids to the member-local position-ordered
+    space — the exact read set and order a standalone decode of that
+    window accepts. Returns (rw_member, mask)."""
+    mask = (rw_g.read_start < m_hi) & (rw_g.read_end > m_lo)
+    sel = np.flatnonzero(mask)
+    g2l = np.cumsum(mask) - 1
+    dm = mask[rw_g.del_rid] if len(rw_g.del_rid) else np.zeros(0, bool)
+    im = mask[rw_g.ins_rid] if len(rw_g.ins_rid) else np.zeros(0, bool)
+    z32 = np.zeros(0, np.int32)
+    return ReadWindow(
+        contig=contig, start=m_lo, end=m_hi,
+        qnames=[rw_g.qnames[i] for i in sel],
+        flags=rw_g.flags[sel], strand=rw_g.strand[sel],
+        read_start=rw_g.read_start[sel], read_end=rw_g.read_end[sel],
+        hp=rw_g.hp[sel].copy(), ps=rw_g.ps[sel].copy(),
+        ev_rid=z32, ev_pos=z32.copy(), ev_code=np.zeros(0, np.int8),
+        ev_qpos=z32.copy(),
+        del_rid=g2l[rw_g.del_rid[dm]].astype(np.int32),
+        del_start=rw_g.del_start[dm], del_len=rw_g.del_len[dm],
+        ins_rid=g2l[rw_g.ins_rid[im]].astype(np.int32),
+        ins_pos=rw_g.ins_pos[im], ins_len=rw_g.ins_len[im],
+        seqs=[rw_g.seqs[i] for i in sel] if rw_g.seqs else []), mask
+
+
+def _fill_member_events(rw_g: ReadWindow, rw_m: ReadWindow, mask, cols):
+    """Slice the group's emitted pseudo-events down to one member's
+    columns + reads (ids remapped). A read covering a member column
+    necessarily overlaps the member window, so this reproduces exactly
+    what a standalone member emit would produce, in the same
+    (rid, col) order."""
+    g2l = np.cumsum(mask) - 1
+    if cols and len(rw_g.ev_pos):
+        cols_arr = np.asarray(sorted(cols), np.int64)
+        idx = np.searchsorted(cols_arr, rw_g.ev_pos)
+        hit = idx < len(cols_arr)
+        hit[hit] = cols_arr[idx[hit]] == rw_g.ev_pos[hit]
+        hit &= mask[rw_g.ev_rid]
+        rw_m.ev_rid = g2l[rw_g.ev_rid[hit]].astype(np.int32)
+        rw_m.ev_pos = rw_g.ev_pos[hit]
+        rw_m.ev_code = rw_g.ev_code[hit]
+        rw_m.ev_qpos = rw_g.ev_qpos[hit]
+    rw_m.emitted_cols = frozenset(int(c) for c in cols)
+
+
+def get_indel_group_candidates(bam, fasta, members, *, seq_type="ont",
+                               mincov=4, maxcov=160, ins_t=0.4, del_t=0.6,
+                               win_size=40, small_win_size=4,
+                               impute_indel_phase=False, exclude=None,
+                               tags=None):
+    """Shared-decode indel feature generation for coordinate-adjacent
+    chunks (same contig). One deferred decode + ONE pseudo-event emit
+    serve the whole group; each member is then scanned over exactly its
+    own window with a member-local read-id space, so every batch is
+    element-identical to get_indel_candidates run chunk by chunk
+    (tests/test_indel_group.py). Falls back to per-chunk calls when the
+    two-phase native decode is unavailable (CRAM input, no library).
+
+    Returns a list of IndelBatch | HaploidIndelBatch aligned with
+    members (per-member 'ploidy' respected)."""
+    from .engine import indel_deferred_decode
+
+    contig = members[0]["chrom"]
+    spans = [(max(0, m["start"] - 1 - 10 - win_size), m["end"])
+             for m in members]
+    g_lo = min(s for s, _ in spans)
+    g_end = max(e for _, e in spans)
+    dd = indel_deferred_decode(bam, contig, g_lo, g_end)
+    if dd is None:
+        return [get_indel_candidates(
+            bam, fasta, m, seq_type=seq_type, mincov=mincov, maxcov=maxcov,
+            ins_t=ins_t, del_t=del_t, win_size=win_size,
+            small_win_size=small_win_size,
+            impute_indel_phase=impute_indel_phase, exclude=exclude,
+            ploidy=m.get("ploidy", "diploid"), tags=tags)
+            for m in members]
+    rw_g = dd.window
+    if tags:
+        for rid_, qname in enumerate(rw_g.qnames):
+            t = tags.get(qname)
+            if t is not None:
+                rw_g.hp[rid_] = t[0]
+                rw_g.ps[rid_] = t[1]
+    chrom_len = fasta.get_reference_length(contig)
+    window_after = 260 if seq_type == "pacbio" else 160
+
+    prepped = []
+    all_cols = set()
+    for m, (m_lo, m_end) in zip(members, spans):
+        start0 = m["start"] - 1
+        haploid = m.get("ploidy", "diploid") == "haploid"
+        rw_m, mask = _member_indel_window(rw_g, contig, m_lo, m_end)
+        scan_cols = np.arange(start0, m_end, dtype=np.int64)
+        if exclude is not None:
+            scan_cols = scan_cols[~exclude.mask(contig, scan_cols)]
+        if len(scan_cols):
+            triggers = _compute_triggers(
+                rw_m, scan_cols, win_size=win_size,
+                small_win_size=small_win_size, mincov=mincov, ins_t=ins_t,
+                del_t=del_t,
+                impute_indel_phase=impute_indel_phase and not haploid,
+                haploid=haploid)
+        else:
+            triggers = (np.zeros(0, bool), np.zeros(0, bool),
+                        np.zeros(0, bool))
+        cols = _event_columns_needed(scan_cols, triggers, win_size)
+        all_cols.update(cols)
+        prepped.append((m_lo, haploid, rw_m, mask, scan_cols, triggers,
+                        cols))
+
+    dd.finish_events(all_cols)  # ONE emit for the whole group
+
+    out = []
+    for m_lo, haploid, rw_m, mask, scan_cols, triggers, cols in prepped:
+        _fill_member_events(rw_g, rw_m, mask, cols)
+        cview = _ColumnView(rw_m)
+        variants, extra = _select_candidates(
+            rw_m, scan_cols, triggers, win_size, mincov,
+            sig_provider=None if haploid else cview.signature_groups)
+        out.append(_tensorize_candidates(
+            rw_m, cview, variants, extra, fasta, contig, chrom_len, m_lo,
+            window_after=window_after, win_size=win_size, mincov=mincov,
+            maxcov=maxcov, haploid=haploid, use_device_alignment=False))
+    return out
+
+
+def _tensorize_candidates(rw, cview, variants, extra, fasta, contig,
+                          chrom_len, scan_lo, *, window_after, win_size,
+                          mincov, maxcov, haploid, use_device_alignment):
+    """Pass 2: MSA + NW + tensor assembly for the selected candidates
+    (shared by the per-chunk and grouped feature paths)."""
     max_range = {0: max(10, win_size), 1: 10}
     hap1_set = set(np.flatnonzero(rw.hp == 1).tolist())
     hap2_set = set(np.flatnonzero(rw.hp == 2).tolist())

@@ -117,6 +117,32 @@ def indel_features_worker(task):
     return idx, batch
 
 
+def indel_features_group_worker(task):
+    """(idx, [(orig_idx, chunk), ...]) → (idx, [(orig_idx, batch), ...]).
+
+    Coordinate-adjacent indel chunks share one deferred decode + one
+    pseudo-event emit (pileup.indel_features.get_indel_group_candidates);
+    per-member output identical to indel_features_worker."""
+    idx, group = task
+    from ..pileup.indel_features import get_indel_group_candidates
+
+    cfg = _G["cfg"]
+    chunk0 = group[0][1]
+    bam = _bam_for(chunk0.get("sam_path") or _G["bam_path"])
+    tags = None
+    tags_path = chunk0.get("tags_path")
+    if tags_path and not chunk0.get("sam_path"):
+        tags = _tags_for(tags_path)
+    batches = get_indel_group_candidates(
+        bam, _G["fasta"], [c for _, c in group], seq_type=cfg["sequencing"],
+        mincov=cfg["mincov"], maxcov=cfg["maxcov"],
+        ins_t=cfg["ins_threshold"], del_t=cfg["del_threshold"],
+        win_size=cfg["win_size"], small_win_size=cfg["small_win_size"],
+        impute_indel_phase=cfg["impute_indel_phase"], exclude=_G["exclude"],
+        tags=tags)
+    return idx, [(oi, b) for (oi, _), b in zip(group, batches)]
+
+
 def phase_contig_worker(task):
     """(idx, job) → phase one contig inside a feature worker (numpy-only;
     the per-contig phase→indel DAG fans these out so a contig's indel

@@ -886,6 +886,8 @@ def _group_adjacent(ordered_chunks, todo, cfg):
     decode setup (VERDICT r3 next-1a). Groups never span contigs, gaps
     (e.g. chunks completed by --resume), or ploidy changes — member
     scans are byte-identical to per-chunk scans either way."""
+    from .runtime.chunker import group_adjacent_chunks
+
     span_cap = int(getattr(cfg, "snp_group_span", 0) or 0)
     if span_cap <= -1:
         return None
@@ -893,28 +895,7 @@ def _group_adjacent(ordered_chunks, todo, cfg):
         total = sum(c["end"] - c["start"] + 1 for c in ordered_chunks)
         span_cap = max(500_000,
                        min(8_000_000, total // max(1, 4 * cfg.cpu)))
-    groups = []
-    cur = []
-    cur_span = 0
-    for i in todo:
-        c = ordered_chunks[i]
-        span = c["end"] - c["start"] + 1
-        if cur:
-            prev = cur[-1][1]
-            # chunker.get_chunks emits start == previous end (1-based
-            # overlap-by-one parity quirk); plain disjoint adjacency
-            # (start == end + 1) groups just as safely
-            adjacent = (c["chrom"] == prev["chrom"]
-                        and prev["end"] <= c["start"] <= prev["end"] + 1
-                        and c.get("ploidy") == prev.get("ploidy"))
-            if not adjacent or cur_span + span > span_cap:
-                groups.append(cur)
-                cur, cur_span = [], 0
-        cur.append((i, c))
-        cur_span += span
-    if cur:
-        groups.append(cur)
-    return groups
+    return group_adjacent_chunks(ordered_chunks, todo, span_cap)
 
 
 def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
