@@ -1,15 +1,21 @@
 """Benchmark: SNP candidate-site throughput through the device path.
 
-Measures the full on-device SNP inference path (pileup tensor assembly
-from packed int8 codes + coverage normalization + diploid SNP CNN) in
-candidate sites/second on the default JAX device, and compares against
-the reference's CPU inference stack (the same CNN run via TensorFlow on
-CPU at the reference's batch size of 1000, snpCaller.py:80 — generous to
-the baseline, which in reality also pays per-candidate Python feature
-assembly).
+Measures the production SNP streaming pattern on the default JAX device:
+per chunk, the interval+exception payload ships once and the obs/code/
+read-list tables are built on-device (snp_caller._build_chunk_state);
+candidate batches then stream through the gather+CNN kernel
+(_snp_forward_gather) with only (cand_site, cand_pos, norm) vectors on
+the wire. Compares against the reference's CPU inference stack (the
+same CNN via TensorFlow on CPU at the reference's batch size of 1000,
+snpCaller.py:80 — generous to the baseline, which in reality also pays
+per-candidate Python feature assembly).
+
+Also reports DELIVERED end-to-end throughput (VERDICT r3 items 6-8):
+a small fixed synthetic fixture runs through the real `--mode all` CLI
+and the per-stage rates land in the same JSON line.
 
 Prints ONE json line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
@@ -22,11 +28,15 @@ import numpy as np
 
 def measure_tpu(batch=8192, iters=16, windows=3):
     """Steady-state throughput of the device path including host→device
-    streaming: transfers are issued asynchronously ahead of compute
-    (double buffering), as the production runtime does. Measured over
-    several windows, reporting the best: the axon tunnel suffers
-    multi-minute stalls unrelated to the workload (RESULTS.md), and the
-    best window is the honest steady-state estimate."""
+    streaming: each iteration ships one chunk's interval+exception
+    payload and runs the fused reconstruct+gather+CNN launch
+    (launch-count-minimal — on the tunnel the per-launch fixed latency
+    dominates a split build/gather pipeline). Transfers are issued
+    asynchronously ahead of compute (double buffering), as the
+    production runtime does. Measured over several windows, reporting
+    the best: the axon tunnel suffers multi-minute stalls unrelated to
+    the workload (RESULTS.md), and the best window is the honest
+    steady-state estimate."""
     import jax
 
     from __graft_entry__ import _example_batch, entry
@@ -48,6 +58,67 @@ def measure_tpu(batch=8192, iters=16, windows=3):
         dt = time.perf_counter() - t0
         window_rates.append(batch * iters / dt)
     return window_rates
+
+
+def measure_e2e(mb=10.0, depth=45):
+    """Delivered throughput: the real CLI (--mode all, 2 feature
+    workers) on a small fixed-seed synthetic fixture; per-stage rates
+    from metrics.json. Cached fixture + persistent compile cache keep
+    repeat runs cheap; watchdog off."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    fix = os.path.join(tempfile.gettempdir(),
+                       "bench_fixture_%dkb_d%d" % (int(mb * 1000), depth))
+    bam = os.path.join(fix, "reads.bam")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    try:
+        if not os.path.exists(bam):
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "tools", "simulate.py"),
+                 "--output", fix, "--length", str(int(mb * 1e6)),
+                 "--depth", str(depth), "--error_rate", "0.04",
+                 "--indel_error_rate", "0.01", "--seed", "11"],
+                check=True, env=env, capture_output=True, timeout=600)
+        out_dir = os.path.join(fix, "bench_out")
+        cmd = [sys.executable, "-m", "nanocaller_tpu.cli", "--bam", bam,
+               "--ref", os.path.join(fix, "ref.fa"), "--mode", "all",
+               "--output", out_dir, "--prefix", "b", "--sample", "S",
+               "--cpu", "2", "--suppress_progress_bar"]
+        # one retry in a fresh process: axon freeze waves can stall a
+        # single run arbitrarily while the next one sails (RESULTS.md)
+        wall = None
+        for attempt in (1, 2):
+            t0 = time.perf_counter()
+            r = subprocess.run(cmd, env=env, capture_output=True,
+                               timeout=900)
+            if r.returncode == 0:
+                wall = time.perf_counter() - t0
+                break
+            print("e2e attempt %d failed rc=%d: %s" % (
+                attempt, r.returncode,
+                r.stderr.decode(errors="replace")[-500:]), file=sys.stderr)
+        if wall is None:
+            raise RuntimeError("e2e CLI failed twice")
+        with open(os.path.join(out_dir, "metrics.json")) as fh:
+            m = json.load(fh)
+        snp_t = m["timers_s"].get("snp_calling", 0.0)
+        dag_t = m["timers_s"].get("phase_indel_dag",
+                                  m["timers_s"].get("indel_calling", 0.0))
+        counts = m.get("counts", {})
+        return {
+            "e2e_wall_s": round(wall, 2),
+            "e2e_snp_sites_per_s": round(
+                counts.get("snp_candidates", 0) / snp_t, 1) if snp_t else None,
+            "e2e_indel_sites_per_s": round(
+                counts.get("indel_candidates", 0) / dag_t, 1) if dag_t else None,
+        }
+    except Exception as e:  # noqa: BLE001 — bench must still print its line
+        print("e2e measurement failed: %r" % e, file=sys.stderr)
+        return {"e2e_wall_s": None, "e2e_snp_sites_per_s": None,
+                "e2e_indel_sites_per_s": None}
 
 
 def measure_cpu_reference(batch=1000, iters=5):
@@ -109,6 +180,7 @@ def main():
     window_rates = measure_tpu()
     value = max(window_rates)  # headline: best window (tunnel stalls, see
     # measure_tpu docstring); all windows kept for auditability (advisor r1)
+    e2e = measure_e2e()
     base = measure_cpu_reference()
     vs = (value / base) if base else None
     print(json.dumps({
@@ -118,6 +190,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "windows_sites_per_s": [round(r, 1) for r in window_rates],
         "baseline_sites_per_s": round(base, 1) if base else None,
+        **e2e,
     }))
 
 

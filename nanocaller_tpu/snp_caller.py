@@ -176,26 +176,78 @@ _bucket_reads = _CompileAwareBucket(_pow2_pad, 256, 4)  # table cols (HBM)
 _bucket_nbr = _CompileAwareBucket(_pow2_pad, 256, 4)  # nbr arrays (small)
 
 
-def _build_site_table_impl(ev_packed, indptr, e_real, s_pad, n_pad):
-    """Scatter CSR (site × read) observations into a dense int8 code
-    table of shape (s_pad + 1, n_pad). ev_packed fuses (read_id << 3) |
-    base_code per observation (uint16/uint32). Row s_pad is the trash
-    row for padded/invalid lookups; default cell value 4 = read absent
-    at site (the reference's 'other/missing' code,
-    generate_SNP_pileups.py:104)."""
-    E = ev_packed.shape[0]
-    ev = ev_packed.astype(jnp.int32)
+def _build_obs_tables_impl(read_lo, read_hi, site_ref, exc_packed,
+                           exc_indptr, e_real, hole_site, hole_rid,
+                           s_pad, n_pad):
+    """Reconstruct the dense (site × read) observation tables from the
+    interval + exception wire format (pileup.snp_features
+    SnpChunkFeatures docstring):
+
+    - obs_mask[s, r]: read r observes site s ⇔ read_lo[r] ≤ s ≤
+      read_hi[r] minus the rare (hole_site, hole_rid) pairs;
+    - table[s, r]: the observed code — the site's reference code by
+      default, overwritten by the exception CSR scatter (non-ref codes:
+      errors, alt alleles, deletion spans → 4).
+
+    Row s_pad is the trash row for padded/invalid lookups (mask False,
+    code 4 = the reference's 'other/missing',
+    generate_SNP_pileups.py:104). Padded reads carry lo=1 > hi=0 (empty
+    span); padded holes point at the trash row."""
+    si = jnp.arange(s_pad + 1, dtype=jnp.int32)[:, None]
+    obs_mask = (si >= read_lo[None, :]) & (si <= read_hi[None, :]) \
+        & (si < s_pad)
+    if hole_site.shape[0]:
+        obs_mask = obs_mask.at[
+            jnp.clip(hole_site, 0, s_pad),
+            jnp.clip(hole_rid, 0, n_pad - 1)].set(False)
+    ref_ext = jnp.concatenate(
+        [site_ref, jnp.full((1,), 4, jnp.int8)])[:, None]
+    table = jnp.where(obs_mask, ref_ext, jnp.int8(4))
+    E = exc_packed.shape[0]
+    ev = exc_packed.astype(jnp.int32)
     e = jnp.arange(E, dtype=jnp.int32)
-    site = jnp.searchsorted(indptr, e, side="right").astype(jnp.int32) - 1
+    site = jnp.searchsorted(exc_indptr, e, side="right").astype(jnp.int32) - 1
     site = jnp.where(e < e_real, jnp.clip(site, 0, s_pad - 1), s_pad)
     rid = jnp.clip(ev >> 3, 0, n_pad - 1)
     code = (ev & 7).astype(jnp.int8)
-    table = jnp.full((s_pad + 1, n_pad), 4, dtype=jnp.int8)
-    return table.at[site, rid].set(code)
+    table = table.at[site, rid].set(code)
+    return obs_mask, table
 
 
-_build_site_table = partial(jax.jit, static_argnames=("s_pad", "n_pad"))(
-    _build_site_table_impl)
+def _build_chunk_state_impl(read_lo, read_hi, site_ref, exc_packed,
+                            exc_indptr, e_real, hole_site, hole_rid,
+                            s_pad, n_pad, R):
+    """Once-per-chunk device build: obs/code tables + the per-site read
+    list table (first R covering read ids, ascending + depth). Candidate
+    batches then reduce to cheap row gathers."""
+    obs_mask, table = _build_obs_tables_impl(
+        read_lo, read_hi, site_ref, exc_packed, exc_indptr, e_real,
+        hole_site, hole_rid, s_pad, n_pad)
+    rid_table, depth = _rid_matrix(obs_mask, R)
+    return table, rid_table, depth
+
+
+_build_chunk_state = partial(
+    jax.jit, static_argnames=("s_pad", "n_pad", "R"))(
+    _build_chunk_state_impl)
+
+
+def _rid_matrix(obs_rows, R):
+    """First R observing read ids (ascending) per row of an obs-mask
+    block + per-row observation depth. Equals the CSR row prefix the
+    explicit-observation format shipped: covering reads in ascending id
+    order. Run ONCE per chunk over all site rows (_build_obs_tables);
+    per-batch kernels just gather the rows they need."""
+    rank = jnp.cumsum(obs_rows.astype(jnp.int32), axis=1)
+    depth = rank[:, -1] if obs_rows.shape[1] else jnp.zeros(
+        obs_rows.shape[0], jnp.int32)
+    slot = jnp.where(obs_rows & (rank <= R), rank - 1, R)
+    B, N = obs_rows.shape
+    rid_mat = jnp.zeros((B, R + 1), jnp.int32)
+    rid_mat = rid_mat.at[jnp.arange(B)[:, None], slot].set(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N)),
+        mode="drop")
+    return rid_mat[:, :R], depth
 
 
 def _device_select_neighbors(cand_site, cand_pos, nbr_pos, nbr_union,
@@ -264,64 +316,73 @@ def _gather_forward_impl(params, table, site_ref, cand_site, site_of_col,
                               center_ref, norm, haploid)
 
 
-@partial(jax.jit, static_argnames=("R", "seq_type", "haploid"))
-def _snp_forward_gather(params, table, ev_packed, indptr, site_ref, nbr_pos,
-                        nbr_union, cand_site, cand_pos, norm, R, seq_type,
-                        haploid=False):
-    """Forward one candidate batch from the deduplicated chunk
-    representation (normal-depth candidates: reads are the CSR row of
-    the candidate site, first min(depth, R)); neighbor columns are
-    selected on-device from the chunk's neighbor-site arrays."""
+def _gather_from_tables(params, table, rid_table, depth_table, site_ref,
+                        nbr_pos, nbr_union, cand_site, cand_pos, norm, R,
+                        seq_type, haploid):
+    """Candidate-batch forward from the prebuilt chunk state: on-device
+    neighbor selection, read-list rows + code gather + CNN."""
     cand_site = cand_site.astype(jnp.int32)
     site_of_col = _device_select_neighbors(cand_site, cand_pos, nbr_pos,
                                            nbr_union, seq_type)
-    start = indptr[cand_site]
-    depth = indptr[cand_site + 1] - start
+    cs = jnp.clip(cand_site, 0, rid_table.shape[0] - 1)
+    rid = rid_table[cs]
+    depth = depth_table[cs]
     r = jnp.arange(R, dtype=jnp.int32)
     read_mask = r[None, :] < jnp.minimum(depth, R)[:, None]
-    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_packed.shape[0] - 1)
-    rid = ev_packed[eidx].astype(jnp.int32) >> 3
     return _gather_forward_impl(params, table, site_ref, cand_site,
                                 site_of_col, rid, read_mask, norm, haploid)
 
 
 @partial(jax.jit, static_argnames=("R", "seq_type", "haploid"))
-def _snp_forward_gather_offsets(params, table, ev_packed, site_ref, nbr_pos,
-                                nbr_union, cand_site, cand_pos, offsets,
-                                n_valid, norm, R, seq_type, haploid=False):
-    """Gather-kernel variant for deep (depth > maxcov) candidates: the
-    sampled read set is an explicit offset matrix into the CSR data
-    (host picks the deterministic position-keyed sample)."""
+def _snp_forward_gather(params, table, rid_table, depth_table, site_ref,
+                        nbr_pos, nbr_union, cand_site, cand_pos, norm, R,
+                        seq_type, haploid=False):
+    """Forward one candidate batch against prebuilt chunk tables (split
+    path: the build amortizes over a chunk's batches)."""
+    return _gather_from_tables(params, table, rid_table, depth_table,
+                               site_ref, nbr_pos, nbr_union, cand_site,
+                               cand_pos, norm, R, seq_type, haploid)
+
+
+@partial(jax.jit, static_argnames=("R", "seq_type", "haploid"))
+def _snp_forward_deep(params, table, site_ref, nbr_pos, nbr_union,
+                      cand_site, cand_pos, deep_rids, n_valid, norm, R,
+                      seq_type, haploid=False):
+    """Deep (depth > maxcov) candidates: the sampled read set is an
+    explicit host-sampled read-id matrix (deterministic position-keyed
+    sample)."""
     cand_site = cand_site.astype(jnp.int32)
     site_of_col = _device_select_neighbors(cand_site, cand_pos, nbr_pos,
                                            nbr_union, seq_type)
     r = jnp.arange(R, dtype=jnp.int32)
     read_mask = r[None, :] < n_valid[:, None]
-    eidx = jnp.clip(offsets, 0, ev_packed.shape[0] - 1)
-    rid = ev_packed[eidx].astype(jnp.int32) >> 3
+    rid = jnp.clip(deep_rids, 0, table.shape[1] - 1)
     return _gather_forward_impl(params, table, site_ref, cand_site,
                                 site_of_col, rid, read_mask, norm, haploid)
 
 
 @partial(jax.jit,
          static_argnames=("s_pad", "n_pad", "R", "seq_type", "haploid"))
-def _snp_forward_chunk_fused(params, ev_packed, indptr, site_ref, nbr_pos,
-                             nbr_union, e_real, cand_site, cand_pos, norm,
+def _snp_forward_chunk_fused(params, read_lo, read_hi, site_ref, exc_packed,
+                             exc_indptr, e_real, hole_site, hole_rid,
+                             nbr_pos, nbr_union, cand_site, cand_pos, norm,
                              s_pad, n_pad, R, seq_type="ont", haploid=False):
-    """Single-launch table build + neighbor selection + forward — the
-    flagship forward step (used by __graft_entry__/bench; production
-    splits table build out so it amortizes over a chunk's batches)."""
-    table = _build_site_table_impl(ev_packed, indptr, e_real, s_pad, n_pad)
-    cand_site32 = cand_site.astype(jnp.int32)
-    site_of_col = _device_select_neighbors(cand_site32, cand_pos, nbr_pos,
+    """Single-launch table reconstruction + neighbor selection + forward
+    — the flagship forward step (used by __graft_entry__/bench;
+    production splits the build out when it amortizes over a chunk's
+    batches). Read lists are built only for the batch's candidate rows
+    (the split path materializes them for every site instead)."""
+    obs_mask, table = _build_obs_tables_impl(
+        read_lo, read_hi, site_ref, exc_packed, exc_indptr, e_real,
+        hole_site, hole_rid, s_pad, n_pad)
+    cand_site = cand_site.astype(jnp.int32)
+    site_of_col = _device_select_neighbors(cand_site, cand_pos, nbr_pos,
                                            nbr_union, seq_type)
-    start = indptr[cand_site32]
-    depth = indptr[cand_site32 + 1] - start
+    rows = obs_mask[jnp.clip(cand_site, 0, s_pad)]
+    rid, depth = _rid_matrix(rows, R)
     r = jnp.arange(R, dtype=jnp.int32)
     read_mask = r[None, :] < jnp.minimum(depth, R)[:, None]
-    eidx = jnp.clip(start[:, None] + r[None, :], 0, ev_packed.shape[0] - 1)
-    rid = ev_packed[eidx].astype(jnp.int32) >> 3
-    return _gather_forward_impl(params, table, site_ref, cand_site32,
+    return _gather_forward_impl(params, table, site_ref, cand_site,
                                 site_of_col, rid, read_mask, norm, haploid)
 
 
@@ -357,7 +418,7 @@ _RECORDED_SHAPES = set()
 
 # bump when kernel signatures change shape semantics (stale entries
 # would full-compile instead of cache-hitting during preload)
-_SHAPE_MEMORY_VERSION = 1
+_SHAPE_MEMORY_VERSION = 2  # v2: interval+exception wire format
 
 
 def _shape_memory_path():
@@ -479,10 +540,15 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
                 return
             t0 = time.monotonic()
             try:
-                ev = put_rep(np.zeros(
+                exc = put_rep(np.zeros(
                     e["e_pad"], np.uint16 if e["ev16"] else np.uint32))
-                indptr = put_rep(np.zeros(e["s_pad"] + 1, np.int32))
+                exc_indptr = put_rep(np.zeros(e["s_pad"] + 1, np.int32))
                 site_ref = put_rep(np.full(e["s_pad"], 4, np.int8))
+                read_lo = put_rep(np.ones(e["n_pad"], np.int32))
+                read_hi = put_rep(np.zeros(e["n_pad"], np.int32))
+                h_pad = int(e.get("h_pad", 0))
+                hole_site = put_rep(np.full(h_pad, e["s_pad"], np.int32))
+                hole_rid = put_rep(np.zeros(h_pad, np.int32))
                 nbr_pos = put_rep(np.full(e["m_pad"], np.int32(1 << 30),
                                           np.int32))
                 nbr_union = put_rep(np.zeros(e["m_pad"], np.int32))
@@ -494,8 +560,9 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
                      np.ones(bs, np.float32)), mesh)
                 params = state.hap_params if e["haploid"] else state.params
                 out = _snp_forward_chunk_fused(
-                    params, ev, indptr, site_ref, nbr_pos, nbr_union,
-                    e_real, *batch,
+                    params, read_lo, read_hi, site_ref, exc, exc_indptr,
+                    e_real, hole_site, hole_rid, nbr_pos, nbr_union,
+                    *batch,
                     s_pad=e["s_pad"], n_pad=e["n_pad"], R=e["R"],
                     seq_type=e["seq_type"], haploid=e["haploid"])
                 jax.block_until_ready(out)
@@ -625,9 +692,10 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
         norm = np.full(B, train_cov / cov if cov > 0 else 1.0, np.float32)
 
     # pad + ship the chunk payload once (power-of-two buckets bound
-    # recompiles; pad events route to the table's trash row)
-    E = len(feats.ev_packed)
-    S = len(feats.indptr) - 1
+    # recompiles; pad exceptions route to the table's trash row, pad
+    # reads carry an empty observed span)
+    E = len(feats.exc_packed)
+    S = len(feats.exc_indptr) - 1
     e_pad = _bucket_ev(E)
     s_pad = _bucket_sites(S)
     n_pad = _bucket_reads(feats.n_reads)
@@ -637,12 +705,22 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
         # dims, whose product the builder capped at 2^27)
         s_pad = _pow2_pad(max(S, 1), 256)
         n_pad = _pow2_pad(max(feats.n_reads, 1), 256)
-    ev_packed = np.full(e_pad, 4, feats.ev_packed.dtype)  # pad: rid 0, code 4
-    ev_packed[:E] = feats.ev_packed
-    indptr = np.full(s_pad + 1, E, np.int32)
-    indptr[:S + 1] = feats.indptr
+    exc_packed = np.full(e_pad, 4, feats.exc_packed.dtype)
+    exc_packed[:E] = feats.exc_packed
+    exc_indptr = np.full(s_pad + 1, E, np.int32)
+    exc_indptr[:S + 1] = feats.exc_indptr
     site_ref = np.full(s_pad, 4, np.int8)
     site_ref[:S] = feats.site_ref
+    read_lo = np.ones(n_pad, np.int32)  # pad reads: empty span
+    read_hi = np.zeros(n_pad, np.int32)
+    read_lo[:feats.n_reads] = feats.read_lo
+    read_hi[:feats.n_reads] = feats.read_hi
+    H = len(feats.hole_site)
+    h_pad = 0 if H == 0 else _pow2_pad(H, 16)
+    hole_site = np.full(h_pad, s_pad, np.int32)  # pad holes: trash row
+    hole_rid = np.zeros(h_pad, np.int32)
+    hole_site[:H] = feats.hole_site
+    hole_rid[:H] = feats.hole_rid
     # neighbor-site arrays for on-device selection; position pads sit far
     # outside every band so they can never be selected
     M = len(feats.nbr_pos)
@@ -654,21 +732,23 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     mesh = state.mesh
     put = (lambda a: jax.device_put(a, replicated(mesh))) if mesh is not None \
         else jax.device_put
-    ev_packed_d = put(ev_packed)
-    indptr_d = put(indptr)
+    exc_packed_d = put(exc_packed)
+    exc_indptr_d = put(exc_indptr)
     site_ref_d = put(site_ref)
+    read_lo_d = put(read_lo)
+    read_hi_d = put(read_hi)
+    hole_site_d = put(hole_site)
+    hole_rid_d = put(hole_rid)
     nbr_pos_d = put(nbr_pos)
     nbr_union_d = put(nbr_union)
     e_real = put(np.int32(E))
-    # the split table+gather pair only pays off when deep candidates
-    # need the offsets kernel or when the per-batch table rebuild would
-    # be expensive (the fused kernel rebuilds the scatter every batch —
-    # trivial for typical ≤8 MB tables, not for the ≥64 MB tail);
-    # bitwise-identical output either way (tests/test_snp_dedup.py)
+    # the split build+gather pair only pays off when deep candidates
+    # need the explicit-rid kernel or when the per-batch table rebuild
+    # would be expensive (the fused kernel rebuilds the tables every
+    # batch — trivial for typical ≤8 MB tables, not for the ≥64 MB
+    # tail); bitwise-identical output either way (tests/test_snp_dedup.py)
     use_fused = len(feats.deep_idx) == 0 \
         and (s_pad + 1) * n_pad <= (1 << 26)
-    table = None if use_fused else _build_site_table(
-        ev_packed_d, indptr_d, e_real, s_pad=s_pad, n_pad=n_pad)
 
     out = np.zeros((B, 4), np.float32)
     deep_mask = np.zeros(B, bool)
@@ -687,13 +767,20 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     # width must match for bitwise-identical probabilities
     R_b = _pick_r_bucket(int(feats.sampled_depth.max()) if B else 1,
                          feats.maxcov)
+    table = rid_table = depth_table = None
+    if not use_fused:
+        table, rid_table, depth_table = _build_chunk_state(
+            read_lo_d, read_hi_d, site_ref_d, exc_packed_d, exc_indptr_d,
+            e_real, hole_site_d, hole_rid_d, s_pad=s_pad, n_pad=n_pad,
+            R=int(R_b))
     if len(normal_idx):
         bs = dp_scale(cfg.batch_size, mesh)
         if use_fused:
             sig = {"e_pad": e_pad, "s_pad": s_pad, "n_pad": n_pad,
-                   "m_pad": m_pad, "R": int(R_b), "bs": int(bs),
+                   "m_pad": m_pad, "h_pad": h_pad, "R": int(R_b),
+                   "bs": int(bs),
                    "seq_type": feats.seq_type, "haploid": bool(haploid),
-                   "ev16": feats.ev_packed.dtype == np.uint16}
+                   "ev16": feats.exc_packed.dtype == np.uint16}
             key = tuple(sorted(sig.items()))
             if key not in _RECORDED_SHAPES:
                 _RECORDED_SHAPES.add(key)
@@ -714,13 +801,14 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
                  padded(norm, sel, pad, 1.0)), mesh)
             if use_fused:
                 probs = _snp_forward_chunk_fused(
-                    params, ev_packed_d, indptr_d, site_ref_d,
-                    nbr_pos_d, nbr_union_d, e_real, *args,
+                    params, read_lo_d, read_hi_d, site_ref_d,
+                    exc_packed_d, exc_indptr_d, e_real, hole_site_d,
+                    hole_rid_d, nbr_pos_d, nbr_union_d, *args,
                     s_pad=s_pad, n_pad=n_pad, R=R_b,
                     seq_type=feats.seq_type, haploid=haploid)
             else:
                 probs = _snp_forward_gather(
-                    params, table, ev_packed_d, indptr_d, site_ref_d,
+                    params, table, rid_table, depth_table, site_ref_d,
                     nbr_pos_d, nbr_union_d, *args,
                     R=R_b, seq_type=feats.seq_type, haploid=haploid)
             out[sel] = np.asarray(probs)[: len(sel)]
@@ -733,10 +821,10 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
         Bd = len(feats.deep_idx)
         bs = dp_scale(cfg.batch_size, mesh)
         n_valid_all = np.full(Bd, feats.maxcov, np.int32)
-        offs_all = feats.deep_offsets
-        if R_b > offs_all.shape[1]:
-            offs_all = np.pad(offs_all,
-                              [(0, 0), (0, R_b - offs_all.shape[1])])
+        rids_all = feats.deep_rids
+        if R_b > rids_all.shape[1]:
+            rids_all = np.pad(rids_all,
+                              [(0, 0), (0, R_b - rids_all.shape[1])])
         for lo in range(0, Bd, bs):
             from .runtime.watchdog import beat
 
@@ -747,11 +835,11 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
             args = shard_batch(
                 (padded(feats.cand_site, sel, pad, 0),
                  padded(feats.cand_pos32, sel, pad, -(1 << 30)),
-                 padded(offs_all, dsel, pad, 0),
+                 padded(rids_all, dsel, pad, 0),
                  padded(n_valid_all, dsel, pad, 0),
                  padded(norm, sel, pad, 1.0)), mesh)
-            probs = _snp_forward_gather_offsets(
-                params, table, ev_packed_d, site_ref_d,
+            probs = _snp_forward_deep(
+                params, table, site_ref_d,
                 nbr_pos_d, nbr_union_d, *args,
                 R=R_b, seq_type=feats.seq_type, haploid=haploid)
             out[sel] = np.asarray(probs)[: len(dsel)]

@@ -72,11 +72,15 @@ class TestDeterministicSampling:
         assert len(feats.deep_idx) >= 5
         rel_means = []
         pick_sets = []
+        assert len(feats.hole_site) == 0  # no N skip-ops in the fixture
         for k, i in enumerate(feats.deep_idx):
-            site = feats.cand_site[i]
-            lo = feats.indptr[site]
-            depth = feats.indptr[site + 1] - lo
-            picks = feats.deep_offsets[k] - lo
+            site = int(feats.cand_site[i])
+            # CSR row = covering reads ascending (interval encoding)
+            cov_r = np.flatnonzero((feats.read_lo <= site)
+                                   & (feats.read_hi >= site))
+            depth = len(cov_r)
+            picks = np.searchsorted(cov_r, feats.deep_rids[k])
+            np.testing.assert_array_equal(cov_r[picks], feats.deep_rids[k])
             assert picks.min() >= 0 and picks.max() < depth
             assert len(np.unique(picks)) == len(picks)  # no replacement
             rel_means.append(picks.mean() / (depth - 1))

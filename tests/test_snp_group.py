@@ -37,10 +37,11 @@ MEMBERS = [
     {"chrom": "chr_t", "start": 40000, "end": 60000, "ploidy": "diploid"},
 ]
 
-_FEAT_FIELDS = ("ev_packed", "indptr", "site_ref", "cand_site", "cand_pos32",
-                "nbr_pos", "nbr_union", "deep_idx", "deep_offsets", "pos",
-                "center_ref", "dp", "freq", "fwd_dp", "rev_dp",
-                "sampled_depth", "nbr_counts")
+_FEAT_FIELDS = ("read_lo", "read_hi", "exc_packed", "exc_indptr",
+                "hole_site", "hole_rid", "site_ref", "cand_site",
+                "cand_pos32", "nbr_pos", "nbr_union", "deep_idx",
+                "deep_rids", "pos", "center_ref", "dp", "freq", "fwd_dp",
+                "rev_dp", "sampled_depth", "nbr_counts")
 
 _DENSE_FIELDS = ("pos", "codes", "read_mask", "col_ref", "col_valid",
                  "center_ref", "dp", "freq", "fwd_dp", "rev_dp",
