@@ -55,7 +55,13 @@ def supervise(cmd, heartbeat_path, timeout, max_retries=3, poll=2.0,
     cmd: argv list for the first attempt. On stall (heartbeat older
     than `timeout` seconds) the child process group is killed and the
     command relaunched with `resume_flag` appended (if not present).
-    A non-stalled non-zero exit is returned as-is (real error).
+    A child killed by an EXTERNAL signal (negative returncode: OOM
+    killer, operator kill) is retried the same way — in a multi-host
+    job this lets the killed host relaunch while the surviving hosts'
+    watchdogs cycle their stalled children, so the processes can
+    rendezvous on a fresh coordination service and finish from their
+    manifests (tests/test_distributed.py::test_watchdog_kill_recovery).
+    A non-stalled non-zero *exit* is returned as-is (real error).
     """
     env = dict(os.environ)
     env[HEARTBEAT_ENV] = heartbeat_path
@@ -89,7 +95,11 @@ def supervise(cmd, heartbeat_path, timeout, max_retries=3, poll=2.0,
                     child.wait()
                     break
         if not stalled:
-            return rc
+            if rc >= 0:
+                return rc
+            log("watchdog: child killed by signal %d — resuming in a "
+                "fresh process (attempt %d/%d)"
+                % (-rc, attempt + 1, max_retries + 1))
         if resume_flag not in attempt_cmd:
             attempt_cmd = attempt_cmd + [resume_flag]
     log("watchdog: giving up after %d attempts" % (1 + max_retries))
