@@ -100,6 +100,72 @@ def select_reads(rids, sidx, n_reads, max_cov=15):
     return taken[rids]
 
 
+def select_reads_connectivity(rids, sidx, n_reads, max_cov=15):
+    """whatshap-style CONNECTIVITY-FIRST read selection.
+
+    whatshap's read selection (readselection.py; run by the reference at
+    /root/reference/nanocaller_src/indelCaller.py:238 via
+    `whatshap phase`) prioritizes reads that connect not-yet-linked
+    variant pairs — coverage reduction must preserve the block
+    structure, not just depth. This selector reproduces that criterion
+    with the evidence available here (NanoCaller's pipeline hands
+    whatshap a BAM whose base/mapping qualities break ties; this repo's
+    allele matrix deliberately carries no per-observation qualities, so
+    ties fall back to observation count → span → read id, the same
+    order as the default greedy selector):
+
+      repeat until no read fits under the cap:
+        score(read) = number of ADJACENT site pairs in its span whose
+        link count (selected reads covering both) is still 0, then
+        (#obs, span, -rid); pick the best-scoring read that keeps every
+        column of its span under max_cov (lazy rescoring heap).
+
+    Returns a bool mask over the observations, like select_reads.
+    Differential vs the default selector: tools/phase_divergence
+    --selector connectivity (RESULTS.md round 4).
+    """
+    import heapq
+
+    K = len(rids)
+    if K == 0:
+        return np.zeros(0, bool)
+    rids = np.asarray(rids)
+    sidx = np.asarray(sidx)
+    first, last, cnt = _read_spans(rids, sidx, n_reads)
+    multi = np.flatnonzero(cnt >= 2)
+    if not len(multi):
+        return np.zeros(K, bool)
+    S = int(sidx.max()) + 1
+    active = np.zeros(S, np.int32)
+    # link[j] = selected reads spanning the (j, j+1) adjacency
+    link = np.zeros(max(S - 1, 1), np.int32)
+    taken = np.zeros(n_reads, bool)
+
+    def score(r):
+        f, l = int(first[r]), int(last[r])
+        if l <= f:
+            return 0
+        return int((link[f:l] == 0).sum())
+
+    span = last - first
+    heap = [(-score(r), -int(cnt[r]), -int(span[r]), int(r))
+            for r in multi]
+    heapq.heapify(heap)
+    while heap:
+        neg_sc, neg_cnt, neg_span, r = heapq.heappop(heap)
+        cur = score(r)
+        if -neg_sc != cur:
+            heapq.heappush(heap, (-cur, neg_cnt, neg_span, r))
+            continue
+        f, l = int(first[r]), int(last[r]) + 1
+        if active[f:l].max() < max_cov:
+            active[f:l] += 1
+            if l - 1 > f:
+                link[f:l - 1] += 1
+            taken[r] = True
+    return taken[rids]
+
+
 def components(rids, sidx, n_sites):
     """Connected components of sites linked by multi-observation reads
     (same convention as mec.phase_obs: adjacent observation pairs within

@@ -91,6 +91,40 @@ class TestSelectReads:
             np.testing.assert_array_equal(native, python)
 
 
+class TestConnectivitySelector:
+    """whatshap-style connectivity-first selection
+    (select_reads_connectivity, VERDICT r3 item 8)."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_caps_and_never_more_fragmentation(self, seed):
+        from nanocaller_tpu.phase.wmec import (components,
+                                               select_reads_connectivity)
+
+        rng = np.random.default_rng(seed)
+        n_sites = 60
+        rids, sidx, al, n_reads, _ = gen_block(rng, n_sites, 40, 0.08,
+                                               8, 20)
+        for keep_fn, name in ((select_reads, "default"),
+                              (select_reads_connectivity, "conn")):
+            keep = keep_fn(rids, sidx, n_reads, max_cov=10)
+            sel_r = np.unique(rids[keep])
+            spans = {int(r): (sidx[rids == r].min(), sidx[rids == r].max())
+                     for r in sel_r}
+            for j in range(n_sites):
+                active = sum(1 for f, l in spans.values() if f <= j <= l)
+                assert active <= 10, (name, j)
+        k_def = select_reads(rids, sidx, n_reads, max_cov=10)
+        k_con = select_reads_connectivity(rids, sidx, n_reads, max_cov=10)
+
+        def frag(keep):
+            comp = components(rids[keep], sidx[keep], n_sites)
+            return len(np.unique(comp))
+
+        # connectivity-first must never fragment MORE than the default
+        # (the whole point of the criterion)
+        assert frag(k_con) <= frag(k_def)
+
+
 def brute_force_gt(rids, sidx, alleles, n_sites, g_in, gq):
     """Enumerate all bipartitions of multi-obs reads; per column the
     genotype choice is independent given the partition."""
