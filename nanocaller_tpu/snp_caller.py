@@ -668,15 +668,21 @@ def _pick_r_bucket(max_depth, cap):
     return cap
 
 
-def infer_snp_chunk(state, feats, cfg, ploidy):
+def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
     """Run the model over one chunk via the deduplicated representation.
 
-    Ships the chunk's unique (site × read) observations once, builds the
-    dense site×read code table on-device, then streams candidate batches
-    as (cand_site, site_of_col, norm) index vectors only — the h2d
-    volume per candidate drops by the neighbor-column reuse factor
-    (VERDICT r2 item 1). Deep (depth > maxcov) candidates go through the
-    offsets kernel with their host-sampled read sets.
+    Ships the chunk's interval+exception payload once, reconstructs the
+    site×read tables on-device, then streams candidate batches as
+    (cand_site, cand_pos, norm) index vectors only. Deep (depth >
+    maxcov) candidates go through the explicit-rid kernel with their
+    host-sampled read sets.
+
+    async_mode=True returns a zero-arg FINISHER instead of the array:
+    all launches are dispatched (async) but no device→host sync happens
+    until the finisher runs. The caller pipelines chunk i's compute +
+    d2h behind chunk i+1's feature wait — without this, every chunk
+    pays a full synchronous tunnel round trip (launch latency dominated
+    the 50 Mb SNP stage under mediocre tunnel weather).
     """
     from .runtime.sharding import dp_scale, replicated, shard_batch
 
@@ -732,16 +738,12 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
     mesh = state.mesh
     put = (lambda a: jax.device_put(a, replicated(mesh))) if mesh is not None \
         else jax.device_put
-    exc_packed_d = put(exc_packed)
-    exc_indptr_d = put(exc_indptr)
-    site_ref_d = put(site_ref)
-    read_lo_d = put(read_lo)
-    read_hi_d = put(read_hi)
-    hole_site_d = put(hole_site)
-    hole_rid_d = put(hole_rid)
-    nbr_pos_d = put(nbr_pos)
-    nbr_union_d = put(nbr_union)
-    e_real = put(np.int32(E))
+    # ship the whole chunk payload in ONE device_put (a put per array
+    # costs a dispatch round trip each on the tunnel)
+    (exc_packed_d, exc_indptr_d, site_ref_d, read_lo_d, read_hi_d,
+     hole_site_d, hole_rid_d, nbr_pos_d, nbr_union_d, e_real) = put(
+        (exc_packed, exc_indptr, site_ref, read_lo, read_hi,
+         hole_site, hole_rid, nbr_pos, nbr_union, np.int32(E)))
     # the split build+gather pair only pays off when deep candidates
     # need the explicit-rid kernel or when the per-batch table rebuild
     # would be expensive (the fused kernel rebuilds the tables every
@@ -751,6 +753,7 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
         and (s_pad + 1) * n_pad <= (1 << 26)
 
     out = np.zeros((B, 4), np.float32)
+    parts = []  # (sel, device_probs, n) — converted by the finisher
     deep_mask = np.zeros(B, bool)
     deep_mask[feats.deep_idx] = True
     normal_idx = np.flatnonzero(~deep_mask)
@@ -811,7 +814,7 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
                     params, table, rid_table, depth_table, site_ref_d,
                     nbr_pos_d, nbr_union_d, *args,
                     R=R_b, seq_type=feats.seq_type, haploid=haploid)
-            out[sel] = np.asarray(probs)[: len(sel)]
+            parts.append((sel, probs, len(sel)))
 
     if len(feats.deep_idx):
         # same padded batch size AND read-axis bucket as the normal/
@@ -842,17 +845,28 @@ def infer_snp_chunk(state, feats, cfg, ploidy):
                 params, table, site_ref_d,
                 nbr_pos_d, nbr_union_d, *args,
                 R=R_b, seq_type=feats.seq_type, haploid=haploid)
-            out[sel] = np.asarray(probs)[: len(dsel)]
-    return out
+            parts.append((sel, probs, len(dsel)))
+
+    def finish():
+        for sel_, probs_, n_ in parts:
+            out[sel_] = np.asarray(probs_)[:n_]
+        return out
+
+    return finish if async_mode else finish()
 
 
-def infer_snp_any(state, batch, cfg, ploidy):
-    """Dispatch on the batch representation (dense oracle vs dedup)."""
+def infer_snp_any(state, batch, cfg, ploidy, async_mode=False):
+    """Dispatch on the batch representation (dense oracle vs dedup).
+
+    async_mode=True returns a zero-arg finisher (see infer_snp_chunk);
+    the dense path computes eagerly and the finisher is trivial."""
     from .pileup.snp_features import SnpChunkFeatures
 
     if isinstance(batch, SnpChunkFeatures):
-        return infer_snp_chunk(state, batch, cfg, ploidy)
-    return infer_snp_batch(state, batch, cfg, ploidy)
+        return infer_snp_chunk(state, batch, cfg, ploidy,
+                               async_mode=async_mode)
+    probs = infer_snp_batch(state, batch, cfg, ploidy)
+    return (lambda: probs) if async_mode else probs
 
 
 def decode_diploid(batch: SnpBatch, probs):
@@ -1056,13 +1070,19 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
             haploid=any(p == "haploid" for p in ploidy_of))
     except Exception:
         pass
-    def process(idx, batch):
-        if metrics is not None:
-            metrics.count("snp_candidates", len(batch))
-        if len(batch) == 0:
+    # depth-1 inference pipeline: chunk i's launches are dispatched
+    # asynchronously and its device→host sync + decode happen while
+    # chunk i+1's features are produced/dispatched — a synchronous
+    # per-chunk round trip otherwise serializes launch latency across
+    # hundreds of chunks (dominant on the tunnel)
+    in_flight = []  # [(idx, batch, finisher)]
+
+    def _finalize_one():
+        idx, batch, finish = in_flight.pop(0)
+        if finish is None:
             results[idx] = []
         else:
-            probs = infer_snp_any(state, batch, cfg, ploidy_of[idx])
+            probs = finish()
             if ploidy_of[idx] == "haploid":
                 results[idx] = decode_haploid(batch, probs)
             else:
@@ -1078,6 +1098,17 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
         if progress:
             progress(1)
 
+    def process(idx, batch):
+        if metrics is not None:
+            metrics.count("snp_candidates", len(batch))
+        finish = None
+        if len(batch):
+            finish = infer_snp_any(state, batch, cfg, ploidy_of[idx],
+                                   async_mode=True)
+        while in_flight:
+            _finalize_one()
+        in_flight.append((idx, batch, finish))
+
     init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg), exclude_path)
     groups = _group_adjacent(ordered_chunks, todo, cfg)
     if groups is not None:
@@ -1092,6 +1123,8 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
                 [ordered_chunks[i] for i in todo], snp_features_worker,
                 init_args, cfg.cpu):
             process(todo[sub_idx], batch)
+    while in_flight:  # drain the inference pipeline
+        _finalize_one()
 
     if prewarm_thread is not None:
         prewarm_thread.join()
