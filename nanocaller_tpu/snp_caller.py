@@ -194,19 +194,22 @@ def _build_obs_tables_impl(read_lo, read_hi, site_ref, exc_packed,
     generate_SNP_pileups.py:104). Padded reads carry lo=1 > hi=0 (empty
     span); padded holes point at the trash row."""
     si = jnp.arange(s_pad + 1, dtype=jnp.int32)[:, None]
+    read_lo = read_lo.astype(jnp.int32)
+    read_hi = read_hi.astype(jnp.int32)
     obs_mask = (si >= read_lo[None, :]) & (si <= read_hi[None, :]) \
         & (si < s_pad)
     if hole_site.shape[0]:
         obs_mask = obs_mask.at[
-            jnp.clip(hole_site, 0, s_pad),
-            jnp.clip(hole_rid, 0, n_pad - 1)].set(False)
+            jnp.clip(hole_site.astype(jnp.int32), 0, s_pad),
+            jnp.clip(hole_rid.astype(jnp.int32), 0, n_pad - 1)].set(False)
     ref_ext = jnp.concatenate(
         [site_ref, jnp.full((1,), 4, jnp.int8)])[:, None]
     table = jnp.where(obs_mask, ref_ext, jnp.int8(4))
     E = exc_packed.shape[0]
     ev = exc_packed.astype(jnp.int32)
     e = jnp.arange(E, dtype=jnp.int32)
-    site = jnp.searchsorted(exc_indptr, e, side="right").astype(jnp.int32) - 1
+    site = jnp.searchsorted(exc_indptr.astype(jnp.int32), e,
+                            side="right").astype(jnp.int32) - 1
     site = jnp.where(e < e_real, jnp.clip(site, 0, s_pad - 1), s_pad)
     rid = jnp.clip(ev >> 3, 0, n_pad - 1)
     code = (ev & 7).astype(jnp.int8)
@@ -356,7 +359,7 @@ def _snp_forward_deep(params, table, site_ref, nbr_pos, nbr_union,
                                            nbr_union, seq_type)
     r = jnp.arange(R, dtype=jnp.int32)
     read_mask = r[None, :] < n_valid[:, None]
-    rid = jnp.clip(deep_rids, 0, table.shape[1] - 1)
+    rid = jnp.clip(deep_rids.astype(jnp.int32), 0, table.shape[1] - 1)
     return _gather_forward_impl(params, table, site_ref, cand_site,
                                 site_of_col, rid, read_mask, norm, haploid)
 
@@ -540,22 +543,25 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
                 return
             t0 = time.monotonic()
             try:
+                sdt = np.uint16 if e["s_pad"] + 1 < (1 << 16) \
+                    else np.int32
+                rdt = np.uint16 if e["n_pad"] < (1 << 16) else np.int32
                 exc = put_rep(np.zeros(
                     e["e_pad"], np.uint16 if e["ev16"] else np.uint32))
                 exc_indptr = put_rep(np.zeros(e["s_pad"] + 1, np.int32))
                 site_ref = put_rep(np.full(e["s_pad"], 4, np.int8))
-                read_lo = put_rep(np.ones(e["n_pad"], np.int32))
-                read_hi = put_rep(np.zeros(e["n_pad"], np.int32))
+                read_lo = put_rep(np.ones(e["n_pad"], sdt))
+                read_hi = put_rep(np.zeros(e["n_pad"], sdt))
                 h_pad = int(e.get("h_pad", 0))
-                hole_site = put_rep(np.full(h_pad, e["s_pad"], np.int32))
-                hole_rid = put_rep(np.zeros(h_pad, np.int32))
+                hole_site = put_rep(np.full(h_pad, e["s_pad"], sdt))
+                hole_rid = put_rep(np.zeros(h_pad, rdt))
                 nbr_pos = put_rep(np.full(e["m_pad"], np.int32(1 << 30),
                                           np.int32))
-                nbr_union = put_rep(np.zeros(e["m_pad"], np.int32))
+                nbr_union = put_rep(np.zeros(e["m_pad"], sdt))
                 e_real = put_rep(np.int32(0))
                 bs = e["bs"]
                 batch = shard_batch(
-                    (np.zeros(bs, np.int32),
+                    (np.zeros(bs, sdt),
                      np.full(bs, -(1 << 30), np.int32),
                      np.ones(bs, np.float32)), mesh)
                 params = state.hap_params if e["haploid"] else state.params
@@ -711,30 +717,36 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
         # dims, whose product the builder capped at 2^27)
         s_pad = _pow2_pad(max(S, 1), 256)
         n_pad = _pow2_pad(max(feats.n_reads, 1), 256)
+    # index dtypes: site/read indices ship as uint16 whenever the
+    # padded dims fit — these arrays are pure wire (VERDICT r3 item 4);
+    # the kernels cast to int32 on-device
+    sdt = np.uint16 if s_pad + 1 < (1 << 16) else np.int32
+    rdt = np.uint16 if n_pad < (1 << 16) else np.int32
+    edt = np.uint16 if e_pad < (1 << 16) else np.int32
     exc_packed = np.full(e_pad, 4, feats.exc_packed.dtype)
     exc_packed[:E] = feats.exc_packed
-    exc_indptr = np.full(s_pad + 1, E, np.int32)
-    exc_indptr[:S + 1] = feats.exc_indptr
+    exc_indptr = np.full(s_pad + 1, E, edt)
+    exc_indptr[:S + 1] = feats.exc_indptr.astype(edt)
     site_ref = np.full(s_pad, 4, np.int8)
     site_ref[:S] = feats.site_ref
-    read_lo = np.ones(n_pad, np.int32)  # pad reads: empty span
-    read_hi = np.zeros(n_pad, np.int32)
-    read_lo[:feats.n_reads] = feats.read_lo
-    read_hi[:feats.n_reads] = feats.read_hi
+    read_lo = np.ones(n_pad, sdt)  # pad reads: empty span
+    read_hi = np.zeros(n_pad, sdt)
+    read_lo[:feats.n_reads] = feats.read_lo.astype(sdt)
+    read_hi[:feats.n_reads] = feats.read_hi.astype(sdt)
     H = len(feats.hole_site)
     h_pad = 0 if H == 0 else _pow2_pad(H, 16)
-    hole_site = np.full(h_pad, s_pad, np.int32)  # pad holes: trash row
-    hole_rid = np.zeros(h_pad, np.int32)
-    hole_site[:H] = feats.hole_site
-    hole_rid[:H] = feats.hole_rid
+    hole_site = np.full(h_pad, s_pad, sdt)  # pad holes: trash row
+    hole_rid = np.zeros(h_pad, rdt)
+    hole_site[:H] = feats.hole_site.astype(sdt)
+    hole_rid[:H] = feats.hole_rid.astype(rdt)
     # neighbor-site arrays for on-device selection; position pads sit far
     # outside every band so they can never be selected
     M = len(feats.nbr_pos)
     m_pad = _bucket_nbr(M)
     nbr_pos = np.full(m_pad, np.int32(1 << 30), np.int32)
     nbr_pos[:M] = feats.nbr_pos
-    nbr_union = np.zeros(m_pad, np.int32)
-    nbr_union[:M] = feats.nbr_union
+    nbr_union = np.zeros(m_pad, sdt)
+    nbr_union[:M] = feats.nbr_union.astype(sdt)
     mesh = state.mesh
     put = (lambda a: jax.device_put(a, replicated(mesh))) if mesh is not None \
         else jax.device_put
@@ -799,7 +811,7 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
             sel = normal_idx[lo:lo + bs]
             pad = bs - len(sel)
             args = shard_batch(
-                (padded(feats.cand_site, sel, pad, 0),
+                (padded(feats.cand_site.astype(sdt), sel, pad, 0),
                  padded(feats.cand_pos32, sel, pad, -(1 << 30)),
                  padded(norm, sel, pad, 1.0)), mesh)
             if use_fused:
@@ -836,9 +848,9 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
             sel = feats.deep_idx[dsel]
             pad = bs - len(dsel)
             args = shard_batch(
-                (padded(feats.cand_site, sel, pad, 0),
+                (padded(feats.cand_site.astype(sdt), sel, pad, 0),
                  padded(feats.cand_pos32, sel, pad, -(1 << 30)),
-                 padded(rids_all, dsel, pad, 0),
+                 padded(rids_all.astype(rdt), dsel, pad, 0),
                  padded(n_valid_all, dsel, pad, 0),
                  padded(norm, sel, pad, 1.0)), mesh)
             probs = _snp_forward_deep(
