@@ -180,6 +180,12 @@ def main():
     window_rates = measure_tpu()
     value = max(window_rates)  # headline: best window (tunnel stalls, see
     # measure_tpu docstring); all windows kept for auditability (advisor r1)
+    # scaling point: 4 Mb-chunk shapes (per-candidate wire amortizes the
+    # chunk payload — the payload-amortization ceiling, RESULTS round 4)
+    try:
+        rates_4mb = measure_tpu(batch=16384, iters=8, windows=2)
+    except Exception:
+        rates_4mb = []
     e2e = measure_e2e()
     base = measure_cpu_reference()
     vs = (value / base) if base else None
@@ -189,6 +195,7 @@ def main():
         "unit": "sites/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "windows_sites_per_s": [round(r, 1) for r in window_rates],
+        "chunk4mb_sites_per_s": [round(r, 1) for r in rates_4mb],
         "baseline_sites_per_s": round(base, 1) if base else None,
         **e2e,
     }))
