@@ -680,11 +680,16 @@ class SnpChunkFeatures:
     # streamed-kernel wire budget, VERDICT r3 weak-2).
     read_lo: np.ndarray  # int32[N] first observed union-site index
     read_hi: np.ndarray  # int32[N] last observed union-site index (incl.)
-    exc_packed: np.ndarray  # (rid<<3)|code per non-ref obs; uint16/uint32
+    # exceptions are coded vs the SITE MAJORITY code, not the reference:
+    # union sites are variant-enriched by construction (neighbor sites
+    # have 40-60% alt freq; deletion spans code 4), so vs-ref exceptions
+    # were ~66% of observations while vs-majority they are ~35%
+    exc_packed: np.ndarray  # (rid<<3)|code per non-majority obs
     exc_indptr: np.ndarray  # int32[S+1] CSR row pointers over union sites
     hole_site: np.ndarray  # int32[H] unobserved in-span (site, rid) pairs
     hole_rid: np.ndarray  # int32[H]
     site_ref: np.ndarray  # int8[S] reference code per union site
+    site_major: np.ndarray  # int8[S] majority observed code per site
     n_reads: int
     # --- device payload, per candidate ---
     cand_site: np.ndarray  # int32[B] union-site index of the candidate
@@ -784,7 +789,13 @@ def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
     # reads with no observation at any union site: empty span lo=1 > hi=0
     read_lo[obs_cnt == 0] = 1
     read_hi[obs_cnt == 0] = 0
-    exc = sc.code != site_ref[obs_site]
+    # per-site majority observed code (ties: smaller code — argmax on
+    # the bincount): the exception base that minimizes the wire
+    code_hist = np.bincount(obs_site.astype(np.int64) * 8
+                            + sc.code.astype(np.int64),
+                            minlength=S * 8).reshape(S, 8)
+    site_major = code_hist.argmax(axis=1).astype(np.int8)
+    exc = sc.code != site_major[obs_site]
     exc_packed = ((sc.rid[exc].astype(np.int64) << 3)
                   | sc.code[exc].astype(np.int64)).astype(ev_dtype)
     exc_indptr = np.searchsorted(
@@ -829,6 +840,7 @@ def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
         hole_site=hole_site,
         hole_rid=hole_rid,
         site_ref=site_ref,
+        site_major=site_major,
         n_reads=n_reads,
         cand_site=cand_site,
         cand_pos32=scan.cand_pos.astype(np.int32),
@@ -894,6 +906,7 @@ def _empty_chunk_features(contig, maxcov):
         hole_site=np.zeros(0, np.int32),
         hole_rid=np.zeros(0, np.int32),
         site_ref=np.zeros(0, np.int8),
+        site_major=np.zeros(0, np.int8),
         n_reads=0,
         cand_site=np.zeros(0, np.int32),
         cand_pos32=np.zeros(0, np.int32),

@@ -176,7 +176,7 @@ _bucket_reads = _CompileAwareBucket(_pow2_pad, 256, 4)  # table cols (HBM)
 _bucket_nbr = _CompileAwareBucket(_pow2_pad, 256, 4)  # nbr arrays (small)
 
 
-def _build_obs_tables_impl(read_lo, read_hi, site_ref, exc_packed,
+def _build_obs_tables_impl(read_lo, read_hi, site_major, exc_packed,
                            exc_indptr, e_real, hole_site, hole_rid,
                            s_pad, n_pad):
     """Reconstruct the dense (site × read) observation tables from the
@@ -185,9 +185,10 @@ def _build_obs_tables_impl(read_lo, read_hi, site_ref, exc_packed,
 
     - obs_mask[s, r]: read r observes site s ⇔ read_lo[r] ≤ s ≤
       read_hi[r] minus the rare (hole_site, hole_rid) pairs;
-    - table[s, r]: the observed code — the site's reference code by
-      default, overwritten by the exception CSR scatter (non-ref codes:
-      errors, alt alleles, deletion spans → 4).
+    - table[s, r]: the observed code — the site's MAJORITY code by
+      default (union sites are variant-enriched, so majority coding
+      halves the exception volume vs reference coding), overwritten by
+      the exception CSR scatter.
 
     Row s_pad is the trash row for padded/invalid lookups (mask False,
     code 4 = the reference's 'other/missing',
@@ -202,9 +203,9 @@ def _build_obs_tables_impl(read_lo, read_hi, site_ref, exc_packed,
         obs_mask = obs_mask.at[
             jnp.clip(hole_site.astype(jnp.int32), 0, s_pad),
             jnp.clip(hole_rid.astype(jnp.int32), 0, n_pad - 1)].set(False)
-    ref_ext = jnp.concatenate(
-        [site_ref, jnp.full((1,), 4, jnp.int8)])[:, None]
-    table = jnp.where(obs_mask, ref_ext, jnp.int8(4))
+    major_ext = jnp.concatenate(
+        [site_major, jnp.full((1,), 4, jnp.int8)])[:, None]
+    table = jnp.where(obs_mask, major_ext, jnp.int8(4))
     E = exc_packed.shape[0]
     ev = exc_packed.astype(jnp.int32)
     e = jnp.arange(E, dtype=jnp.int32)
@@ -217,14 +218,14 @@ def _build_obs_tables_impl(read_lo, read_hi, site_ref, exc_packed,
     return obs_mask, table
 
 
-def _build_chunk_state_impl(read_lo, read_hi, site_ref, exc_packed,
+def _build_chunk_state_impl(read_lo, read_hi, site_major, exc_packed,
                             exc_indptr, e_real, hole_site, hole_rid,
                             s_pad, n_pad, R):
     """Once-per-chunk device build: obs/code tables + the per-site read
     list table (first R covering read ids, ascending + depth). Candidate
     batches then reduce to cheap row gathers."""
     obs_mask, table = _build_obs_tables_impl(
-        read_lo, read_hi, site_ref, exc_packed, exc_indptr, e_real,
+        read_lo, read_hi, site_major, exc_packed, exc_indptr, e_real,
         hole_site, hole_rid, s_pad, n_pad)
     rid_table, depth = _rid_matrix(obs_mask, R)
     return table, rid_table, depth
@@ -366,7 +367,8 @@ def _snp_forward_deep(params, table, site_ref, nbr_pos, nbr_union,
 
 @partial(jax.jit,
          static_argnames=("s_pad", "n_pad", "R", "seq_type", "haploid"))
-def _snp_forward_chunk_fused(params, read_lo, read_hi, site_ref, exc_packed,
+def _snp_forward_chunk_fused(params, read_lo, read_hi, site_ref,
+                             site_major, exc_packed,
                              exc_indptr, e_real, hole_site, hole_rid,
                              nbr_pos, nbr_union, cand_site, cand_pos, norm,
                              s_pad, n_pad, R, seq_type="ont", haploid=False):
@@ -376,7 +378,7 @@ def _snp_forward_chunk_fused(params, read_lo, read_hi, site_ref, exc_packed,
     batches). Read lists are built only for the batch's candidate rows
     (the split path materializes them for every site instead)."""
     obs_mask, table = _build_obs_tables_impl(
-        read_lo, read_hi, site_ref, exc_packed, exc_indptr, e_real,
+        read_lo, read_hi, site_major, exc_packed, exc_indptr, e_real,
         hole_site, hole_rid, s_pad, n_pad)
     cand_site = cand_site.astype(jnp.int32)
     site_of_col = _device_select_neighbors(cand_site, cand_pos, nbr_pos,
@@ -421,7 +423,7 @@ _RECORDED_SHAPES = set()
 
 # bump when kernel signatures change shape semantics (stale entries
 # would full-compile instead of cache-hitting during preload)
-_SHAPE_MEMORY_VERSION = 2  # v2: interval+exception wire format
+_SHAPE_MEMORY_VERSION = 3  # v3: majority-coded exceptions
 
 
 def _shape_memory_path():
@@ -546,10 +548,12 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
                 sdt = np.uint16 if e["s_pad"] + 1 < (1 << 16) \
                     else np.int32
                 rdt = np.uint16 if e["n_pad"] < (1 << 16) else np.int32
+                edt = np.uint16 if e["e_pad"] < (1 << 16) else np.int32
                 exc = put_rep(np.zeros(
                     e["e_pad"], np.uint16 if e["ev16"] else np.uint32))
-                exc_indptr = put_rep(np.zeros(e["s_pad"] + 1, np.int32))
+                exc_indptr = put_rep(np.zeros(e["s_pad"] + 1, edt))
                 site_ref = put_rep(np.full(e["s_pad"], 4, np.int8))
+                site_major = put_rep(np.full(e["s_pad"], 4, np.int8))
                 read_lo = put_rep(np.ones(e["n_pad"], sdt))
                 read_hi = put_rep(np.zeros(e["n_pad"], sdt))
                 h_pad = int(e.get("h_pad", 0))
@@ -566,9 +570,9 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
                      np.ones(bs, np.float32)), mesh)
                 params = state.hap_params if e["haploid"] else state.params
                 out = _snp_forward_chunk_fused(
-                    params, read_lo, read_hi, site_ref, exc, exc_indptr,
-                    e_real, hole_site, hole_rid, nbr_pos, nbr_union,
-                    *batch,
+                    params, read_lo, read_hi, site_ref, site_major, exc,
+                    exc_indptr, e_real, hole_site, hole_rid, nbr_pos,
+                    nbr_union, *batch,
                     s_pad=e["s_pad"], n_pad=e["n_pad"], R=e["R"],
                     seq_type=e["seq_type"], haploid=e["haploid"])
                 jax.block_until_ready(out)
@@ -729,6 +733,8 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
     exc_indptr[:S + 1] = feats.exc_indptr.astype(edt)
     site_ref = np.full(s_pad, 4, np.int8)
     site_ref[:S] = feats.site_ref
+    site_major = np.full(s_pad, 4, np.int8)
+    site_major[:S] = feats.site_major
     read_lo = np.ones(n_pad, sdt)  # pad reads: empty span
     read_hi = np.zeros(n_pad, sdt)
     read_lo[:feats.n_reads] = feats.read_lo.astype(sdt)
@@ -752,9 +758,10 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
         else jax.device_put
     # ship the whole chunk payload in ONE device_put (a put per array
     # costs a dispatch round trip each on the tunnel)
-    (exc_packed_d, exc_indptr_d, site_ref_d, read_lo_d, read_hi_d,
-     hole_site_d, hole_rid_d, nbr_pos_d, nbr_union_d, e_real) = put(
-        (exc_packed, exc_indptr, site_ref, read_lo, read_hi,
+    (exc_packed_d, exc_indptr_d, site_ref_d, site_major_d, read_lo_d,
+     read_hi_d, hole_site_d, hole_rid_d, nbr_pos_d, nbr_union_d,
+     e_real) = put(
+        (exc_packed, exc_indptr, site_ref, site_major, read_lo, read_hi,
          hole_site, hole_rid, nbr_pos, nbr_union, np.int32(E)))
     # the split build+gather pair only pays off when deep candidates
     # need the explicit-rid kernel or when the per-batch table rebuild
@@ -785,9 +792,9 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
     table = rid_table = depth_table = None
     if not use_fused:
         table, rid_table, depth_table = _build_chunk_state(
-            read_lo_d, read_hi_d, site_ref_d, exc_packed_d, exc_indptr_d,
-            e_real, hole_site_d, hole_rid_d, s_pad=s_pad, n_pad=n_pad,
-            R=int(R_b))
+            read_lo_d, read_hi_d, site_major_d, exc_packed_d,
+            exc_indptr_d, e_real, hole_site_d, hole_rid_d, s_pad=s_pad,
+            n_pad=n_pad, R=int(R_b))
     if len(normal_idx):
         bs = dp_scale(cfg.batch_size, mesh)
         if use_fused:
@@ -817,8 +824,9 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
             if use_fused:
                 probs = _snp_forward_chunk_fused(
                     params, read_lo_d, read_hi_d, site_ref_d,
-                    exc_packed_d, exc_indptr_d, e_real, hole_site_d,
-                    hole_rid_d, nbr_pos_d, nbr_union_d, *args,
+                    site_major_d, exc_packed_d, exc_indptr_d, e_real,
+                    hole_site_d, hole_rid_d, nbr_pos_d, nbr_union_d,
+                    *args,
                     s_pad=s_pad, n_pad=n_pad, R=R_b,
                     seq_type=feats.seq_type, haploid=haploid)
             else:
