@@ -174,9 +174,11 @@ _bucket_ev = _CompileAwareBucket(_bucket_q, 1024, 7, 4)  # ≤1.75× wire pad
 _bucket_sites = _CompileAwareBucket(_pow2_pad, 256, 4)  # table rows (HBM)
 _bucket_reads = _CompileAwareBucket(_pow2_pad, 256, 4)  # table cols (HBM)
 _bucket_nbr = _CompileAwareBucket(_pow2_pad, 256, 4)  # nbr arrays (small)
+_bucket_bits = _CompileAwareBucket(_bucket_q, 1024, 7, 4)  # span bitmask bytes
 
 
-def _build_obs_tables_impl(read_lo, read_hi, site_major, exc_packed,
+def _build_obs_tables_impl(read_lo, read_hi, site_major, site_minor,
+                           minor_bits, exc_packed,
                            exc_indptr, e_real, hole_site, hole_rid,
                            s_pad, n_pad):
     """Reconstruct the dense (site × read) observation tables from the
@@ -185,10 +187,13 @@ def _build_obs_tables_impl(read_lo, read_hi, site_major, exc_packed,
 
     - obs_mask[s, r]: read r observes site s ⇔ read_lo[r] ≤ s ≤
       read_hi[r] minus the rare (hole_site, hole_rid) pairs;
-    - table[s, r]: the observed code — the site's MAJORITY code by
-      default (union sites are variant-enriched, so majority coding
-      halves the exception volume vs reference coding), overwritten by
-      the exception CSR scatter.
+    - table[s, r]: the observed code — the site's TOP-1 code by
+      default, the TOP-2 code where the per-read span bitmask says so
+      (bit = span_start[r] + s - read_lo[r]; span_start recomputed here
+      by a cumsum over the span lengths), overwritten by the exception
+      CSR scatter for the ~8% residue. Union sites are variant-enriched,
+      so the biallelic signal rides the bitmask at 1 bit/cell instead of
+      16 per observation.
 
     Row s_pad is the trash row for padded/invalid lookups (mask False,
     code 4 = the reference's 'other/missing',
@@ -205,7 +210,21 @@ def _build_obs_tables_impl(read_lo, read_hi, site_major, exc_packed,
             jnp.clip(hole_rid.astype(jnp.int32), 0, n_pad - 1)].set(False)
     major_ext = jnp.concatenate(
         [site_major, jnp.full((1,), 4, jnp.int8)])[:, None]
-    table = jnp.where(obs_mask, major_ext, jnp.int8(4))
+    minor_ext = jnp.concatenate(
+        [site_minor, jnp.full((1,), 4, jnp.int8)])[:, None]
+    if minor_bits.shape[0]:
+        spans = jnp.maximum(read_hi - read_lo + 1, 0)
+        span_start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(spans)[:-1]])
+        T = minor_bits.shape[0] * 8
+        bit_idx = jnp.clip(span_start[None, :] + (si - read_lo[None, :]),
+                           0, T - 1)
+        byte = minor_bits[bit_idx >> 3].astype(jnp.int32)
+        minor = ((byte >> (bit_idx & 7)) & 1).astype(bool)
+        cell_code = jnp.where(minor, minor_ext, major_ext)
+    else:
+        cell_code = jnp.broadcast_to(major_ext, (s_pad + 1, n_pad))
+    table = jnp.where(obs_mask, cell_code, jnp.int8(4))
     E = exc_packed.shape[0]
     ev = exc_packed.astype(jnp.int32)
     e = jnp.arange(E, dtype=jnp.int32)
@@ -218,14 +237,16 @@ def _build_obs_tables_impl(read_lo, read_hi, site_major, exc_packed,
     return obs_mask, table
 
 
-def _build_chunk_state_impl(read_lo, read_hi, site_major, exc_packed,
+def _build_chunk_state_impl(read_lo, read_hi, site_major, site_minor,
+                            minor_bits, exc_packed,
                             exc_indptr, e_real, hole_site, hole_rid,
                             s_pad, n_pad, R):
     """Once-per-chunk device build: obs/code tables + the per-site read
     list table (first R covering read ids, ascending + depth). Candidate
     batches then reduce to cheap row gathers."""
     obs_mask, table = _build_obs_tables_impl(
-        read_lo, read_hi, site_major, exc_packed, exc_indptr, e_real,
+        read_lo, read_hi, site_major, site_minor, minor_bits,
+        exc_packed, exc_indptr, e_real,
         hole_site, hole_rid, s_pad, n_pad)
     rid_table, depth = _rid_matrix(obs_mask, R)
     return table, rid_table, depth
@@ -368,7 +389,8 @@ def _snp_forward_deep(params, table, site_ref, nbr_pos, nbr_union,
 @partial(jax.jit,
          static_argnames=("s_pad", "n_pad", "R", "seq_type", "haploid"))
 def _snp_forward_chunk_fused(params, read_lo, read_hi, site_ref,
-                             site_major, exc_packed,
+                             site_major, site_minor, minor_bits,
+                             exc_packed,
                              exc_indptr, e_real, hole_site, hole_rid,
                              nbr_pos, nbr_union, cand_site, cand_pos, norm,
                              s_pad, n_pad, R, seq_type="ont", haploid=False):
@@ -378,7 +400,8 @@ def _snp_forward_chunk_fused(params, read_lo, read_hi, site_ref,
     batches). Read lists are built only for the batch's candidate rows
     (the split path materializes them for every site instead)."""
     obs_mask, table = _build_obs_tables_impl(
-        read_lo, read_hi, site_major, exc_packed, exc_indptr, e_real,
+        read_lo, read_hi, site_major, site_minor, minor_bits,
+        exc_packed, exc_indptr, e_real,
         hole_site, hole_rid, s_pad, n_pad)
     cand_site = cand_site.astype(jnp.int32)
     site_of_col = _device_select_neighbors(cand_site, cand_pos, nbr_pos,
@@ -423,7 +446,7 @@ _RECORDED_SHAPES = set()
 
 # bump when kernel signatures change shape semantics (stale entries
 # would full-compile instead of cache-hitting during preload)
-_SHAPE_MEMORY_VERSION = 3  # v3: majority-coded exceptions
+_SHAPE_MEMORY_VERSION = 4  # v4: top-2 + span-bitmask coding
 
 
 def _shape_memory_path():
@@ -554,6 +577,9 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
                 exc_indptr = put_rep(np.zeros(e["s_pad"] + 1, edt))
                 site_ref = put_rep(np.full(e["s_pad"], 4, np.int8))
                 site_major = put_rep(np.full(e["s_pad"], 4, np.int8))
+                site_minor = put_rep(np.full(e["s_pad"], 4, np.int8))
+                minor_bits = put_rep(np.zeros(int(e.get("t_pad", 0)),
+                                              np.uint8))
                 read_lo = put_rep(np.ones(e["n_pad"], sdt))
                 read_hi = put_rep(np.zeros(e["n_pad"], sdt))
                 h_pad = int(e.get("h_pad", 0))
@@ -570,7 +596,8 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
                      np.ones(bs, np.float32)), mesh)
                 params = state.hap_params if e["haploid"] else state.params
                 out = _snp_forward_chunk_fused(
-                    params, read_lo, read_hi, site_ref, site_major, exc,
+                    params, read_lo, read_hi, site_ref, site_major,
+                    site_minor, minor_bits, exc,
                     exc_indptr, e_real, hole_site, hole_rid, nbr_pos,
                     nbr_union, *batch,
                     s_pad=e["s_pad"], n_pad=e["n_pad"], R=e["R"],
@@ -735,6 +762,12 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
     site_ref[:S] = feats.site_ref
     site_major = np.full(s_pad, 4, np.int8)
     site_major[:S] = feats.site_major
+    site_minor = np.full(s_pad, 4, np.int8)
+    site_minor[:S] = feats.site_minor
+    T = len(feats.minor_bits)
+    t_pad = 0 if T == 0 else _bucket_bits(T)
+    minor_bits = np.zeros(t_pad, np.uint8)
+    minor_bits[:T] = feats.minor_bits
     read_lo = np.ones(n_pad, sdt)  # pad reads: empty span
     read_hi = np.zeros(n_pad, sdt)
     read_lo[:feats.n_reads] = feats.read_lo.astype(sdt)
@@ -758,10 +791,12 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
         else jax.device_put
     # ship the whole chunk payload in ONE device_put (a put per array
     # costs a dispatch round trip each on the tunnel)
-    (exc_packed_d, exc_indptr_d, site_ref_d, site_major_d, read_lo_d,
+    (exc_packed_d, exc_indptr_d, site_ref_d, site_major_d,
+     site_minor_d, minor_bits_d, read_lo_d,
      read_hi_d, hole_site_d, hole_rid_d, nbr_pos_d, nbr_union_d,
      e_real) = put(
-        (exc_packed, exc_indptr, site_ref, site_major, read_lo, read_hi,
+        (exc_packed, exc_indptr, site_ref, site_major, site_minor,
+         minor_bits, read_lo, read_hi,
          hole_site, hole_rid, nbr_pos, nbr_union, np.int32(E)))
     # the split build+gather pair only pays off when deep candidates
     # need the explicit-rid kernel or when the per-batch table rebuild
@@ -792,15 +827,16 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
     table = rid_table = depth_table = None
     if not use_fused:
         table, rid_table, depth_table = _build_chunk_state(
-            read_lo_d, read_hi_d, site_major_d, exc_packed_d,
+            read_lo_d, read_hi_d, site_major_d, site_minor_d,
+            minor_bits_d, exc_packed_d,
             exc_indptr_d, e_real, hole_site_d, hole_rid_d, s_pad=s_pad,
             n_pad=n_pad, R=int(R_b))
     if len(normal_idx):
         bs = dp_scale(cfg.batch_size, mesh)
         if use_fused:
             sig = {"e_pad": e_pad, "s_pad": s_pad, "n_pad": n_pad,
-                   "m_pad": m_pad, "h_pad": h_pad, "R": int(R_b),
-                   "bs": int(bs),
+                   "m_pad": m_pad, "h_pad": h_pad, "t_pad": t_pad,
+                   "R": int(R_b), "bs": int(bs),
                    "seq_type": feats.seq_type, "haploid": bool(haploid),
                    "ev16": feats.exc_packed.dtype == np.uint16}
             key = tuple(sorted(sig.items()))
@@ -824,7 +860,8 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
             if use_fused:
                 probs = _snp_forward_chunk_fused(
                     params, read_lo_d, read_hi_d, site_ref_d,
-                    site_major_d, exc_packed_d, exc_indptr_d, e_real,
+                    site_major_d, site_minor_d, minor_bits_d,
+                    exc_packed_d, exc_indptr_d, e_real,
                     hole_site_d, hole_rid_d, nbr_pos_d, nbr_union_d,
                     *args,
                     s_pad=s_pad, n_pad=n_pad, R=R_b,
