@@ -811,7 +811,6 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
     deep_mask = np.zeros(B, bool)
     deep_mask[feats.deep_idx] = True
     normal_idx = np.flatnonzero(~deep_mask)
-    dpn = mesh.shape["dp"] if mesh is not None else 1
 
     def padded(a, sel, pad, fill):
         if pad == 0:
