@@ -546,6 +546,12 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                 submit(indel_features_group_worker, (members[0][0], members),
                        "indel_group")
 
+        # per-phase-task trellis thread budget: diploid contigs phase
+        # concurrently in the DAG pool alongside feature workers, so an
+        # os.cpu_count()-sized pool per task oversubscribes (advisor r4)
+        n_phase = sum(1 for (_c, _s, _e, p) in contigs.values()
+                      if p != "haploid") or 1
+        phase_threads = max(2, cfg.cpu // min(n_phase, max(cfg.cpu, 1)))
         for name, (c, s, e, ploidy) in contigs.items():
             out_vcf = os.path.join(phase_dir, "%s.snps.phased.vcf.gz" % name)
             if snp_reader is None:
@@ -563,7 +569,8 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                 chrom=name, start=s, end=e, snp_vcf=snp_vcf, out_vcf=out_vcf,
                 lowq_vcf=os.path.join(
                     phase_dir, "%s.snps.lowq.unphased.vcf.gz" % name),
-                tags_path=os.path.join(phase_dir, "%s.tags.tsv" % name))
+                tags_path=os.path.join(phase_dir, "%s.tags.tsv" % name),
+                phase_threads=phase_threads)
             submit(phase_contig_worker, (0, job), "phase")
 
         while pend:

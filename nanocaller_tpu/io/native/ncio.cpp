@@ -456,9 +456,11 @@ void decode_record(const uint8_t* data, size_t len, int64_t start, int64_t end,
           int64_t i1 = l;
           if (rpos + i1 > w->count_start + cwidth)
             i1 = w->count_start + cwidth - rpos;
-          int32_t* cbase =
-              w->counts.data() + (rpos + i0 - w->count_start) * 6 + 5;
-          for (int64_t i = i0; i < i1; i++, cbase += 6) (*cbase)++;
+          if (i0 < i1) {  // deletions wholly past the window: no cells
+            int32_t* cbase =
+                w->counts.data() + (rpos + i0 - w->count_start) * 6 + 5;
+            for (int64_t i = i0; i < i1; i++, cbase += 6) (*cbase)++;
+          }
         }
         rpos += l;
         break;

@@ -71,15 +71,16 @@ def build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes):
 
 
 def phase_sites(rw, sites_pos0, ref_codes, alt_codes, n_iter=8, exact=True,
-                cell_budget=None):
+                cell_budget=None, n_threads=None):
     """Core MEC phasing. Returns PhaseResult."""
     rids, sidx, alleles = build_allele_matrix(rw, sites_pos0, ref_codes, alt_codes)
     return phase_obs(rids, sidx, alleles, rw.n_reads, sites_pos0,
-                     n_iter=n_iter, exact=exact, cell_budget=cell_budget)
+                     n_iter=n_iter, exact=exact, cell_budget=cell_budget,
+                     n_threads=n_threads)
 
 
 def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8, exact=True,
-              cell_budget=None):
+              cell_budget=None, n_threads=None):
     """phase_sites on pre-built sparse observations (also the entry the
     wMEC differential harness drives on synthetic instances).
 
@@ -186,7 +187,8 @@ def phase_obs(rids, sidx, alleles, n_reads, sites_pos0, n_iter=8, exact=True,
         from .wmec import exact_refine
 
         kw = {} if cell_budget is None else {"cell_budget": cell_budget}
-        h = exact_refine(rids, sidx, alleles, S, comp, h, **kw)
+        h = exact_refine(rids, sidx, alleles, S, comp, h,
+                         n_threads=n_threads, **kw)
     # re-derive the read assignment for the repaired haplotype
     mism = (alleles != h[sidx]).astype(np.int64)
     mis1 = np.bincount(rids, weights=mism, minlength=n_reads)
@@ -289,10 +291,21 @@ def _switch_repair(rids, sidx, alleles, h, r_ptr, max_flips=50):
         contrib = (np.minimum(new_mis, T_r[r] - new_mis)
                    - cur_min[r]).astype(np.int64)
         # difference array via two bincounts (np.add.at is ~10x slower
-        # on millions of scattered indices)
-        D = np.bincount(sidx[i] + 1, weights=contrib, minlength=S + 2)
-        D -= np.bincount(nxt_site[i] + 1, weights=contrib, minlength=S + 2)
-        delta = np.cumsum(D[: S + 1]).astype(np.int64)
+        # on millions of scattered indices). bincount accumulates the
+        # float64 weights exactly while every partial sum stays under
+        # 2^53; sum(|contrib|) bounds all of them, so guard it and fall
+        # back to the exact int64 scatter-add on pathological instances
+        # (integer tie rules are pinned by the brute-force differential)
+        if np.abs(contrib).sum() < (1 << 52):
+            D = np.bincount(sidx[i] + 1, weights=contrib, minlength=S + 2)
+            D -= np.bincount(nxt_site[i] + 1, weights=contrib,
+                             minlength=S + 2)
+            delta = np.cumsum(D[: S + 1]).astype(np.int64)
+        else:
+            D = np.zeros(S + 2, np.int64)
+            np.add.at(D, sidx[i] + 1, contrib)
+            np.subtract.at(D, nxt_site[i] + 1, contrib)
+            delta = np.cumsum(D[: S + 1])
         neg = np.flatnonzero(delta < 0)
         if not len(neg):
             break
@@ -434,7 +447,7 @@ def _collect_biallelic(records, want_gts):
 
 
 def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ,
-                 cell_budget=None):
+                 cell_budget=None, n_threads=None):
     """Phase the biallelic het SNPs of one contig.
 
     records: list of VcfRecord (the high-QUAL SNP calls). Returns
@@ -463,7 +476,8 @@ def phase_contig(records, rw, distrust=False, default_gq=_DEFAULT_GQ,
         kw = {} if cell_budget is None else {"cell_budget": cell_budget}
         return phase_distrust(rw, pos, refc, altc, hpos, href, halt,
                               default_gq=default_gq, **kw)
-    result = phase_sites(rw, pos, refc, altc, cell_budget=cell_budget)
+    result = phase_sites(rw, pos, refc, altc, cell_budget=cell_budget,
+                         n_threads=n_threads)
     phase_map = {}
     for j in range(len(pos)):
         if result.block_ps[j] >= 0:

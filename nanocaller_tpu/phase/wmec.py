@@ -201,7 +201,7 @@ def _block_cap(n_block_sites, max_cov, cell_budget):
 
 
 def exact_refine(rids, sidx, alleles, n_sites, comp, h,
-                 max_cov=15, cell_budget=600_000_000):
+                 max_cov=15, cell_budget=600_000_000, n_threads=None):
     """Per-block exact wMEC on coverage-selected reads.
 
     For every phase block, runs the exact DP (het-pinned wmec_exact_gt,
@@ -268,8 +268,11 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
 
         import os
 
-        with ThreadPoolExecutor(min(len(jobs),
-                                    max(2, os.cpu_count() or 2))) as ex:
+        # default to the machine when unconstrained; the phase→indel DAG
+        # plumbs a budget so concurrent phase tasks + feature workers
+        # don't oversubscribe cores (advisor r4)
+        budget = n_threads if n_threads else (os.cpu_count() or 2)
+        with ThreadPoolExecutor(min(len(jobs), max(2, budget))) as ex:
             solved = list(ex.map(solve, jobs))
     else:
         solved = [solve(j) for j in jobs]

@@ -836,11 +836,17 @@ def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
     hole_rid = np.zeros(0, np.int32)
     if n_holes:
         # rare path (N skip-ops): per affected read, sites in span minus
-        # observed sites
+        # observed sites. One rid-sort makes each read's observed sites
+        # an O(1) slice (a per-read boolean scan over all observations
+        # degraded to O(E * n_affected) on N-heavy windows)
         hs, hr = [], []
         per_read_holes = span - obs_cnt
+        order = np.argsort(sc.rid, kind="stable")
+        obs_by_rid = obs_site[order]
+        starts = np.searchsorted(sc.rid[order],
+                                 np.arange(n_reads + 1, dtype=sc.rid.dtype))
         for r in np.flatnonzero(per_read_holes > 0):
-            got = obs_site[sc.rid == r]
+            got = obs_by_rid[starts[r]:starts[r + 1]]
             missing = np.setdiff1d(
                 np.arange(read_lo[r], read_hi[r] + 1, dtype=np.int32), got)
             hs.append(missing)

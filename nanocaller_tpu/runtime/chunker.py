@@ -91,10 +91,15 @@ def group_adjacent_chunks(ordered_chunks, todo, span_cap):
         if cur:
             prev = cur[-1][1]
             # chunker emits start == previous end (1-based overlap-by-one
-            # parity quirk); plain disjoint adjacency groups just as well
+            # parity quirk); plain disjoint adjacency groups just as well.
+            # sam_path/tags_path must match too: group workers decode
+            # from members[0]'s source only, so a per-chunk override in a
+            # group would silently read the wrong BAM/tags (advisor r4)
             adjacent = (c["chrom"] == prev["chrom"]
                         and prev["end"] <= c["start"] <= prev["end"] + 1
-                        and c.get("ploidy") == prev.get("ploidy"))
+                        and c.get("ploidy") == prev.get("ploidy")
+                        and c.get("sam_path") == prev.get("sam_path")
+                        and c.get("tags_path") == prev.get("tags_path"))
             if not adjacent or cur_span + span > span_cap:
                 groups.append(cur)
                 cur, cur_span = [], 0

@@ -182,7 +182,8 @@ def phase_contig_worker(task):
     beat()
     result, phase_map = phase_contig(
         hiq, rw, distrust=cfg["enable_whatshap"],
-        cell_budget=cfg.get("phase_cell_budget"))
+        cell_budget=cfg.get("phase_cell_budget"),
+        n_threads=job.get("phase_threads"))
     beat()
     tags = haplotag_reads(rw, result)
 

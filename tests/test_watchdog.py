@@ -127,7 +127,10 @@ class TestCliWatchdog:
         old = os.environ.copy()
         os.environ.update(env)
         try:
-            rc = sup(cmd, str(tmp_path / "hb"), timeout=8, poll=0.5,
+            # timeout must cover child STARTUP (imports run before the
+            # first beat; ~8-10 s on slower machines) with headroom, or
+            # every child is killed before it can ever beat
+            rc = sup(cmd, str(tmp_path / "hb"), timeout=30, poll=0.5,
                      max_retries=2, log=logs.append)
         finally:
             os.environ.clear()
