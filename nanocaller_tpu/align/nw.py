@@ -141,21 +141,38 @@ def nw_cigar(query, ref, **kw):
 
 def align_pairs_host(pairs, match=20, mismatch=-10, gap_open=9, gap_extend=1):
     """Host-side batch alignment: C++ kernel (io/native) when available —
-    an exact port producing identical cigars — else the numpy DP."""
+    an exact port producing identical cigars — else the numpy DP.
+
+    Identical (q, r) pairs are aligned ONCE and the cigar reused (as a
+    fresh list per occurrence): the indel MSA aligns every read window
+    against the same consensus, and low-error read windows repeat
+    verbatim — measured ~2× pair duplication on the 45× fixture. Exact
+    by construction (the cigar is a pure function of the pair; SIMD
+    cohort recomposition cannot change it — lanes are independent,
+    tests/test_align.py)."""
+    index = {}
+    order = []
+    for pr in pairs:
+        i = index.setdefault(pr, len(index))
+        order.append(i)
+    upairs = list(index)
     try:
         from ..io.native import nw_batch_native
     except Exception:
         nw_batch_native = None
-    if nw_batch_native is not None and pairs:
-        qcodes = [_codes(q) for q, _ in pairs]
-        rcodes = [_codes(r) for _, r in pairs]
+    ucigars = None
+    if nw_batch_native is not None and upairs:
+        qcodes = [_codes(q) for q, _ in upairs]
+        rcodes = [_codes(r) for _, r in upairs]
         out = nw_batch_native(qcodes, rcodes, match, mismatch, gap_open,
                               gap_extend)
         if out is not None:
-            return out[0]
-    return [nw_align(q, r, match=match, mismatch=mismatch,
-                     gap_open=gap_open, gap_extend=gap_extend)[1]
-            for q, r in pairs]
+            ucigars = out[0]
+    if ucigars is None:
+        ucigars = [nw_align(q, r, match=match, mismatch=mismatch,
+                            gap_open=gap_open, gap_extend=gap_extend)[1]
+                   for q, r in upairs]
+    return [list(ucigars[i]) for i in order]
 
 
 def cigar_to_strings(cigar, query, ref):
