@@ -101,6 +101,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+        lib.ncio_select_connectivity.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.ncio_wmec.restype = ctypes.c_int32
         lib.ncio_wmec.argtypes = [
             ctypes.c_int32, ctypes.c_int32,
@@ -610,6 +615,30 @@ def rans_compress_native(data, order):
     if rc != 0:
         return None
     return out[: int(out_len[0])].tobytes()
+
+
+def select_connectivity_native(first, last, cnt, multi, S, max_cov,
+                               n_reads):
+    """C++ connectivity-first selection loop
+    (phase/wmec.select_reads_connectivity); returns taken bool[n_reads]
+    or None when the library is unavailable. Bit-identical to the
+    Python lazy-rescoring heap (strict total key order; pinned by
+    tests/test_wmec_prod.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    first = np.ascontiguousarray(first, np.int64)
+    last = np.ascontiguousarray(last, np.int64)
+    cnt = np.ascontiguousarray(cnt, np.int64)
+    multi = np.ascontiguousarray(multi, np.int64)
+    taken = np.zeros(n_reads, np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ncio_select_connectivity(
+        first.ctypes.data_as(i64p), last.ctypes.data_as(i64p),
+        cnt.ctypes.data_as(i64p), multi.ctypes.data_as(i64p),
+        len(multi), int(S), int(max_cov),
+        taken.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return taken.astype(bool)
 
 
 def select_greedy_native(order, first, last, S, max_cov, n_reads):

@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <queue>
 #include <string>
 #include <thread>
 #include <vector>
@@ -2868,6 +2869,61 @@ void ncio_select_greedy(const int64_t* order, int64_t n_order,
     if (mx < max_cov) {
       for (int64_t j = f; j < l; j++) active[j]++;
       taken[r] = 1;
+    }
+  }
+}
+
+// Connectivity-first whatshap-style selection
+// (phase/wmec.select_reads_connectivity hot loop): lazy-rescoring heap
+// over multi-site reads, score = number of still-unlinked ADJACENT site
+// pairs in the read's span, ties by (#obs, span, -rid). Bit-identical
+// to the Python heapq loop by construction: the key order is a strict
+// total order (rid unique), so both always pop the same element.
+void ncio_select_connectivity(const int64_t* first, const int64_t* last,
+                              const int64_t* cnt, const int64_t* multi,
+                              int64_t n_multi, int64_t S, int32_t max_cov,
+                              uint8_t* taken) {
+  std::vector<int32_t> active(size_t(S), 0);
+  std::vector<int32_t> link(size_t(S > 1 ? S - 1 : 1), 0);
+  struct Ent {
+    int64_t nsc, ncnt, nspan, r;  // negated keys, python-tuple order
+  };
+  auto after = [](const Ent& a, const Ent& b) {
+    // std::priority_queue pops the comp-maximum; return true when a is
+    // tuple-GREATER than b so the top is the tuple-minimum (heapq pop)
+    if (a.nsc != b.nsc) return a.nsc > b.nsc;
+    if (a.ncnt != b.ncnt) return a.ncnt > b.ncnt;
+    if (a.nspan != b.nspan) return a.nspan > b.nspan;
+    return a.r > b.r;
+  };
+  std::priority_queue<Ent, std::vector<Ent>, decltype(after)> heap(after);
+  auto score = [&](int64_t r) -> int64_t {
+    int64_t f = first[r], l = last[r];
+    if (l <= f) return 0;
+    int64_t s = 0;
+    for (int64_t j = f; j < l; j++) s += (link[j] == 0);
+    return s;
+  };
+  for (int64_t k = 0; k < n_multi; k++) {
+    const int64_t r = multi[k];
+    heap.push({-score(r), -cnt[r], -(last[r] - first[r]), r});
+  }
+  while (!heap.empty()) {
+    Ent e = heap.top();
+    heap.pop();
+    const int64_t cur = score(e.r);
+    if (-e.nsc != cur) {
+      heap.push({-cur, e.ncnt, e.nspan, e.r});
+      continue;
+    }
+    const int64_t f = first[e.r], l = last[e.r] + 1;
+    int32_t mx = 0;
+    for (int64_t j = f; j < l; j++)
+      if (active[j] > mx) mx = active[j];
+    if (mx < max_cov) {
+      for (int64_t j = f; j < l; j++) active[j]++;
+      for (int64_t j = f; j < l - 1; j++) link[j]++;
+      taken[e.r] = 1;
     }
   }
 }

@@ -100,6 +100,19 @@ def select_reads(rids, sidx, n_reads, max_cov=15):
     return taken[rids]
 
 
+def select_reads_production(rids, sidx, n_reads, max_cov=15):
+    """PRODUCTION read selection = connectivity-first (round 5).
+
+    tools/selector_divergence.py measures connectivity-first as
+    never-worse than the default greedy order and strictly less
+    fragmenting on long spans (identical in the common regime), and the
+    native loop costs within ~15% of greedy at whole-contig scale
+    (26.7 vs 23.7 ms at 50k sites / 760k obs) — so production phasing
+    now selects by connectivity (VERDICT r4 next-6). `select_reads`
+    (greedy) remains the differential baseline."""
+    return select_reads_connectivity(rids, sidx, n_reads, max_cov=max_cov)
+
+
 def select_reads_connectivity(rids, sidx, n_reads, max_cov=15):
     """whatshap-style CONNECTIVITY-FIRST read selection.
 
@@ -136,6 +149,15 @@ def select_reads_connectivity(rids, sidx, n_reads, max_cov=15):
     if not len(multi):
         return np.zeros(K, bool)
     S = int(sidx.max()) + 1
+    try:
+        from ..io.native import select_connectivity_native
+
+        taken_n = select_connectivity_native(first, last, cnt, multi, S,
+                                             max_cov, n_reads)
+    except Exception:
+        taken_n = None
+    if taken_n is not None:
+        return taken_n[rids]
     active = np.zeros(S, np.int32)
     # link[j] = selected reads spanning the (j, j+1) adjacency
     link = np.zeros(max(S - 1, 1), np.int32)
@@ -219,7 +241,7 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
     sidx = np.asarray(sidx)
     alleles = np.asarray(alleles)
     n_reads = int(rids.max()) + 1
-    keep = select_reads(rids, sidx, n_reads, max_cov=max_cov)
+    keep = select_reads_production(rids, sidx, n_reads, max_cov=max_cov)
     sizes = np.bincount(comp, minlength=n_sites)
     comp_of_obs = comp[sidx]
 
@@ -236,8 +258,8 @@ def exact_refine(rids, sidx, alleles, n_sites, comp, h,
             # merge every out-of-block observation into read 0 and
             # corrupt its count/span)
             idx_c = np.flatnonzero(in_c)
-            sub = select_reads(rids[idx_c], sidx[idx_c], n_reads,
-                               max_cov=cap)
+            sub = select_reads_production(rids[idx_c], sidx[idx_c], n_reads,
+                                          max_cov=cap)
             sel = np.zeros_like(in_c)
             sel[idx_c[sub]] = True
         if not sel.any():
@@ -488,7 +510,8 @@ def phase_distrust(rw, het_pos, het_ref, het_alt, hom_pos, hom_ref, hom_alt,
     rids, sidx, alleles = build_allele_matrix(rw, pos, refc, altc)
     comp = components(rids, sidx, S) if len(rids) else np.arange(S)
     sizes = np.bincount(comp, minlength=S) if S else np.zeros(0, np.int64)
-    keep = select_reads(rids, sidx, rw.n_reads, max_cov=max_cov) \
+    keep = select_reads_production(rids, sidx, rw.n_reads,
+                                   max_cov=max_cov) \
         if len(rids) else np.zeros(0, bool)
     gq_units = default_gq / _obs_weight(eps)
 
@@ -503,8 +526,8 @@ def phase_distrust(rw, het_pos, het_ref, het_alt, hom_pos, hom_ref, hom_alt,
         sel = keep & in_c
         if cap < max_cov:
             idx_c = np.flatnonzero(in_c)
-            sub = select_reads(rids[idx_c], sidx[idx_c], rw.n_reads,
-                               max_cov=cap)
+            sub = select_reads_production(rids[idx_c], sidx[idx_c],
+                                          rw.n_reads, max_cov=cap)
             sel = np.zeros_like(in_c)
             sel[idx_c[sub]] = True
         if not sel.any():
