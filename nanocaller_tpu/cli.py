@@ -66,6 +66,10 @@ def build_parser():
                       help="disable the deduplicated chunk transfer for "
                            "SNP inference (ship dense per-candidate "
                            "matrices instead; debug/oracle path)")
+    cfgg.add_argument("--no_snp_group_payload", action="store_true",
+                      help="disable group-level SNP device payloads "
+                           "(ship one payload per 500 kb member instead "
+                           "of one per decode group; debug path)")
     cfgg.add_argument("--profile", action="store_true",
                       help="Capture a jax.profiler trace of the SNP stage "
                            "into OUTPUT/trace (view with XProf).")
@@ -161,7 +165,9 @@ def config_from_args(argv=None):
         shard_index=args.shard_index, coordinator=args.coordinator,
         num_processes=args.num_processes, process_id=args.process_id,
         profile=args.profile, skip_phased_bam=args.skip_phased_bam,
-        dedup_transfer=not args.no_dedup_transfer, watchdog=args.watchdog,
+        dedup_transfer=not args.no_dedup_transfer,
+        snp_group_payload=not args.no_snp_group_payload,
+        watchdog=args.watchdog,
         phased_bam_compression=args.phased_bam_compression)
     cfg._merge_shards = args.merge_shards
     if args.preset:

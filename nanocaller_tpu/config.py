@@ -62,11 +62,21 @@ class Config:
     # curves behind this choice.
     phase_cell_budget: int = 600_000_000
     # framework extras (not in reference)
-    batch_size: int = 1024  # padded device batch for SNP inference
+    # padded per-device batch for SNP inference. 4096 (round 5): the
+    # tunnel's ~0.5 ms per-launch latency makes sites-per-launch the
+    # streamed-kernel throughput lever (1024 → 1.3M sites/s resident,
+    # 4096 → 7.6-8.8M, 8192 → 16.5-17.7M = the device ceiling); 4096
+    # balances that against per-launch transients (the group kernel's
+    # (batch × reads) masks) and padding waste on small cohorts.
+    batch_size: int = 4096
     # deduplicated chunk transfer for the SNP device path (shared
     # site×read observations shipped once per chunk + on-device gather);
     # False restores dense per-candidate batches (oracle path)
     dedup_transfer: bool = True
+    # group-level SNP device payload: one observation table per decode
+    # group (2.5-6 Mb) instead of one per 500 kb member; False restores
+    # per-member payloads (differential/debug path)
+    snp_group_payload: bool = True
     suppress_progress: bool = False
     verbose: bool = False
     skip_phased_bam: bool = False  # skip the per-contig phased BAM artifact

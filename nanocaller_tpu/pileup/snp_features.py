@@ -448,7 +448,7 @@ def _member_window(rw_g: ReadWindow, contig, m_lo, m_hi):
         seqs=[])
 
 
-def scan_chunk_group(
+def _scan_group(
     bam,
     fasta,
     members,
@@ -461,20 +461,12 @@ def scan_chunk_group(
     threshold=(0.4, 0.6),
     exclude=None,
 ):
-    """Scan several coordinate-adjacent chunks off ONE decoded window.
-
-    Adjacent 500 kb chunks each re-decode their ±50 kb halos and pay the
-    per-window BAM/index fixed costs; decoding the group's union window
-    once cuts the dominant host term of the SNP stage (~20% halo
-    re-decode + per-window setup, VERDICT r3 next-1a). Each member's
-    scan still runs over exactly its own ±SNP_HALO window with its own
-    read-id space (see _member_window), so every produced array — and
-    therefore the VCF — is byte-identical to per-chunk scans
-    (tests/test_snp_group.py).
-
-    members: list of chunk dicts (same contig; 'ploidy' per member).
-    Returns a list of SnpChunkScan | None aligned with members.
-    """
+    """Shared body of the group scan: per-member SnpChunkScans off ONE
+    decoded window, plus the group-level intermediates the group-payload
+    assembler consumes (the group ReadWindow, reference codes and member
+    scan windows). Returns (scans, rw_g, ref_codes_g, g_lo, windows)
+    where scans/windows align with members; rw_g is None when no member
+    yielded candidates."""
     contig = members[0]["chrom"]
     g_lo = max(0, min(m["start"] for m in members) - 1 - SNP_HALO)
     g_hi = max(m["end"] for m in members) + SNP_HALO
@@ -508,10 +500,11 @@ def scan_chunk_group(
             site_parts.append(p1.nbr_pos)
             site_parts.append(p1.cand_pos)
 
+    windows = [(m_lo, m_hi) for m_lo, m_hi, _, _ in p1s]
     if not site_parts:
         if dd is not None:
             dd.close()
-        return [None] * len(members)
+        return [None] * len(members), None, ref_codes_g, g_lo, windows
     if dd is not None:
         all_sites = np.unique(np.concatenate(site_parts))
         rw_g = dd.finish(all_sites)
@@ -523,7 +516,41 @@ def scan_chunk_group(
             continue
         rw_m = _member_window(rw_g, contig, m_lo, m_hi)
         out.append(_scan_phase2(contig, m_lo, ref_m, rw_m, p1))
-    return out
+    return out, rw_g, ref_codes_g, g_lo, windows
+
+
+def scan_chunk_group(
+    bam,
+    fasta,
+    members,
+    *,
+    seq_type="ont",
+    mincov=4,
+    maxcov=160,
+    min_allele_freq=0.15,
+    min_nbr_sites=1,
+    threshold=(0.4, 0.6),
+    exclude=None,
+):
+    """Scan several coordinate-adjacent chunks off ONE decoded window.
+
+    Adjacent 500 kb chunks each re-decode their ±50 kb halos and pay the
+    per-window BAM/index fixed costs; decoding the group's union window
+    once cuts the dominant host term of the SNP stage (~20% halo
+    re-decode + per-window setup, VERDICT r3 next-1a). Each member's
+    scan still runs over exactly its own ±SNP_HALO window with its own
+    read-id space (see _member_window), so every produced array — and
+    therefore the VCF — is byte-identical to per-chunk scans
+    (tests/test_snp_group.py).
+
+    members: list of chunk dicts (same contig; 'ploidy' per member).
+    Returns a list of SnpChunkScan | None aligned with members.
+    """
+    scans, _rw, _ref, _lo, _w = _scan_group(
+        bam, fasta, members, seq_type=seq_type, mincov=mincov,
+        maxcov=maxcov, min_allele_freq=min_allele_freq,
+        min_nbr_sites=min_nbr_sites, threshold=threshold, exclude=exclude)
+    return scans
 
 
 def get_snp_candidates(
@@ -766,26 +793,17 @@ def get_snp_chunk_features(
     return _assemble_chunk_features(scan, maxcov, seq_type)
 
 
-def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
-    """Build the deduplicated transfer arrays from a completed scan
-    (dense fallback for monster site×read tables)."""
-    sc = scan.sc
-    S = len(scan.union_sites)
-    n_reads = scan.rw.n_reads
-    if (S + 1) * max(n_reads, 1) > _TABLE_CELL_CAP:
-        return _assemble_dense(scan, maxcov)
+def _encode_interval_exceptions(sc, n_reads, S):
+    """Interval + exception + top-2-bitmask encoding of a SiteCodes
+    observation set (SnpChunkFeatures docstring): per-read observed-site
+    span, per-site top-2 codes, one bit per covered cell selecting
+    top-2, explicit exceptions for the residue, and the rare in-span
+    unobserved (site, rid) holes. Shared by the per-chunk wire format
+    and the group-level payload (identical array semantics).
 
-    ev_dtype = np.uint16 if n_reads < (1 << 13) else np.uint32
-    site_ref = scan.ref_codes[scan.union_sites - scan.scan_start].astype(
-        np.int8)
-    cand_site = scan.cand_site_i.astype(np.int32)
-    nbr_pos = scan.nbr_pos.astype(np.int32)
-    nbr_union = np.searchsorted(scan.union_sites,
-                                scan.nbr_pos).astype(np.int32)
-
-    # interval + exception encoding of the CSR observations (class
-    # docstring): per-read observed-site span, non-ref obs as a site-CSR,
-    # and the rare in-span unobserved (site, rid) holes
+    Returns (read_lo, read_hi, site_major, site_minor, minor_bits,
+    exc_site, exc_rid, exc_code, hole_site, hole_rid) — exceptions
+    sorted by (site, rid) since the SiteCodes triplets are."""
     obs_site = np.repeat(np.arange(S, dtype=np.int64),
                          np.diff(sc.indptr)).astype(np.int32)
     read_lo = np.full(n_reads, np.iinfo(np.int32).max, np.int32)
@@ -826,10 +844,9 @@ def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
                          (1 << (bit & 7)).astype(np.uint8))
 
     exc = (sc.code != site_major[obs_site]) & ~is_minor
-    exc_packed = ((sc.rid[exc].astype(np.int64) << 3)
-                  | sc.code[exc].astype(np.int64)).astype(ev_dtype)
-    exc_indptr = np.searchsorted(
-        obs_site[exc], np.arange(S + 1, dtype=np.int32)).astype(np.int32)
+    exc_site = obs_site[exc]
+    exc_rid = sc.rid[exc]
+    exc_code = sc.code[exc]
     span = np.where(obs_cnt > 0, read_hi - read_lo + 1, 0)
     n_holes = int(span.sum() - len(obs_site))
     hole_site = np.zeros(0, np.int32)
@@ -853,7 +870,37 @@ def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
             hr.append(np.full(len(missing), r, np.int32))
         hole_site = np.concatenate(hs).astype(np.int32)
         hole_rid = np.concatenate(hr)
+    return (read_lo, read_hi, site_major, site_minor, minor_bits,
+            exc_site, exc_rid, exc_code, hole_site, hole_rid)
 
+
+def _assemble_chunk_features(scan: SnpChunkScan, maxcov, seq_type):
+    """Build the deduplicated transfer arrays from a completed scan
+    (dense fallback for monster site×read tables)."""
+    sc = scan.sc
+    S = len(scan.union_sites)
+    n_reads = scan.rw.n_reads
+    if (S + 1) * max(n_reads, 1) > _TABLE_CELL_CAP:
+        return _assemble_dense(scan, maxcov)
+
+    ev_dtype = np.uint16 if n_reads < (1 << 13) else np.uint32
+    site_ref = scan.ref_codes[scan.union_sites - scan.scan_start].astype(
+        np.int8)
+    cand_site = scan.cand_site_i.astype(np.int32)
+    nbr_pos = scan.nbr_pos.astype(np.int32)
+    nbr_union = np.searchsorted(scan.union_sites,
+                                scan.nbr_pos).astype(np.int32)
+
+    # interval + exception encoding of the CSR observations (class
+    # docstring): per-read observed-site span, non-ref obs as a site-CSR,
+    # and the rare in-span unobserved (site, rid) holes
+    (read_lo, read_hi, site_major, site_minor, minor_bits,
+     exc_site, exc_rid, exc_code, hole_site, hole_rid) = \
+        _encode_interval_exceptions(sc, n_reads, S)
+    exc_packed = ((exc_rid.astype(np.int64) << 3)
+                  | exc_code.astype(np.int64)).astype(ev_dtype)
+    exc_indptr = np.searchsorted(
+        exc_site, np.arange(S + 1, dtype=np.int32)).astype(np.int32)
     counts_c = scan.counts_c
     deep_idx = np.flatnonzero(counts_c > maxcov)
     deep_rids = np.zeros((len(deep_idx), maxcov), np.int32)
@@ -932,6 +979,230 @@ def get_snp_group_features(
         else:
             out.append(_assemble_chunk_features(scan, maxcov, seq_type))
     return out
+
+
+@dataclass
+class SnpGroupMember:
+    """Per-member section of a group-level payload (SnpGroupFeatures).
+
+    Candidate/site indices live in the GROUP union-site space; device
+    batches still stream per member semantics (own read-axis bucket,
+    own neighbor window clamp, own coverage normalizer), which keeps
+    probabilities bitwise-identical to the per-chunk path. Also carries
+    the SnpBatch-compatible host decode fields."""
+
+    contig: str
+    ploidy: str
+    cand_site: np.ndarray  # int32[B] GROUP union-site index
+    cand_pos32: np.ndarray  # int32[B]
+    # clamp of on-device neighbor selection to this member's scan
+    # window: indices into the group nbr arrays (nbr_pos[nbr_lo:nbr_hi]
+    # == the member's own neighbor-site list, verified at assembly)
+    nbr_lo: int
+    nbr_hi: int
+    deep_idx: np.ndarray  # int64[Bd]
+    deep_rids: np.ndarray  # int32[Bd, maxcov] GROUP read ids (ascending)
+    # host-side decode fields (SnpBatch protocol)
+    pos: np.ndarray
+    center_ref: np.ndarray
+    dp: np.ndarray
+    freq: np.ndarray
+    fwd_dp: np.ndarray
+    rev_dp: np.ndarray
+    sampled_depth: np.ndarray
+    nbr_counts: np.ndarray
+    maxcov: int = 160
+
+    @property
+    def coverage(self):
+        return float(np.mean(self.sampled_depth)) if len(self.pos) else 0.0
+
+    def __len__(self):
+        return len(self.pos)
+
+
+@dataclass
+class SnpGroupFeatures:
+    """GROUP-level deduplicated device payload (VERDICT r4 next-1).
+
+    One interval+exception+bitmask observation table per 2.5-6 Mb decode
+    group instead of one per 500 kb member: the per-member payload
+    device_put round trips and per-member site×read table rebuilds were
+    the residual terms holding the streamed SNP kernel at ~25% of its
+    device-resident ceiling. The group payload ships ONCE; candidate
+    batches then compute each (site, read) cell code directly from the
+    compressed representation — interval test + top-2 bit + exception
+    CSR binary search — with no dense table in HBM at all, so group size
+    is not limited by the member path's _TABLE_CELL_CAP.
+
+    Bitwise-safety: probabilities depend only on the gathered cell
+    VALUES and the (batch, read-axis) shapes (proven by the fused-vs-
+    split and dedup-vs-dense identity suites); covering-read sets,
+    their ascending order, and all cell codes are preserved exactly
+    under the member→group id remap (tests/test_snp_group.py pins VCF
+    byte-identity against the per-chunk path).
+    """
+
+    contig: str
+    seq_type: str
+    maxcov: int
+    n_reads: int
+    # observation wire (group union-site space; class docstring of
+    # SnpChunkFeatures describes the cell-code semantics)
+    read_lo: np.ndarray  # int32[N] first observed union-site index
+    read_hi: np.ndarray  # int32[N] last observed union-site index (incl.)
+    site_ref: np.ndarray  # int8[S]
+    site_major: np.ndarray  # int8[S]
+    site_minor: np.ndarray  # int8[S]
+    minor_bits: np.ndarray  # uint8[ceil(total_span/8)]
+    exc_site: np.ndarray  # int32[E] sorted by (site, rid)
+    exc_rid: np.ndarray  # int32[E]
+    exc_code: np.ndarray  # int8[E]
+    hole_site: np.ndarray  # int32[H] sorted by (site, rid)
+    hole_rid: np.ndarray  # int32[H]
+    nbr_pos: np.ndarray  # int32[M] sorted neighbor site positions (union)
+    nbr_union: np.ndarray  # int32[M] group union-site index per neighbor
+    members: list  # [(orig_idx, SnpGroupMember)]
+
+    def __len__(self):
+        return sum(len(m) for _, m in self.members)
+
+
+# group-payload feasibility caps: the per-batch candidate-row mask is
+# (batch, n_reads)-shaped on device (bs 4096 × 32768 reads = a 512 MB
+# int32 rank transient, measured fine at 0.78 ms/launch), and site/
+# exception arrays ship as int32 — keep the payload in a regime where
+# both stay cheap. Groups beyond these fall back to per-member payloads
+# (correctness identical).
+_GROUP_MAX_READS = 1 << 15
+_GROUP_MAX_SITES = 1 << 19
+
+
+def get_snp_group_payload(
+    bam,
+    fasta,
+    members,
+    *,
+    seq_type="ont",
+    mincov=4,
+    maxcov=160,
+    min_allele_freq=0.15,
+    min_nbr_sites=1,
+    threshold=(0.4, 0.6),
+    exclude=None,
+):
+    """Scan a group off one decoded window and build the GROUP-level
+    payload. Returns SnpGroupFeatures, or the per-member feature list
+    (get_snp_group_features semantics) when the group is empty or
+    exceeds the payload caps — callers dispatch on the type."""
+    scans, rw_g, ref_codes_g, g_lo, windows = _scan_group(
+        bam, fasta, members, seq_type=seq_type, mincov=mincov,
+        maxcov=maxcov, min_allele_freq=min_allele_freq,
+        min_nbr_sites=min_nbr_sites, threshold=threshold, exclude=exclude)
+
+    def fallback():
+        out = []
+        for m, scan in zip(members, scans):
+            if scan is None:
+                out.append(_empty_chunk_features(m["chrom"], maxcov))
+            else:
+                out.append(_assemble_chunk_features(scan, maxcov, seq_type))
+        return out
+
+    if rw_g is None or all(s is None for s in scans):
+        return fallback()
+    gf = _assemble_group_payload(members, scans, rw_g, ref_codes_g, g_lo,
+                                 windows, maxcov, seq_type)
+    return gf if gf is not None else fallback()
+
+
+def _assemble_group_payload(members, scans, rw_g, ref_codes_g, g_lo,
+                            windows, maxcov, seq_type):
+    """Build SnpGroupFeatures from a completed group scan; None when a
+    feasibility cap or a cross-check fails (caller falls back)."""
+    contig = members[0]["chrom"]
+    live = [s for s in scans if s is not None]
+    union_g = np.unique(np.concatenate([s.union_sites for s in live]))
+    S = len(union_g)
+    n_reads = rw_g.n_reads
+    if n_reads > _GROUP_MAX_READS or S > _GROUP_MAX_SITES:
+        return None
+    sc_g = SiteCodes(rw_g, union_g)
+    (read_lo, read_hi, site_major, site_minor, minor_bits,
+     exc_site, exc_rid, exc_code, hole_site, hole_rid) = \
+        _encode_interval_exceptions(sc_g, n_reads, S)
+    site_ref = ref_codes_g[union_g - g_lo].astype(np.int8)
+    nbr_pos_g = np.unique(np.concatenate([s.nbr_pos for s in live])) \
+        if any(len(s.nbr_pos) for s in live) else np.zeros(0, np.int64)
+    nbr_union_g = np.searchsorted(union_g, nbr_pos_g).astype(np.int32)
+
+    out_members = []
+    for m, scan, (m_lo, m_hi) in zip(members, scans, windows):
+        if scan is None:
+            out_members.append((m, None))
+            continue
+        cand_site = np.searchsorted(union_g, scan.cand_pos).astype(np.int32)
+        nbr_lo = int(np.searchsorted(nbr_pos_g, m_lo))
+        nbr_hi = int(np.searchsorted(nbr_pos_g, m_hi))
+        # the member's own neighbor list must equal its window slice of
+        # the group list (guaranteed by phase1's pure per-column
+        # thresholds; verified defensively — a mismatch means fallback,
+        # not silent divergence)
+        if not np.array_equal(nbr_pos_g[nbr_lo:nbr_hi], scan.nbr_pos):
+            return None
+        counts_c = scan.counts_c
+        deep_idx = np.flatnonzero(counts_c > maxcov)
+        deep_rids = np.zeros((len(deep_idx), maxcov), np.int32)
+        for k, i in enumerate(deep_idx):
+            # same position-keyed RNG stream as the per-chunk/dense
+            # paths; pick indices address the site's ascending covering-
+            # read list, so the same PHYSICAL reads are sampled
+            rids_g, _codes = sc_g.at(int(cand_site[i]))
+            if len(rids_g) != int(counts_c[i]):
+                return None
+            rng = np.random.default_rng((812 << 32) | int(scan.cand_pos[i]))
+            pick = rng.choice(int(counts_c[i]), size=maxcov, replace=False)
+            pick.sort()
+            deep_rids[k] = rids_g[pick]
+        out_members.append((m, SnpGroupMember(
+            contig=contig,
+            ploidy=m.get("ploidy", "diploid"),
+            cand_site=cand_site,
+            cand_pos32=scan.cand_pos.astype(np.int32),
+            nbr_lo=nbr_lo,
+            nbr_hi=nbr_hi,
+            deep_idx=deep_idx,
+            deep_rids=deep_rids,
+            pos=scan.cand_pos,
+            center_ref=site_ref[cand_site].copy(),
+            dp=scan.dp,
+            freq=scan.freq,
+            fwd_dp=scan.fwd_dp,
+            rev_dp=scan.rev_dp,
+            sampled_depth=np.minimum(counts_c, maxcov).astype(np.int32),
+            nbr_counts=scan.nbr_counts,
+            maxcov=maxcov,
+        )))
+    return SnpGroupFeatures(
+        contig=contig,
+        seq_type=seq_type,
+        maxcov=maxcov,
+        n_reads=n_reads,
+        read_lo=read_lo,
+        read_hi=read_hi,
+        site_ref=site_ref,
+        site_major=site_major,
+        site_minor=site_minor,
+        minor_bits=minor_bits,
+        exc_site=exc_site.astype(np.int32),
+        exc_rid=exc_rid.astype(np.int32),
+        exc_code=exc_code.astype(np.int8),
+        hole_site=hole_site,
+        hole_rid=hole_rid,
+        nbr_pos=nbr_pos_g.astype(np.int32),
+        nbr_union=nbr_union_g,
+        members=out_members,
+    )
 
 
 def _empty_chunk_features(contig, maxcov):

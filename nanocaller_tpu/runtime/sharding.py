@@ -67,11 +67,16 @@ def dp_scale(batch_size, mesh):
     return batch_size * mesh.shape["dp"]
 
 
-def shard_batch(args, mesh):
-    """device_put batch-leading arrays over 'dp'; no-op without a mesh."""
+def shard_batch(args, mesh, axis=0):
+    """device_put arrays over 'dp' on the given axis (default: batch-
+    leading); no-op without a mesh. axis=1 serves the cohort-scan
+    launch, whose leading axis is the scan trip count."""
     if mesh is None:
         return args
-    bshard = batch_sharding(mesh)
+    if axis == 0:
+        bshard = batch_sharding(mesh)
+    else:
+        bshard = NamedSharding(mesh, P(*([None] * axis + ["dp"])))
     return tuple(jax.device_put(a, bshard) for a in args)
 
 

@@ -58,22 +58,40 @@ def snp_features_worker(task):
 
 
 def snp_features_group_worker(task):
-    """(idx, [(orig_idx, chunk), ...]) → (idx, [(orig_idx, feats), ...]).
+    """(idx, [(orig_idx, chunk), ...]) → (idx, result).
 
     Coordinate-adjacent chunks decode their shared window ONCE
-    (pileup/snp_features.scan_chunk_group): same per-member outputs as
-    snp_features_worker, minus the ±50 kb halo re-decode and per-window
-    fixed costs."""
+    (pileup/snp_features.scan_chunk_group). result is a GROUP-level
+    SnpGroupFeatures payload by default (one observation table per
+    decode group, members carrying orig indices), or the per-member
+    [(orig_idx, feats), ...] list when group payloads are disabled
+    (cfg['snp_group_payload']=False), the group is empty, or it exceeds
+    the payload caps — same per-member outputs as snp_features_worker
+    either way."""
     idx, group = task
-    from ..pileup.snp_features import get_snp_group_features
+    from ..pileup.snp_features import (SnpGroupFeatures,
+                                       get_snp_group_features,
+                                       get_snp_group_payload)
 
     cfg = _G["cfg"]
-    feats = get_snp_group_features(
-        _G["bam"], _G["fasta"], [c for _, c in group],
+    kw = dict(
         seq_type=cfg["sequencing"], mincov=cfg["mincov"],
         maxcov=cfg["maxcov"], min_allele_freq=cfg["min_allele_freq"],
         min_nbr_sites=cfg["min_nbr_sites"], threshold=cfg["threshold"],
-        exclude=_G["exclude"], dedup=cfg.get("dedup_transfer", True))
+        exclude=_G["exclude"])
+    if cfg.get("dedup_transfer", True) \
+            and cfg.get("snp_group_payload", True):
+        res = get_snp_group_payload(
+            _G["bam"], _G["fasta"], [c for _, c in group], **kw)
+        if isinstance(res, SnpGroupFeatures):
+            res.members = [(oi, sec) for (oi, _), (_m, sec)
+                           in zip(group, res.members)]
+            return idx, res
+        feats = res  # fallback: per-member feature list
+    else:
+        feats = get_snp_group_features(
+            _G["bam"], _G["fasta"], [c for _, c in group],
+            dedup=cfg.get("dedup_transfer", True), **kw)
     return idx, [(oi, f) for (oi, _), f in zip(group, feats)]
 
 
@@ -218,6 +236,7 @@ def cfg_kwargs_for_workers(cfg):
         small_win_size=cfg.small_win_size,
         impute_indel_phase=cfg.impute_indel_phase,
         dedup_transfer=getattr(cfg, "dedup_transfer", True),
+        snp_group_payload=getattr(cfg, "snp_group_payload", True),
         phase_qual_score=cfg.phase_qual_score,
         phase_cell_budget=getattr(cfg, "phase_cell_budget", None),
         enable_whatshap=cfg.enable_whatshap)

@@ -414,6 +414,365 @@ def _snp_forward_chunk_fused(params, read_lo, read_hi, site_ref,
                                 site_of_col, rid, read_mask, norm, haploid)
 
 
+def _device_select_neighbors_clamped(cand_site, cand_pos, nbr_pos,
+                                     nbr_union, seq_type, lo_c, hi_c):
+    """_device_select_neighbors against GROUP-level neighbor arrays,
+    with per-candidate window clamps [lo_c, hi_c) restricting selection
+    to the candidate's own member scan window. Since the member's
+    neighbor list equals nbr_pos[lo_c:hi_c] (verified at assembly), the
+    clamped searchsorted indices translate the member kernel's exactly —
+    the same physical sites are selected in the same band order."""
+    sched = BAND_SCHEDULES[seq_type]
+    B = cand_site.shape[0]
+    M = nbr_union.shape[0]
+    lo_c = lo_c.astype(jnp.int32)
+    hi_c = hi_c.astype(jnp.int32)
+    soc = jnp.full((B, WIDTH + 1), -1, jnp.int32)
+    for side in ("left", "right"):
+        sel_parts, val_parts = [], []
+        for lo_off, hi_off, k, take in sched[side]:
+            i0 = jnp.searchsorted(nbr_pos, cand_pos + lo_off, side="left")
+            i1 = jnp.searchsorted(nbr_pos, cand_pos + hi_off, side="left")
+            i0 = jnp.clip(i0.astype(jnp.int32), lo_c, hi_c)
+            i1 = jnp.clip(i1.astype(jnp.int32), lo_c, hi_c)
+            cnt = jnp.minimum(i1 - i0, k).astype(jnp.int32)
+            start = i0 if take == "first" else i1 - cnt
+            ranks = jnp.arange(k, dtype=jnp.int32)
+            idx = start[:, None].astype(jnp.int32) + ranks[None, :]
+            valid = ranks[None, :] < cnt[:, None]
+            sel_parts.append(jnp.where(valid, idx, 0))
+            val_parts.append(valid)
+        sel = jnp.concatenate(sel_parts, axis=1)
+        val = jnp.concatenate(val_parts, axis=1)
+        order = jnp.argsort(~val, axis=1, stable=True)
+        sel = jnp.take_along_axis(sel, order, axis=1)
+        val = jnp.take_along_axis(val, order, axis=1)
+        n = val.sum(axis=1).astype(jnp.int32)
+        ranks = jnp.arange(sel.shape[1], dtype=jnp.int32)
+        if side == "left":
+            cols = CENTER - n[:, None] + ranks[None, :]
+        else:
+            cols = jnp.broadcast_to(CENTER + 1 + ranks[None, :], sel.shape)
+        uni = nbr_union[jnp.clip(sel, 0, max(M - 1, 0))].astype(jnp.int32)
+        cols_w = jnp.where(val, cols, WIDTH)
+        soc = soc.at[jnp.arange(B)[:, None], cols_w].set(
+            jnp.where(val, uni, -1))
+    soc = soc[:, :WIDTH]
+    return soc.at[:, CENTER].set(cand_site.astype(jnp.int32))
+
+
+def _lower_bound_rows(keys, lo, hi, q, iters, k_pad):
+    """Vectorized lower_bound of q within keys[lo:hi) (CSR row slices).
+
+    lo/hi/q: broadcast-compatible int32 arrays. `iters` must be ≥
+    ceil(log2(max row length)) + 1 (callers use n_pad.bit_length();
+    rows never exceed the read count). Returns the insertion index."""
+    shape = jnp.broadcast_shapes(lo.shape, hi.shape, q.shape)
+    lo_b = jnp.broadcast_to(lo, shape).astype(jnp.int32)
+    hi_b = jnp.broadcast_to(hi, shape).astype(jnp.int32)
+    for _ in range(iters):
+        active = lo_b < hi_b
+        mid = (lo_b + hi_b) >> 1
+        v = keys[jnp.clip(mid, 0, k_pad - 1)].astype(jnp.int32)
+        less = v < q
+        lo_b = jnp.where(active & less, mid + 1, lo_b)
+        hi_b = jnp.where(active & ~less, mid, hi_b)
+    return lo_b
+
+
+def _group_cell_codes(read_lo, read_hi, minor_bits, major_ext, minor_ext,
+                      exc_indptr, exc_rid, exc_code, hole_indptr, hole_rid,
+                      site_sel, rid, s_pad, iters):
+    """Cell codes for (site_sel[b, w], rid[b, r]) straight from the
+    interval+exception wire format — no dense site×read table is ever
+    materialized (the group-payload design, SnpGroupFeatures docstring):
+
+        covered  = read_lo[q] ≤ s ≤ read_hi[q]  minus the hole CSR
+        code     = exception CSR hit ? exc_code
+                 : top-2 bitmask bit ? site_minor[s] : site_major[s]
+        cell     = covered ? code : 4
+
+    Identical cell values to the per-chunk table build
+    (_build_obs_tables_impl) by construction: both decode the same
+    encoding. site_sel uses s_pad as the trash row (no read's span
+    reaches it; major/minor_ext carry code 4 there)."""
+    s_q = site_sel[:, None, :]                            # (B, 1, W)
+    q = rid[:, :, None]                                   # (B, R, 1)
+    rl = read_lo.astype(jnp.int32)
+    rh = read_hi.astype(jnp.int32)
+    lo_q = rl[q]
+    hi_q = rh[q]
+    covered = (lo_q <= s_q) & (s_q <= hi_q)               # (B, R, W)
+    s_c = jnp.clip(s_q, 0, s_pad)
+    if minor_bits.shape[0]:
+        spans = jnp.maximum(rh - rl + 1, 0)
+        span_start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(spans)[:-1]])
+        T = minor_bits.shape[0] * 8
+        bit = jnp.clip(span_start[q] + (s_q - lo_q), 0, T - 1)
+        byte = minor_bits[bit >> 3].astype(jnp.int32)
+        minor = ((byte >> (bit & 7)) & 1).astype(bool)
+        base = jnp.where(minor, minor_ext[s_c], major_ext[s_c])
+    else:
+        base = major_ext[s_c]
+    code = base
+    if exc_rid.shape[0]:
+        lo = exc_indptr[s_c].astype(jnp.int32)
+        hi = exc_indptr[s_c + 1].astype(jnp.int32)
+        qb = jnp.broadcast_to(q, covered.shape)
+        pos = _lower_bound_rows(exc_rid, lo, hi, qb, iters,
+                                exc_rid.shape[0])
+        hit = (pos < jnp.broadcast_to(hi, covered.shape)) \
+            & (exc_rid[jnp.clip(pos, 0, exc_rid.shape[0] - 1)]
+               .astype(jnp.int32) == qb)
+        code = jnp.where(hit,
+                         exc_code[jnp.clip(pos, 0, exc_code.shape[0] - 1)],
+                         base)
+    if hole_rid.shape[0]:
+        lo = hole_indptr[s_c].astype(jnp.int32)
+        hi = hole_indptr[s_c + 1].astype(jnp.int32)
+        qb = jnp.broadcast_to(q, covered.shape)
+        pos = _lower_bound_rows(hole_rid, lo, hi, qb, iters,
+                                hole_rid.shape[0])
+        hole = (pos < jnp.broadcast_to(hi, covered.shape)) \
+            & (hole_rid[jnp.clip(pos, 0, hole_rid.shape[0] - 1)]
+               .astype(jnp.int32) == qb)
+        covered = covered & ~hole
+    return jnp.where(covered, code, jnp.int8(4)).astype(jnp.int8)
+
+
+def _group_forward_tail(params, site_ref, cand_site, soc, codes, read_mask,
+                        norm, s_pad, haploid):
+    col_valid = soc >= 0
+    soc_c = jnp.clip(soc, 0, s_pad - 1)
+    col_ref = jnp.where(col_valid, site_ref[soc_c], 4).astype(jnp.int8)
+    center_ref = site_ref[jnp.clip(cand_site, 0, s_pad - 1)]
+    return _snp_forward_dense(params, codes, read_mask, col_ref, col_valid,
+                              center_ref, norm, haploid)
+
+
+def _group_body(params, read_lo, read_hi, site_ref, site_major,
+                       site_minor, minor_bits, exc_indptr, exc_rid,
+                       exc_code, hole_indptr, hole_rid, nbr_pos, nbr_union,
+                       cand_site, cand_pos, norm, nbr_lo, nbr_hi,
+                       s_pad, n_pad, R, seq_type="ont", haploid=False):
+    """Candidate-batch forward against a GROUP payload: clamped neighbor
+    selection, interval-derived covering-read lists, table-free cell
+    codes, CNN. The (bs, R) batch shapes equal the per-chunk kernels'
+    for the same member, so probabilities are bitwise-identical
+    (tests/test_snp_group.py::TestGroupPayload)."""
+    iters = int(n_pad).bit_length()
+    cand_site = cand_site.astype(jnp.int32)
+    soc = _device_select_neighbors_clamped(
+        cand_site, cand_pos, nbr_pos, nbr_union, seq_type, nbr_lo, nbr_hi)
+    rl = read_lo.astype(jnp.int32)
+    rh = read_hi.astype(jnp.int32)
+    s_c = jnp.clip(cand_site, 0, s_pad)
+    iv = (rl[None, :] <= s_c[:, None]) & (s_c[:, None] <= rh[None, :])
+    if hole_rid.shape[0]:
+        qn = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32)[None, :],
+                              iv.shape)
+        lo = hole_indptr[s_c][:, None].astype(jnp.int32)
+        hi = hole_indptr[s_c + 1][:, None].astype(jnp.int32)
+        pos = _lower_bound_rows(hole_rid, lo, hi, qn, iters,
+                                hole_rid.shape[0])
+        hole = (pos < jnp.broadcast_to(hi, iv.shape)) \
+            & (hole_rid[jnp.clip(pos, 0, hole_rid.shape[0] - 1)]
+               .astype(jnp.int32) == qn)
+        iv = iv & ~hole
+    rid, depth = _rid_matrix(iv, R)
+    r = jnp.arange(R, dtype=jnp.int32)
+    read_mask = r[None, :] < jnp.minimum(depth, R)[:, None]
+    site_sel = jnp.where(soc >= 0, soc, s_pad)
+    major_ext = jnp.concatenate([site_major, jnp.full((1,), 4, jnp.int8)])
+    minor_ext = jnp.concatenate([site_minor, jnp.full((1,), 4, jnp.int8)])
+    codes = _group_cell_codes(rl, rh, minor_bits, major_ext, minor_ext,
+                              exc_indptr, exc_rid, exc_code,
+                              hole_indptr, hole_rid, site_sel, rid,
+                              s_pad, iters)
+    return _group_forward_tail(params, site_ref, cand_site, soc, codes,
+                               read_mask, norm, s_pad, haploid)
+
+
+def _group_deep_body(params, read_lo, read_hi, site_ref, site_major,
+                            site_minor, minor_bits, exc_indptr, exc_rid,
+                            exc_code, hole_indptr, hole_rid, nbr_pos,
+                            nbr_union, cand_site, cand_pos, deep_rids,
+                            n_valid, norm, nbr_lo, nbr_hi,
+                            s_pad, n_pad, R, seq_type="ont", haploid=False):
+    """Deep (depth > maxcov) candidates against a GROUP payload: the
+    host-sampled GROUP read ids are explicit (same position-keyed sample
+    as every other path)."""
+    iters = int(n_pad).bit_length()
+    cand_site = cand_site.astype(jnp.int32)
+    soc = _device_select_neighbors_clamped(
+        cand_site, cand_pos, nbr_pos, nbr_union, seq_type, nbr_lo, nbr_hi)
+    rl = read_lo.astype(jnp.int32)
+    rh = read_hi.astype(jnp.int32)
+    rid = jnp.clip(deep_rids.astype(jnp.int32), 0, n_pad - 1)
+    r = jnp.arange(R, dtype=jnp.int32)
+    read_mask = r[None, :] < n_valid[:, None]
+    site_sel = jnp.where(soc >= 0, soc, s_pad)
+    major_ext = jnp.concatenate([site_major, jnp.full((1,), 4, jnp.int8)])
+    minor_ext = jnp.concatenate([site_minor, jnp.full((1,), 4, jnp.int8)])
+    codes = _group_cell_codes(rl, rh, minor_bits, major_ext, minor_ext,
+                              exc_indptr, exc_rid, exc_code,
+                              hole_indptr, hole_rid, site_sel, rid,
+                              s_pad, iters)
+    return _group_forward_tail(params, site_ref, cand_site, soc, codes,
+                               read_mask, norm, s_pad, haploid)
+
+
+@partial(jax.jit,
+         static_argnames=("s_pad", "n_pad", "R", "seq_type", "haploid"))
+def _snp_forward_group(params, read_lo, read_hi, site_ref, site_major,
+                       site_minor, minor_bits, exc_indptr, exc_rid,
+                       exc_code, hole_indptr, hole_rid, nbr_pos, nbr_union,
+                       cand_site, cand_pos, norm, nbr_lo, nbr_hi,
+                       s_pad, n_pad, R, seq_type="ont", haploid=False):
+    """Unpacked-argument group kernel (fallback for payloads whose
+    site/read indices exceed uint16; also the test/bench entry)."""
+    return _group_body(params, read_lo, read_hi, site_ref, site_major,
+                       site_minor, minor_bits, exc_indptr, exc_rid,
+                       exc_code, hole_indptr, hole_rid, nbr_pos, nbr_union,
+                       cand_site, cand_pos, norm, nbr_lo, nbr_hi,
+                       s_pad, n_pad, R, seq_type, haploid)
+
+
+@partial(jax.jit,
+         static_argnames=("s_pad", "n_pad", "R", "seq_type", "haploid"))
+def _snp_forward_group_deep(params, read_lo, read_hi, site_ref, site_major,
+                            site_minor, minor_bits, exc_indptr, exc_rid,
+                            exc_code, hole_indptr, hole_rid, nbr_pos,
+                            nbr_union, cand_site, cand_pos, deep_rids,
+                            n_valid, norm, nbr_lo, nbr_hi,
+                            s_pad, n_pad, R, seq_type="ont", haploid=False):
+    return _group_deep_body(params, read_lo, read_hi, site_ref, site_major,
+                            site_minor, minor_bits, exc_indptr, exc_rid,
+                            exc_code, hole_indptr, hole_rid, nbr_pos,
+                            nbr_union, cand_site, cand_pos, deep_rids,
+                            n_valid, norm, nbr_lo, nbr_hi,
+                            s_pad, n_pad, R, seq_type, haploid)
+
+
+# ---------------------------------------------------------------------------
+# Packed group payload: the 13 payload arrays consolidate into THREE
+# wire buffers (uint8 / uint16 / int32), because each array in a
+# device_put pays its own dispatch overhead on the tunnel (~0.13 ms ×
+# 13 arrays ≈ the payload's entire transfer time). The jitted kernel
+# slices the logical arrays back out at static offsets — zero extra
+# wire, zero host work. Only used when site AND read indices fit uint16
+# (s_pad+1 < 2^16, n_pad < 2^16 — every typical group); the unpacked
+# kernels remain for the rest.
+# ---------------------------------------------------------------------------
+
+def _group_layout(s_pad, n_pad, e_pad, h_pad, t_pad, m_pad):
+    """(b8 segment lengths, b16 segment lengths, b32 segment lengths) —
+    fixed order; all static given the padded dims."""
+    b8 = (s_pad, s_pad, s_pad, e_pad, t_pad)  # ref|major|minor|exc_code|bits
+    b16 = (n_pad, n_pad, e_pad, h_pad, m_pad)  # rlo|rhi|exc_rid|hole|nbru
+    ei = s_pad + 2 if e_pad else 1
+    hi = s_pad + 2 if h_pad else 1
+    b32 = (m_pad, ei, hi)  # nbr_pos|exc_indptr|hole_indptr
+    return b8, b16, b32
+
+
+def _pack_group_payload(read_lo, read_hi, site_ref, site_major, site_minor,
+                        minor_bits, exc_indptr, exc_rid, exc_code,
+                        hole_indptr, hole_rid, nbr_pos, nbr_union):
+    """Host-side packing into (b8 uint8, b16 uint16, b32 int32)."""
+    b8 = np.concatenate([
+        site_ref.view(np.uint8), site_major.view(np.uint8),
+        site_minor.view(np.uint8), exc_code.view(np.uint8), minor_bits])
+    b16 = np.concatenate([read_lo, read_hi, exc_rid, hole_rid, nbr_union])
+    b32 = np.concatenate([nbr_pos, exc_indptr, hole_indptr])
+    return b8, b16, b32
+
+
+def _unpack_group_payload(b8, b16, b32, s_pad, n_pad, e_pad, h_pad, t_pad,
+                          m_pad):
+    """In-jit unpacking (static slices; dtypes value-preserving: site/
+    code values are 0-4, index values < 2^16)."""
+    l8, l16, l32 = _group_layout(s_pad, n_pad, e_pad, h_pad, t_pad, m_pad)
+
+    def seg(buf, lens, i):
+        off = sum(lens[:i])
+        return jax.lax.slice_in_dim(buf, off, off + lens[i])
+
+    site_ref = seg(b8, l8, 0).astype(jnp.int8)
+    site_major = seg(b8, l8, 1).astype(jnp.int8)
+    site_minor = seg(b8, l8, 2).astype(jnp.int8)
+    exc_code = seg(b8, l8, 3).astype(jnp.int8)
+    minor_bits = seg(b8, l8, 4)
+    read_lo = seg(b16, l16, 0)
+    read_hi = seg(b16, l16, 1)
+    exc_rid = seg(b16, l16, 2)
+    hole_rid = seg(b16, l16, 3)
+    nbr_union = seg(b16, l16, 4)
+    nbr_pos = seg(b32, l32, 0)
+    exc_indptr = seg(b32, l32, 1)
+    hole_indptr = seg(b32, l32, 2)
+    return (read_lo, read_hi, site_ref, site_major, site_minor, minor_bits,
+            exc_indptr, exc_rid, exc_code, hole_indptr, hole_rid, nbr_pos,
+            nbr_union)
+
+
+@partial(jax.jit,
+         static_argnames=("s_pad", "n_pad", "e_pad", "h_pad", "t_pad",
+                          "m_pad", "R", "seq_type", "haploid"))
+def _snp_forward_group_packed(params, b8, b16, b32, cand_site, cand_pos,
+                              norm, nbr_lo, nbr_hi, s_pad, n_pad, e_pad,
+                              h_pad, t_pad, m_pad, R, seq_type="ont",
+                              haploid=False):
+    payload = _unpack_group_payload(b8, b16, b32, s_pad, n_pad, e_pad,
+                                    h_pad, t_pad, m_pad)
+    return _group_body(params, *payload, cand_site, cand_pos, norm,
+                       nbr_lo, nbr_hi, s_pad, n_pad, R, seq_type, haploid)
+
+
+@partial(jax.jit,
+         static_argnames=("s_pad", "n_pad", "e_pad", "h_pad", "t_pad",
+                          "m_pad", "R", "seq_type", "haploid"))
+def _snp_forward_group_deep_packed(params, b8, b16, b32, cand_site,
+                                   cand_pos, deep_rids, n_valid, norm,
+                                   nbr_lo, nbr_hi, s_pad, n_pad, e_pad,
+                                   h_pad, t_pad, m_pad, R, seq_type="ont",
+                                   haploid=False):
+    payload = _unpack_group_payload(b8, b16, b32, s_pad, n_pad, e_pad,
+                                    h_pad, t_pad, m_pad)
+    return _group_deep_body(params, *payload, cand_site, cand_pos,
+                            deep_rids, n_valid, norm, nbr_lo, nbr_hi,
+                            s_pad, n_pad, R, seq_type, haploid)
+
+
+@partial(jax.jit,
+         static_argnames=("s_pad", "n_pad", "e_pad", "h_pad", "t_pad",
+                          "m_pad", "R", "seq_type", "haploid"))
+def _snp_forward_group_scan(params, b8, b16, b32, cand_site, cand_pos,
+                            norm, nbr_lo, nbr_hi, s_pad, n_pad, e_pad,
+                            h_pad, t_pad, m_pad, R, seq_type="ont",
+                            haploid=False):
+    """ALL of a cohort's candidate batches in ONE launch: lax.scan over
+    the stacked (k, bs, ...) batch axis, body = the per-batch group
+    kernel with the SAME (bs, R) shapes. Each tunnel launch costs
+    ~0.5 ms of fixed latency regardless of size, so k batches as one
+    scan cost ~1 launch instead of k. Bitwise-identical to k separate
+    launches (the scan body compiles the same per-batch program;
+    pinned by tests/test_snp_group_payload.py::test_scan_identity)."""
+    payload = _unpack_group_payload(b8, b16, b32, s_pad, n_pad, e_pad,
+                                    h_pad, t_pad, m_pad)
+
+    def body(carry, xs):
+        cs, cp, nm, lo, hi = xs
+        out = _group_body(params, *payload, cs, cp, nm, lo, hi,
+                          s_pad, n_pad, R, seq_type, haploid)
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0,
+                           (cand_site, cand_pos, norm, nbr_lo, nbr_hi))
+    return outs  # (k, bs, 4)
+
+
 @dataclass
 class SnpCallerState:
     params: dict
@@ -562,12 +921,78 @@ def preload_remembered_shapes(state: SnpCallerState, cfg):
     mesh = state.mesh
     put_rep = (lambda a: jax.device_put(a, replicated(mesh)))         if mesh is not None else jax.device_put
 
+    def _warm_group(e):
+        """Warm one group-payload kernel signature (kind == 'group')."""
+        i32 = np.int32
+        s_pad, n_pad = e["s_pad"], e["n_pad"]
+        e_pad = int(e["e_pad"])
+        h_pad = int(e.get("h_pad", 0))
+        t_pad = int(e.get("t_pad", 0))
+        m_pad = e["m_pad"]
+        packed = bool(e.get("packed"))
+        sdt = np.uint16 if packed else i32
+        rdt = np.uint16 if packed else i32
+        arrays = (
+            np.ones(n_pad, sdt), np.zeros(n_pad, sdt),
+            np.full(s_pad, 4, np.int8), np.full(s_pad, 4, np.int8),
+            np.full(s_pad, 4, np.int8),
+            np.zeros(t_pad, np.uint8),
+            np.zeros(s_pad + 2 if e_pad else 1, i32),
+            np.zeros(e_pad, rdt),
+            np.full(e_pad, 4, np.int8),
+            np.zeros(s_pad + 2 if h_pad else 1, i32),
+            np.zeros(h_pad, rdt),
+            np.full(m_pad, np.int32(1 << 30), i32),
+            np.zeros(m_pad, sdt))
+        (read_lo, read_hi, site_ref, site_major, site_minor, minor_bits,
+         exc_indptr, exc_rid, exc_code, hole_indptr, hole_rid,
+         nbr_pos, nbr_union) = arrays
+        if packed:
+            payload = put_rep(_pack_group_payload(
+                read_lo, read_hi, site_ref, site_major, site_minor,
+                minor_bits, exc_indptr, exc_rid, exc_code, hole_indptr,
+                hole_rid, nbr_pos, nbr_union))
+        else:
+            payload = put_rep(arrays)
+        bs = e["bs"]
+        params = state.hap_params if e["haploid"] else state.params
+        base = (np.zeros(bs, i32), np.full(bs, -(1 << 30), i32))
+        tail = (np.ones(bs, np.float32), np.zeros(bs, i32),
+                np.zeros(bs, i32))
+        dims = dict(s_pad=s_pad, n_pad=n_pad, R=e["R"],
+                    seq_type=e["seq_type"], haploid=e["haploid"])
+        if packed:
+            dims.update(e_pad=e_pad, h_pad=h_pad, t_pad=t_pad,
+                        m_pad=m_pad)
+        if e.get("deep"):
+            args = shard_batch(
+                base + (np.zeros((bs, e["R"]), i32), np.zeros(bs, i32))
+                + tail, mesh)
+            fn = _snp_forward_group_deep_packed if packed \
+                else _snp_forward_group_deep
+        elif packed:
+            k = int(e.get("k", 1)) or 1
+            args = shard_batch(
+                tuple(np.broadcast_to(a, (k,) + a.shape).copy()
+                      for a in base + tail), mesh)
+            fn = _snp_forward_group_scan
+        else:
+            args = shard_batch(base + tail, mesh)
+            fn = _snp_forward_group
+        out = fn(params, *payload, *args, **dims)
+        jax.block_until_ready(out)
+
     def _warm(stop):
         for e in entries:
             if stop.is_set():
                 return
             t0 = time.monotonic()
             try:
+                if e.get("kind") == "group":
+                    _warm_group(e)
+                    if time.monotonic() - t0 > 10.0:
+                        return  # compile-scale: cache rotated
+                    continue
                 sdt = np.uint16 if e["s_pad"] + 1 < (1 << 16) \
                     else np.int32
                 rdt = np.uint16 if e["n_pad"] < (1 << 16) else np.int32
@@ -696,6 +1121,18 @@ def infer_snp_batch(state: SnpCallerState, batch: SnpBatch, cfg, ploidy):
 
 
 _R_BUCKETS = (32, 64, 96, 128, 160)
+
+_K_BUCKETS = (1, 2, 3, 4, 6, 8)
+
+
+def _bucket_k(k):
+    """Scan trip-count buckets for the cohort scan launch (a pad batch
+    costs one probability-inert body iteration ~0.3 ms; a new trip
+    count costs a compile)."""
+    for b in _K_BUCKETS:
+        if k <= b:
+            return b
+    return -(-k // 8) * 8
 
 
 def _pick_r_bucket(max_depth, cap):
@@ -907,6 +1344,248 @@ def infer_snp_chunk(state, feats, cfg, ploidy, async_mode=False):
         for sel_, probs_, n_ in parts:
             out[sel_] = np.asarray(probs_)[:n_]
         return out
+
+    return finish if async_mode else finish()
+
+
+def infer_snp_group(state, gf, cfg, async_mode=False):
+    """Run the model over a whole decode group from ONE device payload.
+
+    gf: pileup.snp_features.SnpGroupFeatures. Ships the group's
+    interval+exception observation payload in a single device_put, then
+    streams candidate batches across ALL members — members sharing a
+    (ploidy, read-axis-bucket) cohort pack into common bs-sized batches
+    (batch membership is probability-neutral: the dedup-vs-dense
+    identity suite already pins that batch composition does not change
+    row probabilities; shapes are what matter and they are preserved).
+
+    Returns a list of per-member (B, 4) probability arrays aligned with
+    gf.members (async_mode=True: a zero-arg finisher returning it)."""
+    from .runtime.sharding import dp_scale, replicated, shard_batch
+
+    mesh = state.mesh
+    S = len(gf.site_ref)
+    N = gf.n_reads
+    E = len(gf.exc_rid)
+    H = len(gf.hole_rid)
+    M = len(gf.nbr_pos)
+    T = len(gf.minor_bits)
+    s_pad = _bucket_sites(S)
+    n_pad = _bucket_reads(max(N, 1))
+    e_pad = _bucket_ev(E) if E else 0
+    h_pad = _pow2_pad(H, 16) if H else 0
+    t_pad = _bucket_bits(T) if T else 0
+    m_pad = _bucket_nbr(max(M, 1))
+    i32 = np.int32
+    # pure-wire index dtypes: site/read indices ship as uint16 whenever
+    # the padded dims fit (the kernels cast on-device) — the payload put
+    # is a dominant term of the streamed pattern on the tunnel
+    sdt = np.uint16 if s_pad + 1 < (1 << 16) else i32
+    rdt = np.uint16 if n_pad < (1 << 16) else i32
+    read_lo = np.ones(n_pad, sdt)  # pad reads: empty span
+    read_hi = np.zeros(n_pad, sdt)
+    read_lo[:N] = gf.read_lo.astype(sdt)
+    read_hi[:N] = gf.read_hi.astype(sdt)
+    site_ref = np.full(s_pad, 4, np.int8)
+    site_ref[:S] = gf.site_ref
+    site_major = np.full(s_pad, 4, np.int8)
+    site_major[:S] = gf.site_major
+    site_minor = np.full(s_pad, 4, np.int8)
+    site_minor[:S] = gf.site_minor
+    minor_bits = np.zeros(t_pad, np.uint8)
+    minor_bits[:T] = gf.minor_bits
+    # CSR row pointers over s_pad+1 rows (incl. the trash row s_pad,
+    # whose slice [E, E) is empty, as are all pad rows ≥ S); an empty
+    # CSR collapses to a 1-element placeholder (the kernels static-skip
+    # on the rid array's zero length)
+    ar = np.arange(s_pad + 2, dtype=i32)
+    exc_indptr = np.searchsorted(gf.exc_site, ar).astype(i32) \
+        if E else np.zeros(1, i32)
+    exc_rid = np.zeros(e_pad, rdt)
+    exc_rid[:E] = gf.exc_rid.astype(rdt)
+    exc_code = np.full(e_pad, 4, np.int8)
+    exc_code[:E] = gf.exc_code
+    hole_indptr = np.searchsorted(gf.hole_site, ar).astype(i32) \
+        if H else np.zeros(1, i32)
+    hole_rid = np.zeros(h_pad, rdt)
+    hole_rid[:H] = gf.hole_rid.astype(rdt)
+    nbr_pos = np.full(m_pad, np.int32(1 << 30), i32)
+    nbr_pos[:M] = gf.nbr_pos
+    nbr_union = np.zeros(m_pad, sdt)
+    nbr_union[:M] = gf.nbr_union.astype(sdt)
+    put = (lambda a: jax.device_put(a, replicated(mesh))) \
+        if mesh is not None else jax.device_put
+    packed = sdt == np.uint16 and rdt == np.uint16
+    if packed:
+        # three wire buffers instead of 13 arrays: each array in a
+        # device_put pays its own dispatch round trip on the tunnel
+        payload = put(_pack_group_payload(
+            read_lo, read_hi, site_ref, site_major, site_minor,
+            minor_bits, exc_indptr, exc_rid, exc_code, hole_indptr,
+            hole_rid, nbr_pos, nbr_union))
+    else:
+        payload = put(
+            (read_lo, read_hi, site_ref, site_major, site_minor,
+             minor_bits, exc_indptr, exc_rid, exc_code, hole_indptr,
+             hole_rid, nbr_pos, nbr_union))
+
+    bs = dp_scale(cfg.batch_size, mesh)
+    n_members = len(gf.members)
+    outs = [np.zeros((0, 4), np.float32)] * n_members
+    cohorts = {}  # (ploidy, R_b, deep) -> dict of row lists
+    for mi, (_oi, sec) in enumerate(gf.members):
+        if sec is None or len(sec) == 0:
+            continue
+        B = len(sec)
+        outs[mi] = np.zeros((B, 4), np.float32)
+        haploid = sec.ploidy == "haploid"
+        train_cov = state.hap_train_coverage if haploid \
+            else state.train_coverage
+        if cfg.disable_coverage_normalization:
+            norm = train_cov / np.maximum(sec.dp.astype(np.float32), 1e-6)
+        else:
+            cov = sec.coverage
+            norm = np.full(B, train_cov / cov if cov > 0 else 1.0,
+                           np.float32)
+        R_b = _pick_r_bucket(int(sec.sampled_depth.max()), gf.maxcov)
+        deep_mask = np.zeros(B, bool)
+        deep_mask[sec.deep_idx] = True
+        normal_idx = np.flatnonzero(~deep_mask)
+        for deep in (False, True):
+            rows = sec.deep_idx if deep else normal_idx
+            if not len(rows):
+                continue
+            c = cohorts.setdefault((sec.ploidy, R_b, deep), {
+                "cand_site": [], "cand_pos": [], "norm": [],
+                "lo": [], "hi": [], "mi": [], "j": [], "rids": [],
+            })
+            nr = len(rows)
+            c["cand_site"].append(sec.cand_site[rows])
+            c["cand_pos"].append(sec.cand_pos32[rows])
+            c["norm"].append(norm[rows])
+            c["lo"].append(np.full(nr, sec.nbr_lo, i32))
+            c["hi"].append(np.full(nr, sec.nbr_hi, i32))
+            c["mi"].append(np.full(nr, mi, i32))
+            c["j"].append(rows)
+            if deep:
+                rids = sec.deep_rids
+                if R_b > rids.shape[1]:
+                    rids = np.pad(rids,
+                                  [(0, 0), (0, R_b - rids.shape[1])])
+                c["rids"].append(rids[:, :R_b])
+
+    parts = []  # (dst_mi, dst_j, device_probs, n)
+    for (ploidy, R_b, deep), c in sorted(
+            cohorts.items(), key=lambda kv: (kv[0][2], kv[0][0], kv[0][1])):
+        haploid = ploidy == "haploid"
+        params = state.hap_params if haploid else state.params
+        cand_site = np.concatenate(c["cand_site"])
+        cand_pos = np.concatenate(c["cand_pos"])
+        norm = np.concatenate(c["norm"])
+        lo_c = np.concatenate(c["lo"])
+        hi_c = np.concatenate(c["hi"])
+        dst_mi = np.concatenate(c["mi"])
+        dst_j = np.concatenate(c["j"])
+        rids = np.concatenate(c["rids"]) if deep else None
+        n_rows = len(cand_site)
+        sig = {"kind": "group", "s_pad": s_pad, "n_pad": n_pad,
+               "e_pad": e_pad, "h_pad": h_pad, "t_pad": t_pad,
+               "m_pad": m_pad, "R": int(R_b), "bs": int(bs),
+               "seq_type": gf.seq_type, "haploid": bool(haploid),
+               "deep": bool(deep), "packed": bool(packed),
+               "k": _bucket_k((n_rows + bs - 1) // bs)
+                    if packed and not deep else 0}
+        key = tuple(sorted(sig.items()))
+        if key not in _RECORDED_SHAPES:
+            _RECORDED_SHAPES.add(key)
+            _record_shape(sig)
+        if packed and not deep:
+            # ONE scan launch per cohort: stack the bs-sized batches.
+            # Pad rows are probability-inert (same fills as the
+            # per-launch path); the batch-count axis k pads to a small
+            # bucket so the scan's trip count — part of the jit shape —
+            # stays at a handful of compiled variants
+            from .runtime.watchdog import beat
+
+            beat()
+            k = _bucket_k((n_rows + bs - 1) // bs)
+            pad_rows = k * bs - n_rows
+
+            def stacked(a, fill=0):
+                if pad_rows:
+                    padding = [(0, pad_rows)] + [(0, 0)] * (a.ndim - 1)
+                    a = np.pad(a, padding, constant_values=fill)
+                return a.reshape((k, bs) + a.shape[1:])
+
+            args = shard_batch(
+                (stacked(cand_site), stacked(cand_pos, -(1 << 30)),
+                 stacked(norm, 1.0), stacked(lo_c), stacked(hi_c)), mesh,
+                axis=1)
+            probs = _snp_forward_group_scan(
+                params, *payload, *args,
+                s_pad=s_pad, n_pad=n_pad, e_pad=e_pad, h_pad=h_pad,
+                t_pad=t_pad, m_pad=m_pad, R=int(R_b),
+                seq_type=gf.seq_type, haploid=haploid)
+            parts.append((dst_mi, dst_j, probs, n_rows))
+            continue
+        for lo in range(0, n_rows, bs):
+            from .runtime.watchdog import beat
+
+            beat()
+            sel = slice(lo, min(lo + bs, n_rows))
+            nsel = sel.stop - sel.start
+            pad = bs - nsel
+
+            def p(a, fill=0):
+                if pad == 0:
+                    return a[sel]
+                padding = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                return np.pad(a[sel], padding, constant_values=fill)
+
+            if deep:
+                n_valid = np.full(n_rows, gf.maxcov, i32)
+                args = shard_batch(
+                    (p(cand_site), p(cand_pos, -(1 << 30)),
+                     p(rids), p(n_valid),
+                     p(norm, 1.0), p(lo_c), p(hi_c)), mesh)
+                if packed:
+                    probs = _snp_forward_group_deep_packed(
+                        params, *payload, *args,
+                        s_pad=s_pad, n_pad=n_pad, e_pad=e_pad,
+                        h_pad=h_pad, t_pad=t_pad, m_pad=m_pad,
+                        R=int(R_b), seq_type=gf.seq_type, haploid=haploid)
+                else:
+                    probs = _snp_forward_group_deep(
+                        params, *payload, *args,
+                        s_pad=s_pad, n_pad=n_pad, R=int(R_b),
+                        seq_type=gf.seq_type, haploid=haploid)
+            else:
+                args = shard_batch(
+                    (p(cand_site), p(cand_pos, -(1 << 30)),
+                     p(norm, 1.0), p(lo_c), p(hi_c)), mesh)
+                if packed:
+                    probs = _snp_forward_group_packed(
+                        params, *payload, *args,
+                        s_pad=s_pad, n_pad=n_pad, e_pad=e_pad,
+                        h_pad=h_pad, t_pad=t_pad, m_pad=m_pad,
+                        R=int(R_b), seq_type=gf.seq_type, haploid=haploid)
+                else:
+                    probs = _snp_forward_group(
+                        params, *payload, *args,
+                        s_pad=s_pad, n_pad=n_pad, R=int(R_b),
+                        seq_type=gf.seq_type, haploid=haploid)
+            parts.append((dst_mi[sel], dst_j[sel], probs, nsel))
+
+    def finish():
+        for mis, js, probs, n in parts:
+            pr = np.asarray(probs)
+            if pr.ndim == 3:  # scanned cohort: (k, bs, 4)
+                pr = pr.reshape(-1, pr.shape[-1])
+            pr = pr[:n]
+            for mi in np.unique(mis):
+                m = mis == mi
+                outs[mi][js[m]] = pr[m]
+        return outs
 
     return finish if async_mode else finish()
 
@@ -1131,28 +1810,44 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
     # chunk i+1's features are produced/dispatched — a synchronous
     # per-chunk round trip otherwise serializes launch latency across
     # hundreds of chunks (dominant on the tunnel)
-    in_flight = []  # [(idx, batch, finisher)]
+    in_flight = []  # [("chunk", idx, batch, fin) | ("group", gf, fin)]
 
-    def _finalize_one():
-        idx, batch, finish = in_flight.pop(0)
-        if finish is None:
-            results[idx] = []
-        else:
-            probs = finish()
-            if ploidy_of[idx] == "haploid":
-                results[idx] = decode_haploid(batch, probs)
-            else:
-                results[idx] = decode_diploid(batch, probs)
+    def _store(idx, lines):
+        results[idx] = lines
         if manifest is not None:
             chunk = ordered_chunks[idx]
             shard = os.path.join(
                 manifest.shard_dir, "snp_%s_%d.body" % (chunk["chrom"],
                                                         chunk["start"]))
             with open(shard, "w") as fh:
-                fh.writelines(results[idx])
+                fh.writelines(lines)
             manifest.mark_done("snp", chunk, shard)
         if progress:
             progress(1)
+
+    def _finalize_one():
+        head = in_flight.pop(0)
+        if head[0] == "group":
+            _, gf, finish = head
+            outs = finish()
+            for (oi, sec), probs in zip(gf.members, outs):
+                if sec is None or len(sec) == 0:
+                    _store(oi, [])
+                elif sec.ploidy == "haploid":
+                    _store(oi, decode_haploid(sec, probs))
+                else:
+                    _store(oi, decode_diploid(sec, probs))
+            return
+        _, idx, batch, finish = head
+        if finish is None:
+            lines = []
+        else:
+            probs = finish()
+            if ploidy_of[idx] == "haploid":
+                lines = decode_haploid(batch, probs)
+            else:
+                lines = decode_diploid(batch, probs)
+        _store(idx, lines)
 
     def process(idx, batch):
         if metrics is not None:
@@ -1163,15 +1858,27 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
                                    async_mode=True)
         while in_flight:
             _finalize_one()
-        in_flight.append((idx, batch, finish))
+        in_flight.append(("chunk", idx, batch, finish))
+
+    def process_group(gf):
+        if metrics is not None:
+            metrics.count("snp_candidates", len(gf))
+        finish = infer_snp_group(state, gf, cfg, async_mode=True)
+        while in_flight:
+            _finalize_one()
+        in_flight.append(("group", gf, finish))
 
     init_args = (cfg.bam, cfg.ref, cfg_kwargs_for_workers(cfg), exclude_path)
     groups = _group_adjacent(ordered_chunks, todo, cfg)
     if groups is not None:
+        from .pileup.snp_features import SnpGroupFeatures
         from .runtime.workers import snp_features_group_worker
 
         for _, members in feature_stream(groups, snp_features_group_worker,
                                          init_args, cfg.cpu):
+            if isinstance(members, SnpGroupFeatures):
+                process_group(members)
+                continue
             for idx, batch in members:
                 process(idx, batch)
     else:
