@@ -2956,128 +2956,322 @@ int32_t ncio_wmec(int32_t n_sites, int32_t n_reads,
       active_at[j] = active;
     }
   }
-  // trellis storage layout
   std::vector<int64_t> col_off(n_sites + 1, 0);
   for (int32_t j = 0; j < n_sites; ++j)
     col_off[j + 1] = col_off[j] + (1LL << active_at[j].size());
-  if (col_off[n_sites] > cell_budget) return -1;
-  std::vector<uint32_t> parent(col_off[n_sites]);
-  std::vector<int8_t> gt_ori(col_off[n_sites]);  // (g << 1) | ori
+  const int64_t total_cells = col_off[n_sites];
+  // cell_budget bounds the parent/gt STORE; blocks up to 16x run in
+  // checkpoint mode (frontier snapshots + per-block recompute at 2x
+  // forward cost) so cap 15 survives whole-contig block sizes
+  const bool checkpoint = total_cells > cell_budget;
+  if (total_cells > 16 * cell_budget) return -1;
 
-  std::vector<double> prev_dp(1, 0.0), dp, best_cost;
-  std::vector<int64_t> best_mask;
-  std::vector<double> o0, alt_w, ref_w, delta;
-  std::vector<int64_t> pkey, ckey;
-  std::vector<int32_t> prev_active;
-  std::vector<int32_t> bitpos(n_reads, -1);
+  // per-column shared-bit plan vs the previous column
+  std::vector<std::vector<int32_t>> sh_prev_at(n_sites), sh_cur_at(n_sites);
+  {
+    std::vector<int32_t> bitpos(n_reads, -1);
+    std::vector<int32_t> prev;
+    for (int32_t j = 0; j < n_sites; ++j) {
+      const std::vector<int32_t>& active = active_at[j];
+      for (int32_t i = 0; i < (int32_t)active.size(); ++i) {
+        int32_t pb = bitpos[active[i]];
+        if (pb >= 0) {
+          sh_prev_at[j].push_back(pb);
+          sh_cur_at[j].push_back(i);
+        }
+      }
+      for (int32_t r : prev) bitpos[r] = -1;
+      for (int32_t i = 0; i < (int32_t)active.size(); ++i)
+        bitpos[active[i]] = i;
+      prev = active;
+    }
+  }
 
-  for (int32_t j = 0; j < n_sites; ++j) {
+  // scratch reused across columns
+  std::vector<double> fold_c, o0, base_c;
+  std::vector<int64_t> fold_m;
+  std::vector<uint32_t> fold_m32, base_m;
+  std::vector<char> is_sh;
+  std::vector<double> alt_w(max_active), ref_w(max_active),
+      delta(max_active);
+
+  // one column: prev_dp/prev_A -> dp (in `dp_out`); writes parent (the
+  // PREVIOUS column's best mask per current mask) and (g<<1)|ori into
+  // par/go when non-null. Exactly the Python DP's per-element
+  // arithmetic and tie rules:
+  //  - best over hidden prev bits: min, ties -> LARGEST prev mask
+  //    (np.maximum.at over argmin hits);
+  //  - column costs are exact small-integer doubles (order-free sums);
+  //  - genotype: input g first, strict < with +gq to switch;
+  //  - ori = (o1 < o0).
+  auto step = [&](int32_t j, const std::vector<double>& prev_dp,
+                  int32_t prev_A, std::vector<double>& dp_out,
+                  uint32_t* par, int8_t* go) {
     const std::vector<int32_t>& active = active_at[j];
     const int32_t A = (int32_t)active.size();
     const int64_t M = 1LL << A;
-    // shared reads with the previous column, in current-active order
-    std::vector<int32_t> sh_prev, sh_cur;
-    for (int32_t i = 0; i < A; ++i) {
-      int32_t pb = bitpos[active[i]];  // position in prev_active or -1
-      if (pb >= 0) { sh_prev.push_back(pb); sh_cur.push_back(i); }
-    }
+    const std::vector<int32_t>& sh_prev = sh_prev_at[j];
+    const std::vector<int32_t>& sh_cur = sh_cur_at[j];
     const int32_t nsh = (int32_t)sh_prev.size();
-    const int64_t NK = 1LL << nsh;
-    // projection of every PREV mask onto the shared key
-    std::vector<int64_t> pmap(prev_active.size(), 0);
-    for (int32_t k = 0; k < nsh; ++k) pmap[sh_prev[k]] = 1LL << k;
-    const int64_t PM = 1LL << prev_active.size();
-    pkey.assign(PM, 0);
-    for (int64_t m = 1; m < PM; ++m) {
-      int64_t lb = m & -m;
-      pkey[m] = pkey[m ^ lb] | pmap[__builtin_ctzll(lb)];
+
+    // fast path: unchanged active set (no reads start or end) — the
+    // shared map is the identity, so best==prev_dp and parent==m
+    bool same_set = (nsh == A) && (prev_A == A);
+    if (same_set)
+      for (int32_t k = 0; k < nsh; ++k)
+        if (sh_prev[k] != k || sh_cur[k] != k) { same_set = false; break; }
+
+    // best_cost/best_mask over the shared key: fold the hidden
+    // (non-shared) prev bits out of prev_dp, high bit first — each
+    // fold is a contiguous block-min the compiler vectorizes. The
+    // surviving index is the shared bits compacted in ascending
+    // position order == the rank order both sh lists use.
+    const int64_t PM = 1LL << prev_A;
+    if (!same_set) {
+    fold_c.assign(prev_dp.begin(), prev_dp.end());
+    fold_m.resize(PM);
+    for (int64_t m = 0; m < PM; ++m) fold_m[m] = m;
+    is_sh.assign(prev_A, 0);
+    for (int32_t p : sh_prev) is_sh[p] = 1;
+    int64_t size = PM;
+    for (int32_t p = prev_A - 1; p >= 0; --p) {
+      if (is_sh[p]) continue;
+      const int64_t half = 1LL << p;
+      const int64_t blocks = size >> (p + 1);
+      double* c = fold_c.data();
+      int64_t* mk = fold_m.data();
+      int64_t w = 0;
+      for (int64_t b = 0; b < blocks; ++b) {
+        const int64_t lo = b << (p + 1);
+        for (int64_t t = 0; t < half; ++t) {
+          const double c1 = c[lo + t], c2 = c[lo + half + t];
+          const int64_t m1 = mk[lo + t], m2 = mk[lo + half + t];
+          const bool take2 = (c2 < c1) || (c2 == c1 && m2 > m1);
+          c[w + t] = take2 ? c2 : c1;
+          mk[w + t] = take2 ? m2 : m1;
+        }
+        w += half;
+      }
+      size >>= 1;
     }
-    best_cost.assign(NK, std::numeric_limits<double>::infinity());
-    best_mask.assign(NK, -1);
-    for (int64_t m = 0; m < PM; ++m) {
-      int64_t k = pkey[m];
-      if (prev_dp[m] <= best_cost[k]) {  // ties: LAST mask wins
-        // (python: np.maximum.at over hit indices = max index)
-        if (prev_dp[m] < best_cost[k]) { best_cost[k] = prev_dp[m]; best_mask[k] = m; }
-        else if (m > best_mask[k]) best_mask[k] = m;
+    }  // fold_c/fold_m[0 .. 2^nsh) now hold the reduction
+
+    // column cost pieces
+    for (int32_t i = 0; i < A; ++i) alt_w[i] = ref_w[i] = 0.0;
+    {
+      // bit index per active read via a small local map
+      int32_t lp[32];
+      for (int32_t i = 0; i < A; ++i) lp[i] = active[i];
+      for (int64_t o = col_start[j]; o < col_start[j + 1]; ++o) {
+        const int32_t r = obs_read[o];
+        int32_t i = -1;
+        for (int32_t t = 0; t < A; ++t)
+          if (lp[t] == r) { i = t; break; }
+        if (i < 0) continue;  // single-obs read, not a state bit
+        if (obs_allele[o]) alt_w[i] += 1.0; else ref_w[i] += 1.0;
       }
     }
-    // column cost pieces: per active bit, alt/ref obs weight
-    alt_w.assign(A, 0.0); ref_w.assign(A, 0.0);
-    // bit position lookup for this column
-    for (int32_t i = 0; i < A; ++i) bitpos[active[i]] = -2 - i;  // temp mark
-    for (int64_t o = col_start[j]; o < col_start[j + 1]; ++o) {
-      int32_t i = -2 - bitpos[obs_read[o]];
-      if (i < 0 || i >= A) continue;  // read not active (single-obs)
-      if (obs_allele[o]) alt_w[i] += 1.0; else ref_w[i] += 1.0;
-    }
     double base = 0.0, tot = 0.0;
-    delta.assign(A, 0.0);
     for (int32_t i = 0; i < A; ++i) {
       base += alt_w[i];
       tot += alt_w[i] + ref_w[i];
       delta[i] = ref_w[i] - alt_w[i];
     }
-    // o0(mask) = base + sum_{i in mask} delta_i  (side0=ref orientation)
-    o0.assign(M, 0.0);
+    // o0 by doubling (contiguous add-constant copies; values are exact
+    // integer doubles, so the add order cannot change them)
+    o0.resize(M);
     o0[0] = base;
-    for (int64_t m = 1; m < M; ++m) {
-      int64_t lb = m & -m;
-      o0[m] = o0[m ^ lb] + delta[__builtin_ctzll(lb)];
+    for (int32_t b = 0; b < A; ++b) {
+      const int64_t h = 1LL << b;
+      const double d = delta[b];
+      const double* src = o0.data();
+      double* dst = o0.data() + h;
+      for (int64_t m = 0; m < h; ++m) dst[m] = src[m] + d;
     }
-    // ckeys + dp
-    std::vector<int64_t> cmap(A, 0);
-    for (int32_t k = 0; k < nsh; ++k) cmap[sh_cur[k]] = 1LL << k;
-    ckey.assign(M, 0);
-    for (int64_t m = 1; m < M; ++m) {
-      int64_t lb = m & -m;
-      ckey[m] = ckey[m ^ lb] | cmap[__builtin_ctzll(lb)];
+    // expand best_cost/best_mask over the current mask space:
+    // base[m] = fold[compact(m onto sh_cur)]. Shared ranks ascend with
+    // bit position, so any all-shared low region is a CONTIGUOUS fold
+    // slice and non-shared bits duplicate blocks — the whole expansion
+    // is memcpys (no per-element gather).
+    if (!same_set) {
+    base_c.resize(M);
+    base_m.resize(M);
+    fold_m32.resize(1LL << nsh);
+    for (int64_t k = 0; k < (1LL << nsh); ++k)
+      fold_m32[k] = (uint32_t)fold_m[k];
+    {
+      int32_t rank_of[32];
+      char all_sh_below[33];
+      for (int32_t i = 0; i < A; ++i) rank_of[i] = -1;
+      for (int32_t k = 0; k < nsh; ++k) rank_of[sh_cur[k]] = k;
+      all_sh_below[0] = 1;
+      for (int32_t i = 0; i < A; ++i)
+        all_sh_below[i + 1] = all_sh_below[i] && (rank_of[i] >= 0);
+      struct Ctx {
+        const double* bc;
+        const uint32_t* bm;
+        double* dc;
+        uint32_t* dm;
+        const int32_t* rank_of;
+        const char* all_sh;
+      } ctx{fold_c.data(), fold_m32.data(), base_c.data(), base_m.data(),
+            rank_of, all_sh_below};
+      struct Rec {
+        static void fill(const Ctx& c, int32_t nbits, int64_t o,
+                         int64_t dst) {
+          if (c.all_sh[nbits]) {  // bits [0, nbits) all shared: ranks
+            const int64_t n = 1LL << nbits;  // are 0..nbits-1 -> slice
+            memcpy(c.dc + dst, c.bc + o, n * sizeof(double));
+            memcpy(c.dm + dst, c.bm + o, n * sizeof(uint32_t));
+            return;
+          }
+          const int32_t b = nbits - 1;
+          const int64_t h = 1LL << b;
+          fill(c, b, o, dst);
+          if (c.rank_of[b] < 0) {
+            memcpy(c.dc + dst + h, c.dc + dst, h * sizeof(double));
+            memcpy(c.dm + dst + h, c.dm + dst, h * sizeof(uint32_t));
+          } else {
+            fill(c, b, o + (1LL << c.rank_of[b]), dst + h);
+          }
+        }
+      };
+      Rec::fill(ctx, A, 0, 0);
     }
-    dp.assign(M, 0.0);
+    }  // !same_set
+    // per-mask column cost + genotype/orientation, fused with the dp
+    // update (every M-sized pass is memory-bound at cap 15)
     const int32_t gj = g_in[j];
-    const double cost_g0 = base;        // all alt obs are errors
-    const double cost_g2 = tot - base;  // all ref obs are errors
-    int8_t* go = &gt_ori[col_off[j]];
-    uint32_t* par = &parent[col_off[j]];
-    for (int64_t m = 0; m < M; ++m) {
-      double o1 = tot - o0[m];
-      int8_t ori = (o1 < o0[m]) ? 1 : 0;
-      double c1 = ori ? o1 : o0[m];
-      double cost_by_g[3] = {cost_g0, c1, cost_g2};
-      double cc = cost_by_g[gj];
-      int8_t g = (int8_t)gj;
-      for (int32_t cand = 0; cand < 3; ++cand) {
-        if (cand == gj) continue;
-        double c = cost_by_g[cand] + gq;
-        if (c < cc) { cc = c; g = (int8_t)cand; }
+    const double cost_g0 = base, cost_g2 = tot - base;
+    const bool pinned = gq > 1e29;  // common exact_refine case
+    dp_out.resize(M);
+    const double* basesrc = same_set ? prev_dp.data() : base_c.data();
+    double* dpp = dp_out.data();
+    const double* o0p = o0.data();
+    if (pinned && gj == 1) {
+      if (go) {
+        for (int64_t m = 0; m < M; ++m) {
+          const double v0 = o0p[m], v1 = tot - v0;
+          const bool ori = v1 < v0;
+          dpp[m] = basesrc[m] + (ori ? v1 : v0);
+          go[m] = (int8_t)(2 | (ori ? 1 : 0));
+        }
+      } else {
+        for (int64_t m = 0; m < M; ++m) {
+          const double v0 = o0p[m], v1 = tot - v0;
+          dpp[m] = basesrc[m] + (v1 < v0 ? v1 : v0);
+        }
       }
-      dp[m] = best_cost[ckey[m]] + cc;
-      go[m] = (int8_t)((g << 1) | ori);
-      par[m] = (uint32_t)best_mask[ckey[m]];
+    } else {
+      for (int64_t m = 0; m < M; ++m) {
+        const double v0 = o0p[m], v1 = tot - v0;
+        const int8_t ori = (v1 < v0) ? 1 : 0;
+        const double c1 = ori ? v1 : v0;
+        const double cost_by_g[3] = {cost_g0, c1, cost_g2};
+        double best = cost_by_g[gj];
+        int8_t g = (int8_t)gj;
+        for (int32_t cand = 0; cand < 3; ++cand) {
+          if (cand == gj) continue;
+          const double c = cost_by_g[cand] + gq;
+          if (c < best) { best = c; g = (int8_t)cand; }
+        }
+        dpp[m] = basesrc[m] + best;
+        if (go) go[m] = (int8_t)((g << 1) | ori);
+      }
     }
-    // restore bitpos to "position in prev_active" semantics for next col
-    for (int32_t i = 0; i < (int32_t)prev_active.size(); ++i)
-      bitpos[prev_active[i]] = -1;
-    for (int32_t i = 0; i < A; ++i) bitpos[active[i]] = i;
-    prev_active = active;
-    prev_dp.swap(dp);
+    if (par) {
+      if (same_set) {
+        for (int64_t m = 0; m < M; ++m) par[m] = (uint32_t)m;
+      } else {
+        memcpy(par, base_m.data(), M * sizeof(uint32_t));
+      }
+    }
+  };
+
+  auto backtrace_span = [&](int32_t jb, int32_t je, int64_t& mask,
+                            const uint32_t* parent, const int8_t* gt_ori,
+                            int64_t off0) {
+    // walk columns [jb, je) downward; arrays indexed from col_off[jb]
+    for (int32_t j = je - 1; j >= jb; --j) {
+      const std::vector<int32_t>& active = active_at[j];
+      for (int32_t i = 0; i < (int32_t)active.size(); ++i)
+        part[active[i]] = (int8_t)((mask >> i) & 1);
+      const int64_t c = col_off[j] - off0 + mask;
+      const int8_t go = gt_ori[c];
+      const int8_t g = go >> 1, ori = go & 1;
+      if (g == 1) { a1[j] = ori; a2[j] = (int8_t)(1 - ori); }
+      else { a1[j] = a2[j] = (g == 2) ? 1 : 0; }
+      mask = parent[c];
+    }
+  };
+
+  std::vector<double> prev_dp(1, 0.0), dp;
+  if (!checkpoint) {
+    std::vector<uint32_t> parent(total_cells);
+    std::vector<int8_t> gt_ori(total_cells);
+    int32_t prev_A = 0;
+    for (int32_t j = 0; j < n_sites; ++j) {
+      step(j, prev_dp, prev_A, dp, &parent[col_off[j]], &gt_ori[col_off[j]]);
+      prev_A = (int32_t)active_at[j].size();
+      prev_dp.swap(dp);
+    }
+    int64_t mask = 0;
+    double best = std::numeric_limits<double>::infinity();
+    for (int64_t m = 0; m < (int64_t)prev_dp.size(); ++m)
+      if (prev_dp[m] < best) { best = prev_dp[m]; mask = m; }
+    *cost_out = best;
+    backtrace_span(0, n_sites, mask, parent.data(), gt_ori.data(), 0);
+    return 0;
   }
 
-  // backtrack (argmin = FIRST minimum, matching np.argmin)
+  // ---- checkpoint mode: frontier snapshots + per-block recompute ----
+  // block boundaries: greedy cuts keeping each block's cells <= budget
+  std::vector<int32_t> cuts(1, 0);
+  {
+    int64_t acc = 0;
+    for (int32_t j = 0; j < n_sites; ++j) {
+      const int64_t cells = 1LL << active_at[j].size();
+      if (acc + cells > cell_budget && acc > 0) {
+        cuts.push_back(j);
+        acc = 0;
+      }
+      acc += cells;
+    }
+    cuts.push_back(n_sites);
+  }
+  const int32_t n_blocks = (int32_t)cuts.size() - 1;
+  std::vector<std::vector<double>> frontiers(n_blocks);
+  {
+    int32_t prev_A = 0, blk = 0;
+    for (int32_t j = 0; j < n_sites; ++j) {
+      if (blk < n_blocks && j == cuts[blk]) frontiers[blk++] = prev_dp;
+      step(j, prev_dp, prev_A, dp, nullptr, nullptr);
+      prev_A = (int32_t)active_at[j].size();
+      prev_dp.swap(dp);
+    }
+  }
   int64_t mask = 0;
   double best = std::numeric_limits<double>::infinity();
   for (int64_t m = 0; m < (int64_t)prev_dp.size(); ++m)
     if (prev_dp[m] < best) { best = prev_dp[m]; mask = m; }
   *cost_out = best;
-  for (int32_t j = n_sites - 1; j >= 0; --j) {
-    const std::vector<int32_t>& active = active_at[j];
-    for (int32_t i = 0; i < (int32_t)active.size(); ++i)
-      part[active[i]] = (int8_t)((mask >> i) & 1);
-    int8_t go = gt_ori[col_off[j] + mask];
-    int8_t g = go >> 1, ori = go & 1;
-    if (g == 1) { a1[j] = ori; a2[j] = (int8_t)(1 - ori); }
-    else { a1[j] = a2[j] = (g == 2) ? 1 : 0; }
-    mask = parent[col_off[j] + mask];
+  std::vector<uint32_t> parent;
+  std::vector<int8_t> gt_ori;
+  for (int32_t blk = n_blocks - 1; blk >= 0; --blk) {
+    const int32_t jb = cuts[blk], je = cuts[blk + 1];
+    const int64_t off0 = col_off[jb];
+    const int64_t cells = col_off[je] - off0;
+    parent.resize(cells);
+    gt_ori.resize(cells);
+    std::vector<double> fdp = frontiers[blk];
+    int32_t prev_A = jb == 0 ? 0 : (int32_t)active_at[jb - 1].size();
+    for (int32_t j = jb; j < je; ++j) {
+      step(j, fdp, prev_A, dp, &parent[col_off[j] - off0],
+           &gt_ori[col_off[j] - off0]);
+      prev_A = (int32_t)active_at[j].size();
+      fdp.swap(dp);
+    }
+    backtrace_span(jb, je, mask, parent.data(), gt_ori.data(), off0);
   }
   return 0;
 }

@@ -112,7 +112,10 @@ def test_watchdog_kill_rendezvous_recovery(two_contig_fixture, tmp_path):
     fasta_p, bam_p = two_contig_fixture
     out = str(tmp_path / "kill_rdv")
     port = _free_port()
-    extra = ["--watchdog", "10", "--coordinator", "localhost:%d" % port,
+    # the watchdog window must cover child STARTUP (imports run before
+    # the first beat; ~10 s on slower machines), or children die in a
+    # kill loop before ever beating
+    extra = ["--watchdog", "30", "--coordinator", "localhost:%d" % port,
              "--num_processes", "2"]
     procs = [_spawn(_cli_args(bam_p, fasta_p, out,
                               extra + ["--process_id", str(i)]))
@@ -144,7 +147,7 @@ def test_watchdog_kill_midrun_bounded_then_resume(two_contig_fixture,
     fasta_p, bam_p = two_contig_fixture
     out = str(tmp_path / "kill_mid")
     port = _free_port()
-    extra = ["--watchdog", "8", "--coordinator", "localhost:%d" % port,
+    extra = ["--watchdog", "30", "--coordinator", "localhost:%d" % port,
              "--num_processes", "2"]
     procs = [_spawn(_cli_args(bam_p, fasta_p, out,
                               extra + ["--process_id", str(i)]))

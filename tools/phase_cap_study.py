@@ -75,10 +75,14 @@ def main(argv=None):
                 keep = select_reads(rids, sidx, n_reads, max_cov=cap)
                 t_sel += time.perf_counter() - t0
                 t0 = time.perf_counter()
+                # pass the budget unscaled: the native trellis now
+                # accepts blocks up to 16x the budget via checkpointed
+                # backtrace (round 5), so budget*4 here would force the
+                # full-store path into multi-GB parent arrays
                 _c, h_ex, _a2, _p = wmec_exact_gt(
                     rids[keep], sidx[keep], alleles[keep], args.sites,
                     np.ones(args.sites, np.int8), 1e30, max_active=cap,
-                    cell_budget=max(budget * 4, 64_000_000))
+                    cell_budget=max(budget, 64_000_000))
                 t_dp += time.perf_counter() - t0
                 sw += switch_flips(h_ex, truth)
                 mec += cost_of_h(rids, sidx, alleles, h_ex)
