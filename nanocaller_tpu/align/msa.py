@@ -106,6 +106,9 @@ def project_alignments(seqs, cigars, ref):
     m = len(ref)
     ins_len = np.zeros(m + 1, dtype=np.int64)
     parsed = []
+    from .nw import unpack_cigar
+
+    cigars = [unpack_cigar(c) for c in cigars]
     for seq, cigar in zip(seqs, cigars):
         qi = ri = 0
         events = []  # (anchor_ref_pos, kind, payload)

@@ -139,7 +139,23 @@ def nw_cigar(query, ref, **kw):
     return nw_align(query, ref, **kw)[1]
 
 
-def align_pairs_host(pairs, match=20, mismatch=-10, gap_open=9, gap_extend=1):
+def pack_cigar(cigar):
+    """[(op, len)] → read-only uint32 (len<<4|op) run array."""
+    arr = np.fromiter(((l << 4) | op for op, l in cigar), np.uint32,
+                      len(cigar))
+    arr.flags.writeable = False
+    return arr
+
+
+def unpack_cigar(arr):
+    """uint32 (len<<4|op) run array → [(op, len)] (identity on lists)."""
+    if not isinstance(arr, np.ndarray):
+        return arr
+    return [(int(v) & 0xF, int(v) >> 4) for v in arr]
+
+
+def align_pairs_host(pairs, match=20, mismatch=-10, gap_open=9,
+                     gap_extend=1, packed=False):
     """Host-side batch alignment: C++ kernel (io/native) when available —
     an exact port producing identical cigars — else the numpy DP.
 
@@ -149,7 +165,13 @@ def align_pairs_host(pairs, match=20, mismatch=-10, gap_open=9, gap_extend=1):
     verbatim — measured ~2× pair duplication on the 45× fixture. Exact
     by construction (the cigar is a pure function of the pair; SIMD
     cohort recomposition cannot change it — lanes are independent,
-    tests/test_align.py)."""
+    tests/test_align.py).
+
+    packed=True returns read-only uint32 (len<<4|op) run arrays instead
+    of tuple lists — the form the C++ MSA projection consumes directly
+    (no per-run Python tuples on the hot path). Consumers accepting
+    either form: star_msa_from_cigars, allele_prediction,
+    project_alignments."""
     index = {}
     order = []
     for pr in pairs:
@@ -157,21 +179,33 @@ def align_pairs_host(pairs, match=20, mismatch=-10, gap_open=9, gap_extend=1):
         order.append(i)
     upairs = list(index)
     try:
-        from ..io.native import nw_batch_native
+        from ..io.native import nw_batch_cat_native
     except Exception:
-        nw_batch_native = None
+        nw_batch_cat_native = None
     ucigars = None
-    if nw_batch_native is not None and upairs:
-        qcodes = [_codes(q) for q, _ in upairs]
-        rcodes = [_codes(r) for _, r in upairs]
-        out = nw_batch_native(qcodes, rcodes, match, mismatch, gap_open,
-                              gap_extend)
+    if nw_batch_cat_native is not None and upairs:
+        # one encode + LUT pass over the whole batch (per-string _codes
+        # calls were ~30% of the wrapper cost at production sizes)
+        q_off = np.zeros(len(upairs) + 1, np.int64)
+        r_off = np.zeros(len(upairs) + 1, np.int64)
+        np.cumsum([len(q) for q, _ in upairs], out=q_off[1:])
+        np.cumsum([len(r) for _, r in upairs], out=r_off[1:])
+        qcat = _codes("".join(q for q, _ in upairs))
+        rcat = _codes("".join(r for _, r in upairs))
+        out = nw_batch_cat_native(qcat, q_off, rcat, r_off, match,
+                                  mismatch, gap_open, gap_extend,
+                                  packed=packed)
         if out is not None:
             ucigars = out[0]
+            if packed:
+                return [ucigars[i] for i in order]
     if ucigars is None:
         ucigars = [nw_align(q, r, match=match, mismatch=mismatch,
                             gap_open=gap_open, gap_extend=gap_extend)[1]
                    for q, r in upairs]
+        if packed:
+            ucigars = [pack_cigar(c) for c in ucigars]
+            return [ucigars[i] for i in order]
     return [list(ucigars[i]) for i in order]
 
 

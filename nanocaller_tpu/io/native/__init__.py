@@ -162,24 +162,22 @@ def native_available():
     return get_lib() is not None
 
 
-def nw_batch_native(qcodes_list, rcodes_list, match, mismatch, gap_open,
-                    gap_extend):
-    """Batched host NW via the C++ kernel; returns (cigars, scores) with
-    cigars as lists of (op, len) identical to align/nw.nw_align. None if
-    the native library is unavailable."""
+def nw_batch_cat_native(qcat, q_off, rcat, r_off, match, mismatch,
+                        gap_open, gap_extend, packed=False):
+    """Batched host NW via the C++ kernel over pre-concatenated int8
+    code buffers (+ int64 offset arrays). Returns (cigars, scores);
+    cigars are lists of (op, len) identical to align/nw.nw_align, or —
+    with packed=True — read-only uint32 views of (len<<4|op) runs (the
+    wire format the C++ MSA projection consumes directly, skipping the
+    tuple materialization). None if the native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
-    n = len(qcodes_list)
-    q_off = np.zeros(n + 1, np.int64)
-    r_off = np.zeros(n + 1, np.int64)
-    for k in range(n):
-        q_off[k + 1] = q_off[k] + len(qcodes_list[k])
-        r_off[k + 1] = r_off[k] + len(rcodes_list[k])
-    qcat = (np.concatenate(qcodes_list).astype(np.int8)
-            if q_off[-1] else np.zeros(1, np.int8))
-    rcat = (np.concatenate(rcodes_list).astype(np.int8)
-            if r_off[-1] else np.zeros(1, np.int8))
+    n = len(q_off) - 1
+    if qcat.size == 0:
+        qcat = np.zeros(1, np.int8)
+    if rcat.size == 0:
+        rcat = np.zeros(1, np.int8)
 
     def p(a, ct):
         return a.ctypes.data_as(ctypes.POINTER(ct))
@@ -200,13 +198,39 @@ def nw_batch_native(qcodes_list, rcodes_list, match, mismatch, gap_open,
                          p(cigars_flat, ctypes.c_uint32),
                          p(offsets, ctypes.c_int64),
                          p(scores, ctypes.c_int64))
-        cigars = []
-        for k in range(n_pairs):
-            runs = cigars_flat[offsets[k]:offsets[k + 1]]
-            cigars.append([(int(v & 0xF), int(v >> 4)) for v in runs])
+        if packed:
+            cigars_flat.flags.writeable = False
+            cigars = [cigars_flat[offsets[k]:offsets[k + 1]]
+                      for k in range(n_pairs)]
+        else:
+            cigars = []
+            for k in range(n_pairs):
+                runs = cigars_flat[offsets[k]:offsets[k + 1]]
+                cigars.append([(int(v & 0xF), int(v >> 4)) for v in runs])
         return cigars, scores[:n_pairs]
     finally:
         lib.ncio_nw_free(ctypes.c_void_p(handle))
+
+
+def nw_batch_native(qcodes_list, rcodes_list, match, mismatch, gap_open,
+                    gap_extend, packed=False):
+    """Batched host NW via the C++ kernel; returns (cigars, scores) with
+    cigars as lists of (op, len) identical to align/nw.nw_align (or
+    packed uint32 run views — see nw_batch_cat_native). None if the
+    native library is unavailable."""
+    if get_lib() is None:
+        return None
+    n = len(qcodes_list)
+    q_off = np.zeros(n + 1, np.int64)
+    r_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(a) for a in qcodes_list], out=q_off[1:])
+    np.cumsum([len(a) for a in rcodes_list], out=r_off[1:])
+    qcat = (np.concatenate(qcodes_list).astype(np.int8)
+            if q_off[-1] else np.zeros(1, np.int8))
+    rcat = (np.concatenate(rcodes_list).astype(np.int8)
+            if r_off[-1] else np.zeros(1, np.int8))
+    return nw_batch_cat_native(qcat, q_off, rcat, r_off, match, mismatch,
+                               gap_open, gap_extend, packed=packed)
 
 
 def _region_chunks(bam_reader, contig, start, end):
@@ -544,17 +568,21 @@ def msa_project_native(read_codes_list, cigars, ref_codes, width=128):
     n = len(read_codes_list)
     read_off = np.zeros(n + 1, np.int64)
     cig_off = np.zeros(n + 1, np.int64)
-    for k in range(n):
-        read_off[k + 1] = read_off[k] + len(read_codes_list[k])
-        cig_off[k + 1] = cig_off[k] + len(cigars[k])
+    np.cumsum([len(a) for a in read_codes_list], out=read_off[1:])
+    np.cumsum([len(c) for c in cigars], out=cig_off[1:])
     codes_cat = (np.concatenate(read_codes_list).astype(np.int8)
                  if n and read_off[-1] else np.zeros(1, np.int8))
-    runs = np.zeros(max(1, int(cig_off[-1])), np.uint32)
-    p = 0
-    for cg in cigars:
-        for op, ln in cg:
-            runs[p] = (ln << 4) | op
-            p += 1
+    if n and cigars and isinstance(cigars[0], np.ndarray):
+        # packed (len<<4|op) run arrays straight off the NW kernel
+        runs = (np.concatenate(cigars).astype(np.uint32)
+                if cig_off[-1] else np.zeros(1, np.uint32))
+    else:
+        runs = np.zeros(max(1, int(cig_off[-1])), np.uint32)
+        p = 0
+        for cg in cigars:
+            for op, ln in cg:
+                runs[p] = (ln << 4) | op
+                p += 1
     ref_arr = np.ascontiguousarray(ref_codes, dtype=np.int8)
     if len(ref_arr) == 0:
         ref_arr = np.zeros(1, np.int8)

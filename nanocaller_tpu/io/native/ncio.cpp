@@ -922,17 +922,45 @@ struct NwBatch {
 constexpr int NWL = 16;
 constexpr int16_t NEG16 = -16384;
 
+// Banded mode (band_w >= 0): the DP is restricted to the shared diagonal
+// corridor d = i - j in [-off_lo, off_hi] (off_* = band_w + the cohort's
+// max diagonal drift), out-of-corridor cells behaving as -inf (NEG16 has
+// the headroom: in-band scores stay > -15000 by the caller's range
+// guard, and dead-region drift is bounded by (go+ge)*nmax < 15000, so
+// dead values never win a max against real ones and never underflow).
+// A lane's banded result is ACCEPTED only when its score strictly
+// exceeds a rigorous upper bound on any alignment whose path leaves the
+// corridor — any such path on lane (n, m) that reaches excess e beyond
+// the lane's own diagonal range has >= |n-m| + 2(e+1) indels in >= 2
+// runs and <= min(n,m) - (e+1) diagonal steps, so
+//   U_exit(e) = max(0, min(n,m)-e-1)*match - 2*(go-ge)
+//               - (|n-m| + 2e + 2)*ge.
+// Strict inequality also excludes equal-score out-of-band paths, so the
+// forward tie-break bits along the accepted traceback coincide with the
+// full DP's and the cigar is identical by construction (differential:
+// tests/test_align.py banded stress). Rejected lanes report ok=false
+// and are re-run by the caller at a wider band / full matrix.
 void nw_align_simd_block(const int8_t* const* qs, const int* ns,
                          const int8_t* const* rs, const int* ms, int n_in,
                          int match, int mismatch, int gap_open,
                          int gap_extend,
                          std::vector<uint32_t>* per_cigars,  // [n_in]
-                         int64_t* scores_out) {
+                         int64_t* scores_out, int band_w = -1,
+                         bool* ok_out = nullptr) {
   int nmax = 0, mmax = 0;
   for (int l = 0; l < n_in; l++) {
     if (ns[l] > nmax) nmax = ns[l];
     if (ms[l] > mmax) mmax = ms[l];
   }
+  // corridor offsets: band margin + the cohort's max diagonal drift
+  int drift_hi = 0, drift_lo = 0;
+  for (int l = 0; l < n_in; l++) {
+    drift_hi = std::max(drift_hi, ns[l] - ms[l]);
+    drift_lo = std::max(drift_lo, ms[l] - ns[l]);
+  }
+  const bool banded = band_w >= 0 && match > 0;
+  const int off_hi = banded ? band_w + std::max(0, drift_hi) : nmax;
+  const int off_lo = banded ? band_w + std::max(0, drift_lo) : mmax;
   const int16_t go = int16_t(gap_open), ge = int16_t(gap_extend);
   const int16_t ma = int16_t(match), mi = int16_t(mismatch);
 
@@ -944,10 +972,32 @@ void nw_align_simd_block(const int8_t* const* qs, const int* ns,
     for (int j = 0; j < ms[l]; j++) rT[size_t(j) * NWL + l] = rs[l][j];
 
   const size_t W = size_t(mmax) + 1;
-  std::vector<int16_t> H(W * NWL, 0), Hp(W * NWL), V(W * NWL, NEG16);
-  std::vector<uint8_t> tb(size_t(nmax + 1) * W * NWL, 0);
-  // row 0
-  for (size_t j = 1; j <= size_t(mmax); j++) {
+  // Double-buffered H (pointer swap, no per-row memcpy): row i writes
+  // only [jlo(i)..jhi(i)] into the buffer holding row i-2; every cell
+  // the next row reads was either written by row i-1 (it reads that
+  // buffer), or is an out-of-corridor cell never written by ANY row of
+  // that buffer (jlo/jhi are monotonic in i), still holding the NEG16
+  // init. tb is a stale thread-local arena (no zeroing): the traceback
+  // of an accepted lane only visits corridor cells, all written.
+  std::vector<int16_t> Ha(W * NWL, NEG16), Hb(W * NWL, NEG16),
+      V(W * NWL, NEG16);
+  int16_t* H = Ha.data();
+  int16_t* Hprev = Hb.data();
+  // corridor-stride tb layout: row i stores slots for j in
+  // [row_origin(i) .. row_origin(i)+corr_w-1], row_origin = max(0,
+  // i-off_hi) — compresses the arena to the corridor (cache locality)
+  // and degenerates to the dense layout in full mode (corr_w = W).
+  const size_t corr_w =
+      std::min(W, size_t(off_hi) + size_t(off_lo) + 2);
+  thread_local std::vector<uint8_t> tb_arena;
+  const size_t tb_need = size_t(nmax + 1) * corr_w * NWL;
+  if (tb_arena.size() < tb_need) tb_arena.resize(tb_need);
+  uint8_t* tb = tb_arena.data();
+  // row 0: real values only inside the corridor (j <= off_lo)
+  for (int l = 0; l < NWL; l++) H[l] = 0;
+  const size_t row0_hi =
+      std::min(std::min(size_t(mmax), size_t(off_lo)), corr_w - 1);
+  for (size_t j = 1; j <= row0_hi; j++) {
     int16_t h0 = int16_t(-(go + int(j - 1) * ge));
     uint8_t t0 = (j == 1) ? 2 : uint8_t(2 | 8);
     for (int l = 0; l < NWL; l++) {
@@ -955,33 +1005,47 @@ void nw_align_simd_block(const int8_t* const* qs, const int* ns,
       tb[j * NWL + l] = t0;
     }
   }
-  for (int i = 1; i <= nmax; i++) {
+  for (int i = 1; i <= std::min(nmax, off_hi); i++) {
     uint8_t tc = uint8_t(1 | (i > 1 ? 4 : 0));
-    for (int l = 0; l < NWL; l++) tb[(size_t(i) * W) * NWL + l] = tc;
+    for (int l = 0; l < NWL; l++) tb[size_t(i) * corr_w * NWL + l] = tc;
   }
 
   alignas(64) int16_t qc[NWL];
   alignas(64) int16_t Mprev[NWL], Mprev2[NWL], cprev[NWL];
+  auto row_origin = [&](int ri) { return size_t(std::max(0, ri - off_hi)); };
   for (int i = 1; i <= nmax; i++) {
-    memcpy(Hp.data(), H.data(), W * NWL * sizeof(int16_t));
+    const size_t jlo = size_t(std::max(1, i - off_hi));
+    const size_t jhi = size_t(std::min(mmax, i + off_lo));
+    if (jlo > jhi) continue;  // row outside the corridor entirely
+    std::swap(H, Hprev);  // Hprev now holds row i-1; H holds row i-2
     const int16_t H0i = int16_t(-(go + (i - 1) * ge));
     for (int l = 0; l < NWL; l++)
       qc[l] = (l < n_in && i <= ns[l]) ? int16_t(qs[l][i - 1]) : int16_t(4);
-    // j = 0 bootstrap of the running horizontal prefix max:
-    // c[0] = G[0] - go, G[0] = H0i
-    for (int l = 0; l < NWL; l++) {
-      int16_t c0 = int16_t(H0i - go);
-      Mprev[l] = c0;   // M[0]
-      Mprev2[l] = NEG16;  // unused until j >= 2
-      cprev[l] = c0;   // c[0]
-      H[l] = H0i;
+    // bootstrap of the running horizontal prefix max at j = jlo-1:
+    // all c[j'] for j' < jlo are out-of-corridor (-inf) on this row,
+    // except the j=0 column while i <= off_hi (c[0] = H0i - go)
+    if (jlo == 1 && i <= off_hi) {
+      for (int l = 0; l < NWL; l++) {
+        int16_t c0 = int16_t(H0i - go);
+        Mprev[l] = c0;   // M[0]
+        Mprev2[l] = NEG16;  // unused until j >= 2
+        cprev[l] = c0;   // c[0]
+        H[l] = H0i;
+      }
+    } else {
+      for (int l = 0; l < NWL; l++) {
+        Mprev[l] = NEG16;
+        Mprev2[l] = NEG16;
+        cprev[l] = NEG16;
+        if (jlo == 1) H[l] = NEG16;
+      }
     }
-    uint8_t* trow = &tb[size_t(i) * W * NWL];
+    uint8_t* trow = &tb[size_t(i) * corr_w * NWL] - row_origin(i) * NWL;
     const int16_t* __restrict rTp = rT.data();
-    const int16_t* __restrict Hpp = Hp.data();
-    int16_t* __restrict Hh = H.data();
+    const int16_t* __restrict Hpp = Hprev;
+    int16_t* __restrict Hh = H;
     int16_t* __restrict Vv = V.data();
-    for (size_t j = 1; j <= size_t(mmax); j++) {
+    for (size_t j = jlo; j <= jhi; j++) {
       const int16_t jge = int16_t(int(j) * ge);
       const int16_t j1ge = int16_t(int(j - 1) * ge);
       const int16_t* __restrict hpd = Hpp + (j - 1) * NWL;
@@ -989,7 +1053,7 @@ void nw_align_simd_block(const int8_t* const* qs, const int* ns,
       int16_t* __restrict vj = Vv + j * NWL;
       int16_t* __restrict hj = Hh + j * NWL;
       const int16_t* __restrict rj = rTp + (j - 1) * NWL;
-      uint8_t* __restrict tj = trow + j * NWL;
+      uint8_t* __restrict tj = trow + j * NWL;  // trow pre-shifted by row origin
       const int16_t allow_zext = (j >= 2) ? int16_t(-1) : int16_t(0);
       for (int l = 0; l < NWL; l++) {
         const int16_t is_m =
@@ -1018,8 +1082,32 @@ void nw_align_simd_block(const int8_t* const* qs, const int* ns,
       if (ns[l] == i) scores_out[l] = H[size_t(ms[l]) * NWL + l];
   }
 
+  // banded acceptance: score must strictly beat every exit bound
+  if (ok_out) {
+    for (int l = 0; l < n_in; l++) {
+      bool ok = true;
+      if (banded) {
+        const int64_t n = ns[l], m = ms[l];
+        const int64_t mn = std::min(n, m), ad = llabs(n - m);
+        const int e_hi = off_hi - int(std::max(int64_t(0), n - m));
+        const int e_lo = off_lo - int(std::max(int64_t(0), m - n));
+        auto u_exit = [&](int64_t e) {
+          int64_t diag = std::max(int64_t(0), mn - e - 1);
+          return diag * match - 2 * int64_t(gap_open - gap_extend) -
+                 (ad + 2 * e + 2) * gap_extend;
+        };
+        // a side is reachable only if the corridor edge lies inside
+        // the lane's own matrix (d <= n above, -d <= m below)
+        if (off_hi + 1 <= n && scores_out[l] <= u_exit(e_hi)) ok = false;
+        if (off_lo + 1 <= m && scores_out[l] <= u_exit(e_lo)) ok = false;
+      }
+      ok_out[l] = ok;
+    }
+  }
+
   // per-lane traceback (identical walk to nw_align_one)
   for (int l = 0; l < n_in; l++) {
+    if (ok_out && !ok_out[l]) continue;  // rejected: caller re-runs wider
     std::vector<uint32_t>& out = *(per_cigars + l);
     auto push_op = [&](int op, int ln) {
       if (ln <= 0) return;
@@ -1033,7 +1121,8 @@ void nw_align_simd_block(const int8_t* const* qs, const int* ns,
     const int8_t* q = qs[l];
     const int8_t* r = rs[l];
     while (i > 0 || j > 0) {
-      uint8_t cell = tb[(size_t(i) * W + j) * NWL + l];
+      uint8_t cell =
+          tb[(size_t(i) * corr_w + size_t(j) - row_origin(i)) * NWL + l];
       if (state == 0) {
         if (j == 0) { state = 1; continue; }
         if (i == 0) { state = 2; continue; }
@@ -1081,18 +1170,9 @@ void* ncio_nw_batch(const int8_t* queries, const int64_t* q_off,
   const int8_t* rp[NWL];
   int ns[NWL], ms[NWL], ks[NWL];
   int64_t sc[NWL];
-  int filled = 0;
-  auto flush = [&]() {
-    if (!filled) return;
-    std::vector<uint32_t> cig[NWL];
-    nw_align_simd_block(qp, ns, rp, ms, filled, match, mismatch, gap_open,
-                        gap_extend, cig, sc);
-    for (int l = 0; l < filled; l++) {
-      per[ks[l]] = std::move(cig[l]);
-      b->scores[ks[l]] = sc[l];
-    }
-    filled = 0;
-  };
+  bool okf[NWL];
+  std::vector<int> pend;
+  pend.reserve(n_pairs);
   for (int k = 0; k < n_pairs; k++) {
     int n = int(q_off[k + 1] - q_off[k]);
     int m = int(r_off[k + 1] - r_off[k]);
@@ -1104,14 +1184,48 @@ void* ncio_nw_batch(const int8_t* queries, const int64_t* q_off,
                    mismatch, gap_open, gap_extend, &per[k], &b->scores[k]);
       continue;
     }
-    qp[filled] = queries + q_off[k];
-    rp[filled] = refs + r_off[k];
-    ns[filled] = n;
-    ms[filled] = m;
-    ks[filled] = k;
-    if (++filled == NWL) flush();
+    pend.push_back(k);
   }
-  flush();
+  // banded ladder: most pairs verify at a narrow corridor (w=18 covers
+  // ~7% divergence at MSA scores, w=48 ~18%); the full-matrix level is
+  // the guaranteed-exact backstop, so cigars never depend on the band
+  static const int LEVELS[3] = {18, 48, -1};
+  for (int li = 0; li < 3 && !pend.empty(); li++) {
+    const int w = LEVELS[li];
+    if (w >= 0)
+      // cohorts of similar diagonal drift share tighter corridors
+      std::stable_sort(pend.begin(), pend.end(), [&](int a, int c) {
+        return (q_off[a + 1] - q_off[a]) - (r_off[a + 1] - r_off[a]) <
+               (q_off[c + 1] - q_off[c]) - (r_off[c + 1] - r_off[c]);
+      });
+    std::vector<int> next;
+    int filled = 0;
+    auto flush = [&]() {
+      if (!filled) return;
+      std::vector<uint32_t> cig[NWL];
+      nw_align_simd_block(qp, ns, rp, ms, filled, match, mismatch, gap_open,
+                          gap_extend, cig, sc, w, okf);
+      for (int l = 0; l < filled; l++) {
+        if (okf[l]) {
+          per[ks[l]] = std::move(cig[l]);
+          b->scores[ks[l]] = sc[l];
+        } else {
+          next.push_back(ks[l]);
+        }
+      }
+      filled = 0;
+    };
+    for (int k : pend) {
+      qp[filled] = queries + q_off[k];
+      rp[filled] = refs + r_off[k];
+      ns[filled] = int(q_off[k + 1] - q_off[k]);
+      ms[filled] = int(r_off[k + 1] - r_off[k]);
+      ks[filled] = k;
+      if (++filled == NWL) flush();
+    }
+    flush();
+    pend = std::move(next);
+  }
   for (int k = 0; k < n_pairs; k++) {
     b->cigars.insert(b->cigars.end(), per[k].begin(), per[k].end());
     b->offsets.push_back(int64_t(b->cigars.size()));

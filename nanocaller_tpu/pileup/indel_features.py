@@ -284,6 +284,10 @@ def allele_prediction(alt, ref_seq, max_range, cigar=None):
         return (None, None)
     if cigar is None:
         cigar = nw_align(alt, ref_seq)[1]
+    elif isinstance(cigar, np.ndarray):
+        from ..align.nw import unpack_cigar
+
+        cigar = unpack_cigar(cigar)
     indel = False
     ref_cnt = [0] * 10
     alt_cnt = [0] * 10
@@ -718,7 +722,8 @@ def _tensorize_candidates(rw, cview, variants, extra, fasta, contig,
                  for key in group_keys for s in job["seqs"][key]]
         flat_cigars = iter(align_pairs_host(
             pairs, match=MSA_MATCH, mismatch=MSA_MISMATCH,
-            gap_open=MSA_GAP_OPEN, gap_extend=MSA_GAP_EXTEND))
+            gap_open=MSA_GAP_OPEN, gap_extend=MSA_GAP_EXTEND,
+            packed=True))
         msa_cigars = [
             {key: [next(flat_cigars) for _ in job["seqs"][key]]
              for key in group_keys}

@@ -160,3 +160,80 @@ class TestMSA:
         np.testing.assert_allclose(tensor[1, 2, 1], 1.0)
         # padding beyond 4 cols is zero
         assert np.abs(tensor[:, 4:, :]).sum() == 0
+
+
+class TestBandedNW:
+    """The C++ batch kernel runs a banded ladder (w=18 → w=48 → full)
+    with a strict score-bound acceptance check: a banded result is kept
+    only when its score strictly beats a rigorous upper bound on any
+    path leaving the corridor, so cigars/scores are identical to the
+    full DP by construction — including at divergence rates that force
+    every ladder level and the full-matrix backstop."""
+
+    @staticmethod
+    def _mutate(rng, s, err):
+        out = []
+        BASES = "ACGT"
+        for ch in s:
+            r = rng.random()
+            if r < err * 0.175:
+                continue
+            if r < err * 0.35:
+                out.append(BASES[rng.integers(4)])
+                out.append(ch)
+            elif r < err:
+                out.append(BASES[rng.integers(4)])
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    @pytest.mark.parametrize("scores", [(5, -4, 8, 1), (20, -10, 9, 1)])
+    @pytest.mark.parametrize("err", [0.0, 0.05, 0.25, 0.45])
+    def test_banded_matches_full(self, scores, err):
+        from nanocaller_tpu.align.nw import _codes
+        from nanocaller_tpu.io.native import nw_batch_native
+
+        rng = np.random.default_rng(int(err * 100) + scores[0])
+        ma, mi, go, ge = scores
+        pairs = []
+        for _ in range(48):
+            L = int(rng.integers(20, 220))
+            ref = rand_seq(rng, L)
+            q = self._mutate(rng, ref, err)
+            if rng.random() < 0.3:  # structural indel: large drift
+                p = int(rng.integers(0, max(1, len(q))))
+                if rng.random() < 0.5:
+                    q = q[:p] + rand_seq(
+                        rng, int(rng.integers(1, 40))) + q[p:]
+                else:
+                    q = q[:p] + q[p + int(rng.integers(
+                        1, min(40, len(q) - p + 1))):]
+            pairs.append((q, ref))
+        out = nw_batch_native([_codes(q) for q, _ in pairs],
+                              [_codes(r) for _, r in pairs],
+                              ma, mi, go, ge)
+        if out is None:
+            pytest.skip("native library unavailable")
+        cigs, scs = out
+        for k, (q, r) in enumerate(pairs):
+            s_ref, cig_ref = nw_align(q, r, match=ma, mismatch=mi,
+                                      gap_open=go, gap_extend=ge)
+            assert scs[k] == s_ref, (scores, err, k)
+            assert cigs[k] == cig_ref, (scores, err, k)
+
+    def test_packed_roundtrip(self):
+        from nanocaller_tpu.align.nw import (align_pairs_host, pack_cigar,
+                                             unpack_cigar)
+
+        rng = np.random.default_rng(3)
+        pairs = []
+        for _ in range(30):
+            ref = rand_seq(rng, int(rng.integers(10, 150)))
+            pairs.append((self._mutate(rng, ref, 0.1), ref))
+        plain = align_pairs_host(pairs)
+        packed = align_pairs_host(pairs, packed=True)
+        for a, b in zip(plain, packed):
+            assert isinstance(b, np.ndarray) and b.dtype == np.uint32
+            assert not b.flags.writeable
+            assert unpack_cigar(b) == a
+            assert unpack_cigar(pack_cigar(a)) == a
