@@ -367,6 +367,13 @@ class _ColumnView:
         # promotes (copies) the multi-million-entry event array per call
         self.indptr = np.searchsorted(
             rw.ev_rid, np.arange(rw.n_reads + 1, dtype=rw.ev_rid.dtype))
+        # packed (rid<<32|pos) keys: globally sorted (events emit in rid
+        # order, positions ascending within a read), so ONE searchsorted
+        # answers the per-read "first event at column >= c" query for
+        # every covering read at once (the scalar per-read loop was ~8%
+        # of the indel feature path)
+        self._key = ((rw.ev_rid.astype(np.uint64) << np.uint64(32))
+                     | rw.ev_pos.astype(np.uint64))
 
     def _check_emitted(self, col):
         if self._emitted is not None and int(col) not in self._emitted:
@@ -374,22 +381,32 @@ class _ColumnView:
                 "deferred indel decode: column %d queried but not emitted "
                 "(gap in _event_columns_needed)" % int(col))
 
-    def reads_at(self, col):
+    def _lookup(self, col):
+        """(rids, qpos, k, seg_hi) for reads covering col; k is the
+        global index of the read's first event at column >= col (== the
+        scalar lo + searchsorted(ev_pos[lo:hi], col) by key order)."""
         self._check_emitted(col)
         rw = self.rw
         covering = np.flatnonzero((rw.read_start <= col) & (col < rw.read_end))
-        out = []
-        for rid in covering:
-            lo, hi = self.indptr[rid], self.indptr[rid + 1]
-            k = lo + np.searchsorted(rw.ev_pos[lo:hi], col)
-            if k < hi:
-                qpos = int(rw.ev_qpos[k])
-            elif hi > lo:
-                qpos = int(rw.ev_qpos[hi - 1]) + 1
-            else:
-                continue
-            out.append((int(rid), qpos))
-        return out
+        if len(covering) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        needles = ((covering.astype(np.uint64) << np.uint64(32))
+                   | np.uint64(int(col)))
+        k = np.searchsorted(self._key, needles, side="left")
+        lo = self.indptr[covering].astype(np.int64)
+        hi = self.indptr[covering + 1].astype(np.int64)
+        in_seg = k < hi
+        has_ev = in_seg | (hi > lo)
+        qpos = np.empty(len(covering), np.int64)
+        qpos[in_seg] = rw.ev_qpos[k[in_seg]]
+        tail = ~in_seg & (hi > lo)
+        qpos[tail] = rw.ev_qpos[hi[tail] - 1] + 1
+        return (covering[has_ev], qpos[has_ev], k[has_ev], hi[has_ev])
+
+    def reads_at(self, col):
+        rids, qpos, _, _ = self._lookup(col)
+        return [(int(r), int(q)) for r, q in zip(rids, qpos)]
 
     def signature_groups(self, col):
         """{(code, ins_len, ins_anchor?, del_len): [rid...]} at column —
@@ -408,13 +425,13 @@ class _ColumnView:
             if pos <= col < pos + ln:
                 span.add(int(rid))
         groups = {}
-        for rid, qpos in self.reads_at(col):
+        rids, _, ks, his = self._lookup(col)
+        for rid, k, hi in zip(rids.tolist(), ks.tolist(), his.tolist()):
             if rid in span:
                 sig = ("*", 0, 0)
             else:
-                lo, hi = self.indptr[rid], self.indptr[rid + 1]
-                k = lo + np.searchsorted(rw.ev_pos[lo:hi], col)
-                code = int(rw.ev_code[k]) if (k < hi and rw.ev_pos[k] == col) else -1
+                code = (int(rw.ev_code[k])
+                        if (k < hi and rw.ev_pos[k] == col) else -1)
                 sig = (code, ins_at.get(rid, 0), del_at.get(rid, 0))
             groups.setdefault(sig, []).append(rid)
         return groups
