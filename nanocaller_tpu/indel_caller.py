@@ -26,12 +26,21 @@ from .pileup.indel_features import HaploidIndelBatch, IndelBatch, get_indel_cand
 
 @jax.jit
 def _indel_forward(params, x):
-    return IndelModel().apply(params, x)
+    """x: flat (B, 15*128*2) rows, reshaped on device.
+
+    The flat wire matters on TPU: a (B,15,128,2) transfer target takes
+    the minor-dim-2 tiled layout of the compiled executable's parameter
+    (padded 128-wide on device), making every subsequent device_put of
+    that shape ~25-40x slower over the tunnel (measured 2.7 -> 71-140 ms
+    for 3.9 MB once the executable exists). A flat minor dim keeps the
+    h2d layout dense; the on-device reshape is free relative to it."""
+    return IndelModel().apply(params, x.reshape(x.shape[0], 15, 128, 2))
 
 
 @jax.jit
 def _hap_indel_forward(params, x):
-    return HaploidIndelModel().apply(params, x)
+    """x: flat (B, 5*128*2) rows — see _indel_forward."""
+    return HaploidIndelModel().apply(params, x.reshape(x.shape[0], 5, 128, 2))
 
 
 @dataclass
@@ -66,6 +75,7 @@ def _run_stacked(forward, params, x, batch_size, mesh=None):
     from .runtime.sharding import dp_scale, shard_batch
 
     batch_size = dp_scale(batch_size, mesh)
+    x = np.ascontiguousarray(x).reshape(len(x), -1)  # flat rows (wire)
     B = len(x)
     outs = []
     for lo in range(0, B, batch_size):
@@ -73,7 +83,7 @@ def _run_stacked(forward, params, x, batch_size, mesh=None):
         pad = batch_size - (hi - lo)
         xs = x[lo:hi]
         if pad:
-            xs = np.pad(xs, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+            xs = np.pad(xs, [(0, pad), (0, 0)])
         (xs,) = shard_batch((xs,), mesh)
         outs.append(np.asarray(forward(params, xs))[: hi - lo])
     return np.concatenate(outs) if outs else np.zeros((0, 4), np.float32)
