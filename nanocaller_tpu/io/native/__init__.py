@@ -67,7 +67,12 @@ def get_lib():
         lib.ncio_emit_sites.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
         lib.ncio_emit_qpos.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int32]
+        lib.ncio_emit_qwin.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32)]
         lib.ncio_fill_events.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
@@ -373,10 +378,12 @@ class DeferredDecode:
         alive."""
         return fill_window(self._lib, self._handle)
 
-    def emit_qpos(self, cols):
+    def emit_qpos(self, cols, keep=False):
         """Emit query-position-or-next pseudo-events at the sorted
         columns (indel path) and return (ev_rid, ev_pos, ev_code,
-        ev_qpos). Frees the handle."""
+        ev_qpos). Frees the handle unless keep=True, which also retains
+        the record store so emit_qwin can expand sequence windows later
+        (caller must close())."""
         cols_arr = np.ascontiguousarray(cols, dtype=np.int64)
         n = len(cols_arr)
         if n == 0:
@@ -384,7 +391,8 @@ class DeferredDecode:
         lib = self._lib
         lib.ncio_emit_qpos(
             ctypes.c_void_p(self._handle),
-            cols_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+            cols_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            1 if keep else 0)
         try:
             sizes = np.zeros(7, dtype=np.int64)
             lib.ncio_sizes(ctypes.c_void_p(self._handle),
@@ -403,8 +411,31 @@ class DeferredDecode:
                 ev_qpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
             return ev_rid, ev_pos, ev_code, ev_qpos
         finally:
-            lib.ncio_free(ctypes.c_void_p(self._handle))
-            self._handle = None
+            if not keep:
+                lib.ncio_free(ctypes.c_void_p(self._handle))
+                self._handle = None
+
+    def emit_qwin(self, rids, qstarts, win):
+        """Expand query windows seq[max(0,q):q+win] from the stashed
+        packed records (python-slice clamping); returns list[str].
+        Valid only after emit_qpos(keep=True)."""
+        rids = np.ascontiguousarray(rids, dtype=np.int32)
+        qstarts = np.ascontiguousarray(qstarts, dtype=np.int32)
+        n = len(rids)
+        if n == 0:
+            return []
+        out = ctypes.create_string_buffer(n * win)
+        out_len = np.zeros(n, np.int32)
+        self._lib.ncio_emit_qwin(
+            ctypes.c_void_p(self._handle),
+            rids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qstarts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, win, out,
+            out_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        buf = out.raw
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(out_len, out=offs[1:])
+        return [buf[offs[i]:offs[i + 1]].decode() for i in range(n)]
 
     def close(self):
         if self._handle is not None:

@@ -656,7 +656,8 @@ void ncio_emit_sites(void* handle, const int64_t* sites, int32_t n_sites) {
 // yield through _ColumnView.reads_at/signature_groups
 // (pileup/indel_features.py). Reads without any M op emit nothing.
 // Frees the record store.
-void ncio_emit_qpos(void* handle, const int64_t* sites, int32_t n_sites) {
+void ncio_emit_qpos(void* handle, const int64_t* sites, int32_t n_sites,
+                    int32_t keep_store) {
   auto* w = static_cast<Window*>(handle);
   const int64_t* send = sites + n_sites;
   const size_t n = w->rec_off.size();
@@ -720,10 +721,44 @@ void ncio_emit_qpos(void* handle, const int64_t* sites, int32_t n_sites) {
       }
     }
   }
-  w->rec_store.clear();
-  w->rec_store.shrink_to_fit();
-  w->rec_off.clear();
-  w->rec_off.shrink_to_fit();
+  if (!keep_store) {
+    w->rec_store.clear();
+    w->rec_store.shrink_to_fit();
+    w->rec_off.clear();
+    w->rec_off.shrink_to_fit();
+  }
+}
+
+// Expand query-sequence windows [qstart, qstart+win) (python-slice
+// clamping: negative qstart truncates from 0, end clamps to l_seq) from
+// the stashed packed records of a deferred handle — the indel path's
+// lazy replacement for keep_seq, which expanded EVERY read's full
+// sequence (~half the phase-1 decode cost) when only ~160-char windows
+// at candidate columns are ever read. Requires emit_qpos(keep_store=1).
+// out: caller-allocated n*win chars; out_len: chars written per item.
+void ncio_emit_qwin(void* handle, const int32_t* rids,
+                    const int32_t* qstarts, int32_t n, int32_t win,
+                    char* out, int32_t* out_len) {
+  auto* w = static_cast<Window*>(handle);
+  char* op = out;
+  for (int32_t i = 0; i < n; i++) {
+    const uint8_t* data = w->rec_store.data() + w->rec_off[rids[i]];
+    uint8_t l_read_name = data[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, data + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, data + 16, 4);
+    const uint8_t* seq_p = data + 32 + l_read_name + size_t(n_cigar) * 4;
+    int64_t q0 = qstarts[i] < 0 ? 0 : qstarts[i];
+    int64_t q1 = int64_t(qstarts[i]) + win;
+    if (q1 > l_seq) q1 = l_seq;
+    int32_t m = int32_t(q1 > q0 ? q1 - q0 : 0);
+    for (int64_t q = q0; q < q1; q++) {
+      uint8_t nib = (q & 1) ? (seq_p[q >> 1] & 0xf) : (seq_p[q >> 1] >> 4);
+      *op++ = NIBBLE_CHAR[nib];
+    }
+    out_len[i] = m;
+  }
 }
 
 // Copy only the aligned-event arrays (second fill of a two-phase indel

@@ -66,6 +66,10 @@ class ReadWindow:
     ins_len: np.ndarray = None
     # query sequences kept for realignment window extraction (indel path)
     seqs: list = field(default_factory=list)
+    # lazy alternative to seqs (deferred native decode): callable
+    # (rids int32[], qstarts int32[], win) -> list[str], each string
+    # == seqs[rid][max(0, q):q+win]; consumers prefer it when set
+    seq_provider: object = None
     # (start, end, counts int32[W,6]) — precomputed by the C++ decoder
     counts_cache: tuple = None
 
@@ -402,9 +406,15 @@ class IndelDeferredWindow:
         self.window = rw
 
     def finish_events(self, cols):
-        """cols: iterable of 0-based columns; fills window.ev_* in place."""
+        """cols: iterable of 0-based columns; fills window.ev_* in place.
+
+        keep=True retains the record store: sequence windows are
+        expanded lazily via window.seq_provider (emit_qwin) instead of
+        materializing every read's full sequence in phase 1 — the
+        caller must close() when feature extraction is done."""
         cols_arr = np.asarray(sorted(set(int(c) for c in cols)), np.int64)
-        ev_rid, ev_pos, ev_code, ev_qpos = self._dd.emit_qpos(cols_arr)
+        ev_rid, ev_pos, ev_code, ev_qpos = self._dd.emit_qpos(cols_arr,
+                                                              keep=True)
         w = self.window
         w.ev_rid, w.ev_pos, w.ev_code, w.ev_qpos = (
             ev_rid, ev_pos, ev_code, ev_qpos)
@@ -431,7 +441,7 @@ def indel_deferred_decode(bam, contig, start, end, flag_exclude=None):
         from ..io.native import decode_window_deferred
 
         dd = decode_window_deferred(bam, contig, start, end, flag_exclude,
-                                    keep_seq=True, want_counts=False)
+                                    keep_seq=False, want_counts=False)
     except Exception:
         return None
     if dd is None:
@@ -440,7 +450,12 @@ def indel_deferred_decode(bam, contig, start, end, flag_exclude=None):
     if raw is None:
         dd.close()
         return None
-    return IndelDeferredWindow(dd, _window_from_native(raw, contig, start, end))
+    w = _window_from_native(raw, contig, start, end)
+    # sequences stay packed in the C++ record store; candidate windows
+    # are expanded on demand (keep_seq expanded every read's full
+    # sequence — about half the phase-1 decode cost, RESULTS.md round 5)
+    w.seq_provider = dd.emit_qwin
+    return IndelDeferredWindow(dd, w)
 
 
 def _window_from_native(raw, contig, start, end):

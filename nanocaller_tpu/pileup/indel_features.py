@@ -446,9 +446,13 @@ def extract_candidate_windows(rw, cview, v0, window_after, names0, names1):
     """
     d = {"h0": {}, "h1": {}, "tot": {}}
     first_h0_rid = None
-    for rid, qpos in cview.reads_at(v0):
-        seq = rw.seqs[rid]
-        dt = seq[max(0, qpos): qpos + window_after]
+    rids, qposs, _, _ = cview._lookup(v0)
+    if rw.seq_provider is not None:
+        wins = rw.seq_provider(rids, qposs, window_after)
+    else:
+        wins = [rw.seqs[rid][max(0, q): q + window_after]
+                for rid, q in zip(rids.tolist(), qposs.tolist())]
+    for rid, qpos, dt in zip(rids.tolist(), qposs.tolist(), wins):
         name = rw.qnames[rid]
         d["tot"][name] = dt
         if rid in names0:
@@ -533,11 +537,16 @@ def get_indel_candidates(bam, fasta, chunk, *, seq_type="ont", mincov=4,
             rw, scan_cols, triggers, win_size, mincov,
             sig_provider=None if haploid else cview.signature_groups)
 
-    return _tensorize_candidates(
-        rw, cview, variants, extra, fasta, contig, chrom_len, scan_lo,
-        window_after=window_after, win_size=win_size, mincov=mincov,
-        maxcov=maxcov, haploid=haploid,
-        use_device_alignment=use_device_alignment)
+    try:
+        return _tensorize_candidates(
+            rw, cview, variants, extra, fasta, contig, chrom_len, scan_lo,
+            window_after=window_after, win_size=win_size, mincov=mincov,
+            maxcov=maxcov, haploid=haploid,
+            use_device_alignment=use_device_alignment)
+    finally:
+        # frees the C++ record store backing rw.seq_provider
+        if deferred is not None:
+            deferred.close()
 
 
 def _member_indel_window(rw_g: ReadWindow, contig, m_lo, m_hi):
@@ -564,7 +573,11 @@ def _member_indel_window(rw_g: ReadWindow, contig, m_lo, m_hi):
         del_start=rw_g.del_start[dm], del_len=rw_g.del_len[dm],
         ins_rid=g2l[rw_g.ins_rid[im]].astype(np.int32),
         ins_pos=rw_g.ins_pos[im], ins_len=rw_g.ins_len[im],
-        seqs=[rw_g.seqs[i] for i in sel] if rw_g.seqs else []), mask
+        seqs=[rw_g.seqs[i] for i in sel] if rw_g.seqs else [],
+        seq_provider=(
+            (lambda rids, qs, win, _p=rw_g.seq_provider, _sel=sel:
+             _p(_sel[np.asarray(rids, np.int64)], qs, win))
+            if rw_g.seq_provider is not None else None)), mask
 
 
 def _fill_member_events(rw_g: ReadWindow, rw_m: ReadWindow, mask, cols):
@@ -654,18 +667,21 @@ def get_indel_group_candidates(bam, fasta, members, *, seq_type="ont",
 
     dd.finish_events(all_cols)  # ONE emit for the whole group
 
-    out = []
-    for m_lo, haploid, rw_m, mask, scan_cols, triggers, cols in prepped:
-        _fill_member_events(rw_g, rw_m, mask, cols)
-        cview = _ColumnView(rw_m)
-        variants, extra = _select_candidates(
-            rw_m, scan_cols, triggers, win_size, mincov,
-            sig_provider=None if haploid else cview.signature_groups)
-        out.append(_tensorize_candidates(
-            rw_m, cview, variants, extra, fasta, contig, chrom_len, m_lo,
-            window_after=window_after, win_size=win_size, mincov=mincov,
-            maxcov=maxcov, haploid=haploid, use_device_alignment=False))
-    return out
+    try:
+        out = []
+        for m_lo, haploid, rw_m, mask, scan_cols, triggers, cols in prepped:
+            _fill_member_events(rw_g, rw_m, mask, cols)
+            cview = _ColumnView(rw_m)
+            variants, extra = _select_candidates(
+                rw_m, scan_cols, triggers, win_size, mincov,
+                sig_provider=None if haploid else cview.signature_groups)
+            out.append(_tensorize_candidates(
+                rw_m, cview, variants, extra, fasta, contig, chrom_len, m_lo,
+                window_after=window_after, win_size=win_size, mincov=mincov,
+                maxcov=maxcov, haploid=haploid, use_device_alignment=False))
+        return out
+    finally:
+        dd.close()  # frees the C++ record store backing seq_provider
 
 
 def _tensorize_candidates(rw, cview, variants, extra, fasta, contig,
