@@ -113,9 +113,11 @@ def test_watchdog_kill_rendezvous_recovery(two_contig_fixture, tmp_path):
     out = str(tmp_path / "kill_rdv")
     port = _free_port()
     # the watchdog window must cover child STARTUP (imports run before
-    # the first beat; ~10 s on slower machines), or children die in a
-    # kill loop before ever beating
-    extra = ["--watchdog", "30", "--coordinator", "localhost:%d" % port,
+    # the first beat; ~10 s on slower machines) AND the surviving host's
+    # rendezvous wait while the killed peer relaunches (~15-25 s on a
+    # loaded 2-core box) — too small and BOTH watchdogs fire and the
+    # hosts ping-pong through re-formations until the retry budget ends
+    extra = ["--watchdog", "60", "--coordinator", "localhost:%d" % port,
              "--num_processes", "2"]
     procs = [_spawn(_cli_args(bam_p, fasta_p, out,
                               extra + ["--process_id", str(i)]))
@@ -167,11 +169,16 @@ def test_watchdog_kill_midrun_bounded_then_resume(two_contig_fixture,
             p.kill()
             pytest.fail("supervisor hung after peer death")
         rcs.append(p.returncode)
-    if not formed or child is None:
+    if child is None:
         # the run finished before the kill landed — nothing to assert
         # beyond clean exits
         assert rcs == [0, 0]
         return
+    # NOTE: when the shard dir never appeared (slow machine) the kill
+    # landed at an arbitrary pre-/mid-formation moment — both clean
+    # watchdog recovery ([0, 0]) and the bounded post-session abort are
+    # legitimate there, so fall through to the timing-agnostic
+    # assertions: no hang, and relaunch-with---resume completes.
     # at least one host reports the failure; none hang
     assert any(rc != 0 for rc in rcs) or rcs == [0, 0]
     # relaunch all hosts with --resume: completes from the manifests
