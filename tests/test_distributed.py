@@ -149,7 +149,10 @@ def test_watchdog_kill_midrun_bounded_then_resume(two_contig_fixture,
     fasta_p, bam_p = two_contig_fixture
     out = str(tmp_path / "kill_mid")
     port = _free_port()
-    extra = ["--watchdog", "30", "--coordinator", "localhost:%d" % port,
+    # 60 s for the same reason as the rendezvous case: under full-suite
+    # CPU contention a 30 s window fires spuriously during normal
+    # startup/rendezvous and the scenario under test never forms cleanly
+    extra = ["--watchdog", "60", "--coordinator", "localhost:%d" % port,
              "--num_processes", "2"]
     procs = [_spawn(_cli_args(bam_p, fasta_p, out,
                               extra + ["--process_id", str(i)]))
