@@ -70,6 +70,18 @@ def sliding_distinct_counts(event_rids, event_cols, n_cols, win,
     return np.cumsum(out)[:-1].astype(np.int32)
 
 
+def _rank_in_scan(scan_cols, needles):
+    """searchsorted(scan_cols, needles, 'left'), with the dominant case
+    (scan_cols a contiguous range — no BED exclusions) computed by
+    arithmetic instead of a binary search per needle."""
+    n = len(scan_cols)
+    if n == 0:
+        return np.zeros(len(needles), np.int64)
+    if int(scan_cols[-1]) - int(scan_cols[0]) + 1 == n:
+        return np.clip(needles.astype(np.int64) - int(scan_cols[0]), 0, n)
+    return np.searchsorted(scan_cols, needles)
+
+
 def coverage_per_column(rw: ReadWindow, cols, rid_subset=None):
     """#reads covering each scan column (deletion spans included)."""
     starts = rw.read_start
@@ -77,8 +89,8 @@ def coverage_per_column(rw: ReadWindow, cols, rid_subset=None):
     if rid_subset is not None:
         starts = starts[rid_subset]
         ends = ends[rid_subset]
-    lo = np.searchsorted(cols, starts, side="left")
-    hi = np.searchsorted(cols, ends, side="left")
+    lo = _rank_in_scan(cols, starts)
+    hi = _rank_in_scan(cols, ends)
     n = len(cols)
     out = np.bincount(lo, minlength=n + 1).astype(np.int64)
     out -= np.bincount(hi, minlength=n + 1)
@@ -136,7 +148,7 @@ def _compute_triggers(rw, scan_cols, *, win_size, small_win_size, mincov,
     freqs = {}
     for kind in ("ins", "del"):
         rids, anchors, lens = _anchor_events(rw, kind)
-        rank = np.searchsorted(scan_cols, anchors)
+        rank = _rank_in_scan(scan_cols, anchors)
         on_scan = (rank < n)
         on_scan[on_scan] = scan_cols[rank[on_scan]] == anchors[on_scan]
         for hap_i, hap_mask in ((0, hap1), (1, hap2)):
@@ -231,7 +243,7 @@ def _select_candidates(rw, scan_cols, triggers, win_size, mincov,
 
 
 def _count_at(scan_cols, anchors):
-    rank = np.searchsorted(scan_cols, anchors)
+    rank = _rank_in_scan(scan_cols, anchors)
     ok = rank < len(scan_cols)
     ok[ok] = scan_cols[rank[ok]] == anchors[ok]
     return np.bincount(rank[ok],
@@ -239,8 +251,8 @@ def _count_at(scan_cols, anchors):
 
 
 def _span_counts(scan_cols, starts, ends):
-    lo = np.searchsorted(scan_cols, starts, side="left")
-    hi = np.searchsorted(scan_cols, ends, side="left")
+    lo = _rank_in_scan(scan_cols, starts)
+    hi = _rank_in_scan(scan_cols, ends)
     n = len(scan_cols)
     out = np.bincount(lo, minlength=n + 1).astype(np.int64)
     out -= np.bincount(hi, minlength=n + 1)
