@@ -70,6 +70,11 @@ def build_parser():
                       help="disable group-level SNP device payloads "
                            "(ship one payload per 500 kb member instead "
                            "of one per decode group; debug path)")
+    cfgg.add_argument("--snp_pipeline_depth", type=int, default=1,
+                      help="dispatched-but-unsynced SNP inference units "
+                           "riding the device queue (deeper hides "
+                           "device-to-host latency spikes behind compute; "
+                           "output is order-invariant)")
     cfgg.add_argument("--profile", action="store_true",
                       help="Capture a jax.profiler trace of the SNP stage "
                            "into OUTPUT/trace (view with XProf).")
@@ -167,6 +172,7 @@ def config_from_args(argv=None):
         profile=args.profile, skip_phased_bam=args.skip_phased_bam,
         dedup_transfer=not args.no_dedup_transfer,
         snp_group_payload=not args.no_snp_group_payload,
+        snp_pipeline_depth=args.snp_pipeline_depth,
         watchdog=args.watchdog,
         phased_bam_compression=args.phased_bam_compression)
     cfg._merge_shards = args.merge_shards

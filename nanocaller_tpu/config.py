@@ -77,6 +77,11 @@ class Config:
     # group (2.5-6 Mb) instead of one per 500 kb member; False restores
     # per-member payloads (differential/debug path)
     snp_group_payload: bool = True
+    # dispatched-but-unsynced inference units riding the device queue
+    # (order-invariant; >1 measured no better under freeze-wave weather —
+    # the stalls are whole-device, not per-transfer — so the round-4
+    # depth-1 default stands; knob kept for clean-link experiments)
+    snp_pipeline_depth: int = 1
     suppress_progress: bool = False
     verbose: bool = False
     skip_phased_bam: bool = False  # skip the per-contig phased BAM artifact

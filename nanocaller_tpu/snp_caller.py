@@ -1849,6 +1849,13 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
                 lines = decode_diploid(batch, probs)
         _store(idx, lines)
 
+    # pipeline depth: how many dispatched-but-unsynced units ride the
+    # device queue. Depth 1 already overlaps unit i's d2h with unit
+    # i+1's feature gen; deeper hides d2h LATENCY spikes (the tunnel's
+    # sick direction during freeze waves) behind 2-3 units of compute.
+    # Results are stored by idx, so depth cannot affect output order.
+    depth = max(1, int(getattr(cfg, "snp_pipeline_depth", 1)))
+
     def process(idx, batch):
         if metrics is not None:
             metrics.count("snp_candidates", len(batch))
@@ -1856,7 +1863,7 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
         if len(batch):
             finish = infer_snp_any(state, batch, cfg, ploidy_of[idx],
                                    async_mode=True)
-        while in_flight:
+        while len(in_flight) >= depth:
             _finalize_one()
         in_flight.append(("chunk", idx, batch, finish))
 
@@ -1864,7 +1871,7 @@ def call_snps(cfg, bam, fasta, regions_list, chunks, out_dir, exclude=None,
         if metrics is not None:
             metrics.count("snp_candidates", len(gf))
         finish = infer_snp_group(state, gf, cfg, async_mode=True)
-        while in_flight:
+        while len(in_flight) >= depth:
             _finalize_one()
         in_flight.append(("group", gf, finish))
 
