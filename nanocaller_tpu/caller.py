@@ -316,9 +316,11 @@ def run(cfg: Config, progress=None):
                                                 _INDEL_GROUP_SPAN)
 
             def _grouped():
-                for _gi, members in feature_stream(
+                for _gi, members, secs in feature_stream(
                         group_tasks, indel_features_group_worker,
                         init_args, cfg.cpu):
+                    metrics.timers["indel.features_core"] = (
+                        metrics.timers.get("indel.features_core", 0.0) + secs)
                     yield from members
 
             stream = _grouped()
@@ -497,6 +499,7 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
 
     def _flush():
         nonlocal pending, pend_n
+        _ft0 = time.perf_counter()
         dip = [(i, b) for i, b in pending
                if ordered_chunks[i].get("ploidy") != "haploid"]
         hap = [(i, b) for i, b in pending
@@ -511,6 +514,9 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
             _write_shard(i)
         pending = []
         pend_n = 0
+        metrics.timers["indel.infer_decode"] = (
+            metrics.timers.get("indel.infer_decode", 0.0)
+            + (time.perf_counter() - _ft0))
 
     ex = ProcessPoolExecutor(max_workers=cfg.cpu, mp_context=ctx,
                              initializer=W.init_worker,
@@ -602,7 +608,9 @@ def _run_phase_indel_dag(cfg, bam, snp_vcf, contigs, indel_chunks, phase_dir,
                         artifact_threads.append(th)
                     unlock_indels(name, info["tags_path"])
                 else:
-                    _gi, members = res
+                    _gi, members, secs = res
+                    metrics.timers["indel.features_core"] = (
+                        metrics.timers.get("indel.features_core", 0.0) + secs)
                     if len(timeline) < 2000:
                         timeline.append(
                             {"stage": "indel_group_done",

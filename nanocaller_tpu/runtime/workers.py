@@ -136,14 +136,21 @@ def indel_features_worker(task):
 
 
 def indel_features_group_worker(task):
-    """(idx, [(orig_idx, chunk), ...]) → (idx, [(orig_idx, batch), ...]).
+    """(idx, [(orig_idx, chunk), ...]) →
+    (idx, [(orig_idx, batch), ...], seconds).
 
     Coordinate-adjacent indel chunks share one deferred decode + one
     pseudo-event emit (pileup.indel_features.get_indel_group_candidates);
-    per-member output identical to indel_features_worker."""
+    per-member output identical to indel_features_worker. `seconds` is
+    the in-worker feature-gen wall — the DAG sums it into
+    metrics.timers["indel.features_core"] so the per-stage budget
+    (feature core-seconds vs device inference+decode) is observable."""
+    import time as _time
+
     idx, group = task
     from ..pileup.indel_features import get_indel_group_candidates
 
+    _t0 = _time.perf_counter()
     cfg = _G["cfg"]
     chunk0 = group[0][1]
     bam = _bam_for(chunk0.get("sam_path") or _G["bam_path"])
@@ -158,7 +165,8 @@ def indel_features_group_worker(task):
         win_size=cfg["win_size"], small_win_size=cfg["small_win_size"],
         impute_indel_phase=cfg["impute_indel_phase"], exclude=_G["exclude"],
         tags=tags)
-    return idx, [(oi, b) for (oi, _), b in zip(group, batches)]
+    return (idx, [(oi, b) for (oi, _), b in zip(group, batches)],
+            _time.perf_counter() - _t0)
 
 
 def phase_contig_worker(task):
