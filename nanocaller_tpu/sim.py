@@ -320,28 +320,40 @@ def write_bam_multi(path, contig_reads, contig_lens, tag_haplotypes=False,
 def write_truth_vcf(path, contig, ref_seq, snps=(), indels=(), sample="TRUTH"):
     """Emit the planted variants as a truth VCF (for tools/vcf_compare
     and the training CLIs)."""
+    return write_truth_vcf_multi(path, {contig: (ref_seq, snps, indels)},
+                                 sample=sample)
+
+
+def write_truth_vcf_multi(path, per_contig, sample="TRUTH"):
+    """Multi-contig truth VCF. per_contig: {name: (ref_seq, snps, indels)}
+    in the desired header/record contig order."""
     from .io.vcf import VcfRecord, VcfWriter
 
-    hdr = ["##fileformat=VCFv4.2", "##contig=<ID=%s>" % contig,
-           '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
-           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t%s" % sample]
-    recs = []
-    for pos, alt, gt in snps:
-        gt_str = "1/1" if gt == "hom" else "0/1"
-        recs.append(VcfRecord(contig, pos + 1, ref_seq[pos], alt, "50",
-                              "PASS", format_="GT", samples=[gt_str]))
-    for pos, kind, val, gt in indels:
-        gt_str = "1/1" if gt == "hom" else "0/1"
-        if kind == "ins":
-            ref, alt = ref_seq[pos], ref_seq[pos] + val
-        else:
-            ref, alt = ref_seq[pos : pos + 1 + int(val)], ref_seq[pos]
-        recs.append(VcfRecord(contig, pos + 1, ref, alt, "50", "PASS",
-                              format_="GT", samples=[gt_str]))
-    recs.sort(key=lambda r: r.pos)
+    hdr = ["##fileformat=VCFv4.2"]
+    hdr += ["##contig=<ID=%s>" % c for c in per_contig]
+    hdr += ['##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t%s"
+            % sample]
     with VcfWriter(path, hdr) as w:
-        for r in recs:
-            w.write(r)
+        for contig, (ref_seq, snps, indels) in per_contig.items():
+            recs = []
+            for pos, alt, gt in snps:
+                gt_str = "1/1" if gt == "hom" else "0/1"
+                recs.append(VcfRecord(contig, pos + 1, ref_seq[pos], alt,
+                                      "50", "PASS", format_="GT",
+                                      samples=[gt_str]))
+            for pos, kind, val, gt in indels:
+                gt_str = "1/1" if gt == "hom" else "0/1"
+                if kind == "ins":
+                    ref, alt = ref_seq[pos], ref_seq[pos] + val
+                else:
+                    ref, alt = ref_seq[pos : pos + 1 + int(val)], ref_seq[pos]
+                recs.append(VcfRecord(contig, pos + 1, ref, alt, "50",
+                                      "PASS", format_="GT",
+                                      samples=[gt_str]))
+            recs.sort(key=lambda r: r.pos)
+            for r in recs:
+                w.write(r)
     return path
 
 

@@ -69,6 +69,9 @@ def evaluate(calls, truth, fasta, vtype, bed=None):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=20, help="fixture Mb")
+    ap.add_argument("--contigs", type=int, default=1,
+                    help="split the fixture across N contigs (exercises "
+                         "the DAG's cross-contig phase/indel overlap)")
     ap.add_argument("--depth", type=int, default=45)
     ap.add_argument("--error_rate", type=float, default=0.04)
     ap.add_argument("--indel_error_rate", type=float, default=0.01)
@@ -88,13 +91,15 @@ def main(argv=None):
     from simulate import main as sim_main
 
     wd = args.workdir or os.path.join(
-        "/tmp", "bench_e2e_%dmb_s%d%s" % (int(args.mb), args.seed,
-                                          "_hp" if args.hp_profile else ""))
+        "/tmp", "bench_e2e_%dmb_s%d%s%s" % (
+            int(args.mb), args.seed, "_hp" if args.hp_profile else "",
+            "_c%d" % args.contigs if args.contigs > 1 else ""))
     os.makedirs(wd, exist_ok=True)
     fixture_args = [
         "--output", wd, "--length", str(int(args.mb * 1e6)),
         "--depth", str(args.depth), "--error_rate", str(args.error_rate),
         "--indel_error_rate", str(args.indel_error_rate),
+        "--contigs", str(args.contigs),
         "--seed", str(args.seed)]
     if args.hp_profile:
         fixture_args.append("--hp_profile")
@@ -151,7 +156,8 @@ def main(argv=None):
               f"(P={r.get('precision', 0):.4f} R={r.get('recall', 0):.4f} "
               f"@QUAL>={r.get('threshold')})")
     print(json.dumps({
-        "mb": args.mb, "depth": args.depth, "platform": args.platform,
+        "mb": args.mb, "contigs": args.contigs, "depth": args.depth,
+        "platform": args.platform,
         "cpu": args.cpu, "seed": args.seed, "hp_profile": args.hp_profile,
         "wall_s": round(wall, 1), "stages": stages,
         "counts": counts, "rates": rates,
